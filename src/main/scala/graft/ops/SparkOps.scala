@@ -1,0 +1,141 @@
+package graft.ops
+
+import graft.core._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Environment threaded through Spark pipelines via the Reader layer:
+  * the live session plus the dataset directory (one parquet per table).
+  */
+final case class SparkEnv(spark: SparkSession, dir: String)
+
+/** Prebuilt, composable pipeline nodes over `org.apache.spark.sql`.
+  *
+  * These realize the capability layer of SURVEY.md §2.2: each factory
+  * returns a [[graft.core.Node]] (or config-dependent Reader of one) whose
+  * payload is a DataFrame, so ETL graphs compose with `~>`/`&`/`>>` while
+  * the data plane stays fully declarative — Catalyst sees one logical plan
+  * per pipeline and optimizes across node boundaries (pushdown, pruning,
+  * join selection are NOT blocked by the algebra).
+  *
+  * Reference motifs: extract/filter/agg/write Spark pipeline
+  * (`/root/reference/docs/examples-spark.md:19-41`), multi-source extract
+  * (`:102-108`), broadcast-join (`docs/examples-flink.md:104-109`).
+  */
+object SparkOps {
+
+  // ------------------------------------------------------------- sources
+
+  /** Scan a named parquet table from the environment's dataset dir. */
+  def scanParquet(name: String): Reader[SparkEnv, Extract[Unit, DataFrame]] =
+    Node.requires(env => _ => env.spark.read.parquet(s"${env.dir}/$name.parquet"))
+
+  /** Scan an explicit parquet path. */
+  def scanParquetPath(path: String): Reader[SparkEnv, Extract[Unit, DataFrame]] =
+    Node.requires(env => _ => env.spark.read.parquet(path))
+
+  /** Scan CSV with header+schema inference off by default (schema given). */
+  def scanCsv(path: String, schema: org.apache.spark.sql.types.StructType)
+      : Reader[SparkEnv, Extract[Unit, DataFrame]] =
+    Node.requires(env => _ => env.spark.read.schema(schema).option("header", "true").csv(path))
+
+  /** Scan newline-delimited JSON with an explicit schema (schema inference
+    * costs a full extra pass at 100 TB — never infer in production paths).
+    */
+  def scanJson(path: String, schema: org.apache.spark.sql.types.StructType)
+      : Reader[SparkEnv, Extract[Unit, DataFrame]] =
+    Node.requires(env => _ => env.spark.read.schema(schema).json(path))
+
+  /** Multi-source extract: a map of named tables read in one node. */
+  def scanTables(names: String*): Reader[SparkEnv, Extract[Unit, Map[String, DataFrame]]] =
+    Node.requires(env =>
+      _ => names.map(n => n -> env.spark.read.parquet(s"${env.dir}/$n.parquet")).toMap
+    )
+
+  // --------------------------------------------------------------- sinks
+
+  /** Overwrite-write parquet; passes the input through for `>>` chains. */
+  def writeParquet(path: String, partitionBy: Seq[String] = Nil): Load[DataFrame, DataFrame] =
+    Node { df =>
+      val w = df.write.mode("overwrite")
+      (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path)
+      df
+    }
+
+  // ---------------------------------------------------------- transforms
+
+  def where(cond: Column): Transform[DataFrame, DataFrame] = Node(_.filter(cond))
+
+  def selectCols(cols: Column*): Transform[DataFrame, DataFrame] = Node(_.select(cols: _*))
+
+  def withCol(name: String, col: Column): Transform[DataFrame, DataFrame] =
+    Node(_.withColumn(name, col))
+
+  def dropCols(names: String*): Transform[DataFrame, DataFrame] = Node(_.drop(names: _*))
+
+  /** Explicit repartition — reach for this only to fix skew or co-locate a
+    * downstream join; Catalyst + AQE handle the default case.
+    */
+  def repartitionBy(n: Int, cols: Column*): Transform[DataFrame, DataFrame] =
+    Node(df => if (cols.isEmpty) df.repartition(n) else df.repartition(n, cols: _*))
+
+  def groupAgg(keys: Seq[Column], aggs: Seq[Column]): Transform[DataFrame, DataFrame] =
+    Node(df => df.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*))
+
+  def sortLimit(n: Int, order: Column*): Transform[DataFrame, DataFrame] =
+    Node(_.orderBy(order: _*).limit(n))
+
+  def dedupKeys(keys: String*): Transform[DataFrame, DataFrame] =
+    Node(df => if (keys.isEmpty) df.dropDuplicates() else df.dropDuplicates(keys))
+
+  // ------------------------------------------------------ binary combine
+
+  /** Join the two sides of a fan-out. Broadcast the right side explicitly
+    * with `broadcastRight = true` when it is dimension-sized.
+    */
+  def joinOn(
+      cond: (DataFrame, DataFrame) => Column,
+      how: String = "inner",
+      broadcastRight: Boolean = false
+  ): Transform[(DataFrame, DataFrame), DataFrame] =
+    Node { case (l, r) =>
+      val rr = if (broadcastRight) broadcast(r) else r
+      l.join(rr, cond(l, rr), how)
+    }
+
+  def joinUsing(
+      cols: Seq[String],
+      how: String = "inner",
+      broadcastRight: Boolean = false
+  ): Transform[(DataFrame, DataFrame), DataFrame] =
+    Node { case (l, r) =>
+      l.join(if (broadcastRight) broadcast(r) else r, cols, how)
+    }
+
+  def unionAll: Transform[(DataFrame, DataFrame), DataFrame] =
+    Node { case (l, r) => l.unionByName(r) }
+
+  def intersectAll: Transform[(DataFrame, DataFrame), DataFrame] =
+    Node { case (l, r) => l.intersect(r) }
+
+  def exceptAll: Transform[(DataFrame, DataFrame), DataFrame] =
+    Node { case (l, r) => l.except(r) }
+
+  // ------------------------------------------------------------- quality
+
+  /** Data-quality gate: fail the pipeline if any row violates `invariant`.
+    * Runs as ONE distributed action (`filter(!inv).limit(1)`) — no collect
+    * of the violating set; scale-safe.
+    */
+  def ensureRows(invariant: Column, label: String): Transform[DataFrame, DataFrame] =
+    Node[DataFrame, DataFrame](df => df).ensure(
+      output = Seq((df: DataFrame) =>
+        if (df.filter(!invariant).limit(1).isEmpty) None
+        else Some(s"rows violate invariant: $label")
+      )
+    )
+
+  /** Observe row count into the Trace as a counter (driver-side action). */
+  def countTo(counter: String): Transform[DataFrame, DataFrame] =
+    Node { df => Tel.addCounter(counter, df.count()); df }
+}

@@ -1,0 +1,503 @@
+package graft.queries
+
+import graft.core._
+import graft.ops.{SparkEnv, SparkOps => O}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator queries (SURVEY.md §2.2: sources, projection/filter,
+  * joins, aggregation, windows, sort/limit, set ops).
+  *
+  * Scale posture: dimension sides (`region`, `nation`, `part`, `supplier`)
+  * are broadcast explicitly; fact-side aggregations rely on partial
+  * (map-side) aggregation; every non-equi join is realized as an equi join
+  * on derived band keys so it shuffles instead of nested-looping.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def queries: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------- flagship
+    QueryDef(
+      "q1_agg",
+      (s, dir) => q1(s, dir),
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               floor((sum(CAST(floor((l_extendedprice) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS sum_base_price,
+               floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS sum_disc_price,
+               floor((sum(CAST(floor((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    ),
+    // ------------------------------------------------------------ sources
+    QueryDef(
+      "scan_parquet",
+      (s, dir) => t(s, dir, "region").orderBy("r_regionkey"),
+      Some("SELECT * FROM region ORDER BY r_regionkey")
+    ),
+    QueryDef(
+      "scan_csv",
+      (s, dir) => {
+        // Round-trip through the CSV source: parquet -> csv -> read back.
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_nation"
+        val src = t(s, dir, "nation")
+        src.coalesce(1).write.mode("overwrite").option("header", "true").csv(tmp)
+        s.read.schema(src.schema).option("header", "true").csv(tmp)
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")
+    ),
+    QueryDef(
+      "scan_json",
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_region"
+        val src = t(s, dir, "region")
+        src.coalesce(1).write.mode("overwrite").json(tmp)
+        s.read.schema(src.schema).json(tmp).orderBy("r_regionkey")
+      },
+      Some("SELECT * FROM region ORDER BY r_regionkey")
+    ),
+    // --------------------------------------------------- projection/filter
+    QueryDef(
+      "filter_predicate",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .filter(col("l_quantity") > 45 && col("l_discount") < 0.05)
+          .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount
+        FROM lineitem WHERE l_quantity > 45 AND l_discount < 0.05
+        ORDER BY l_orderkey, l_linenumber""")
+    ),
+    QueryDef(
+      "project_select",
+      (s, dir) =>
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_uc"),
+          length(col("p_name")).as("name_len"),
+          round(col("p_retailprice") * 1.1, 2).as("bumped_price")
+        ).orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey, upper(p_brand) AS brand_uc, length(p_name) AS name_len,
+               round(p_retailprice * 1.1, 2) AS bumped_price
+        FROM part ORDER BY p_partkey""")
+    ),
+    // -------------------------------------------------------------- joins
+    QueryDef(
+      "join_inner_equi",
+      (s, dir) => {
+        // 3-way star join; both dims broadcast (always dimension-sized).
+        val c = t(s, dir, "customer")
+        val n = broadcast(t(s, dir, "nation"))
+        val r = broadcast(t(s, dir, "region"))
+        c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(count(lit(1)).as("n_customers"),
+            Tables.moneySum(col("c_acctbal")).as("total_acctbal"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""
+        SELECT r_name, n_name, count(*) AS n_customers,
+               floor((sum(CAST(floor((c_acctbal) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name ORDER BY r_name, n_name""")
+    ),
+    QueryDef(
+      "join_broadcast",
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+        val p = broadcast(t(s, dir, "part"))
+        li.join(p, li("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"))
+          .agg(Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .orderBy("p_brand")
+      },
+      Some("""
+        SELECT p_brand, floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand ORDER BY p_brand""")
+    ),
+    QueryDef(
+      "join_left",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey ORDER BY c_custkey""")
+    ),
+    QueryDef(
+      "join_semi",
+      (s, dir) => {
+        val sup = t(s, dir, "supplier")
+        val li = t(s, dir, "lineitem")
+        sup.join(li, sup("s_suppkey") === li("l_suppkey"), "left_semi")
+          .select("s_suppkey", "s_name")
+          .orderBy("s_suppkey")
+      },
+      Some("""
+        SELECT s_suppkey, s_name FROM supplier
+        WHERE s_suppkey IN (SELECT l_suppkey FROM lineitem)
+        ORDER BY s_suppkey""")
+    ),
+    QueryDef(
+      "join_anti",
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        ORDER BY c_custkey""")
+    ),
+    QueryDef(
+      "join_asof",
+      (s, dir) => {
+        // As-of join: latest order (by o_orderdate) of the matching customer
+        // at or before each event's timestamp. Realized as equi join on the
+        // key + window top-1 — shuffles on the join key, no nested loop; at
+        // scale this is the sort-merge as-of pattern.
+        val e = Tables.events(s, dir)
+        val o = t(s, dir, "orders")
+        val joined = e.join(o, o("o_custkey") === e("user_id") &&
+          o("o_orderdate") <= e("ts"))
+        val w = Window.partitionBy(col("event_id"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        joined
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("event_id", "user_id", "o_orderkey", "o_orderdate")
+          .orderBy("event_id")
+      },
+      Some("""
+        SELECT event_id, user_id, o_orderkey, o_orderdate FROM (
+          SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+                 row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM events e JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) s
+        WHERE rn = 1 ORDER BY event_id""")
+    ),
+    QueryDef(
+      "join_range",
+      (s, dir) => {
+        // Range join |c_acctbal - s_acctbal| <= 100, realized as an equi
+        // join on derived band keys (width = range) with 3-way candidate
+        // expansion — shuffle-able and skew-safe at any scale, unlike a
+        // broadcast nested loop.
+        val c = t(s, dir, "customer")
+        val sup = t(s, dir, "supplier")
+        val width = 100.0
+        val cb = c.withColumn(
+          "band",
+          explode(array(
+            floor(col("c_acctbal") / width) - 1,
+            floor(col("c_acctbal") / width),
+            floor(col("c_acctbal") / width) + 1
+          ))
+        )
+        val sb = sup.withColumn("band", floor(col("s_acctbal") / width))
+        cb.join(sb, "band")
+          .filter(abs(col("c_acctbal") - col("s_acctbal")) <= width)
+          .groupBy(col("c_custkey"))
+          .agg(count(lit(1)).as("n_close_suppliers"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, count(*) AS n_close_suppliers
+        FROM customer JOIN supplier ON abs(c_acctbal - s_acctbal) <= 100
+        GROUP BY c_custkey ORDER BY c_custkey""")
+    ),
+    // -------------------------------------------------------- aggregation
+    QueryDef(
+      "agg_groupby_count",
+      (s, dir) =>
+        t(s, dir, "orders").groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n")).orderBy("o_orderpriority"),
+      Some("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+    QueryDef(
+      "agg_sum_keyed",
+      (s, dir) =>
+        t(s, dir, "lineitem").groupBy(col("l_suppkey")).agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty")
+        ).orderBy("l_suppkey"),
+      Some("""
+        SELECT l_suppkey, round(sum(l_quantity), 2) AS sum_qty,
+               round(avg(l_quantity), 4) AS avg_qty,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""")
+    ),
+    QueryDef(
+      "agg_distinct",
+      (s, dir) =>
+        t(s, dir, "lineitem").groupBy(col("l_returnflag")).agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_suppliers")
+        ).orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+               count(DISTINCT l_suppkey) AS n_suppliers
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+    QueryDef(
+      "agg_approx_distinct",
+      // HLL sketch — algorithm-specific estimates have no DuckDB oracle;
+      // rows-only check. The 100 TB path for COUNT(DISTINCT) at scale.
+      (s, dir) =>
+        t(s, dir, "lineitem").agg(
+          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders")
+        ),
+      None
+    ),
+    QueryDef(
+      "agg_rollup",
+      (s, dir) =>
+        t(s, dir, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+            count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n
+        FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    ),
+    QueryDef(
+      "agg_cube",
+      (s, dir) =>
+        t(s, dir, "orders").cube(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            Tables.moneySum(col("o_totalprice")).as("total"))
+          .orderBy(col("o_orderstatus").asc_nulls_first,
+            col("o_orderpriority").asc_nulls_first),
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               floor((sum(CAST(floor((o_totalprice) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+    ),
+    QueryDef(
+      "topk",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"), col("c_name"))
+          .limit(10),
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal FROM customer
+        ORDER BY c_acctbal DESC, c_custkey, c_name LIMIT 10""")
+    ),
+    // ------------------------------------------------------------ windows
+    QueryDef(
+      "window_rank",
+      (s, dir) => {
+        val w = Window.partitionBy(col("p_brand"))
+          .orderBy(col("p_retailprice").desc, col("p_partkey"))
+        t(s, dir, "part")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("p_brand", "p_partkey", "p_retailprice", "rn")
+          .orderBy("p_brand", "rn")
+      },
+      Some("""
+        SELECT p_brand, p_partkey, p_retailprice, rn FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS rn
+          FROM part) s
+        WHERE rn <= 3 ORDER BY p_brand, rn""")
+    ),
+    QueryDef(
+      "window_analytic",
+      (s, dir) => {
+        // NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic
+        // data; l_quantity completes the order so tied rows are
+        // interchangeable (identical keys => identical lag/running output).
+        val w = Window.partitionBy(col("l_suppkey"))
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_quantity"))
+        t(s, dir, "lineitem")
+          .withColumn("running_qty",
+            round(sum(col("l_quantity")).over(
+              w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
+          .withColumn("prev_qty", lag(col("l_quantity"), 1).over(w))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity",
+            "running_qty", "prev_qty")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+               round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty,
+               lag(l_quantity, 1) OVER (PARTITION BY l_suppkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty
+        FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")
+    ),
+    // --------------------------------------------------------- sort/limit
+    QueryDef(
+      "sort_limit",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice")
+          .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+            col("l_linenumber"))
+          .limit(20),
+      Some("""
+        SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""")
+    ),
+    // ------------------------------------------------------------ set ops
+    QueryDef(
+      "union_all",
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        val low = o.filter(col("o_orderpriority") === "5-LOW")
+        urgent.unionByName(low)
+          .select("o_orderkey", "o_orderpriority")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority FROM (
+          SELECT * FROM orders WHERE o_orderpriority = '1-URGENT'
+          UNION ALL
+          SELECT * FROM orders WHERE o_orderpriority = '5-LOW') s
+        ORDER BY o_orderkey""")
+    ),
+    QueryDef(
+      "intersect_keys",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .intersect(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey""")
+    ),
+    QueryDef(
+      "except_keys",
+      (s, dir) =>
+        t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+          .except(t(s, dir, "supplier").select(col("s_nationkey").as("nationkey")))
+          .orderBy("nationkey"),
+      Some("""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+        ORDER BY nationkey""")
+    ),
+    // --------------------------------------------------------- scalar fns
+    QueryDef(
+      "str_funcs",
+      (s, dir) =>
+        t(s, dir, "part").select(
+          col("p_partkey"),
+          upper(col("p_name")).as("name_uc"),
+          lower(col("p_type")).as("type_lc"),
+          length(col("p_name")).as("name_len"),
+          substring(col("p_type"), 1, 5).as("type_head"),
+          concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_brand"), "Brand#", "B").as("brand_short"),
+          trim(col("p_name")).as("name_trim")
+        ).orderBy("p_partkey"),
+      Some("""
+        SELECT p_partkey, upper(p_name) AS name_uc, lower(p_type) AS type_lc,
+               length(p_name) AS name_len, substr(p_type, 1, 5) AS type_head,
+               p_brand || '/' || p_type AS brand_type,
+               replace(p_brand, 'Brand#', 'B') AS brand_short,
+               trim(p_name) AS name_trim
+        FROM part ORDER BY p_partkey""")
+    ),
+    QueryDef(
+      "math_funcs",
+      (s, dir) =>
+        t(s, dir, "lineitem").select(
+          col("l_orderkey"),
+          col("l_linenumber"),
+          // floor(x*100 + 0.5)/100 instead of round(): identical double ops
+          // in every engine, immune to rounding-mode differences at .005.
+          (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax")) * 100 + 0.5) / 100).as("charge"),
+          abs(col("l_quantity") - 25).as("qty_dev"),
+          ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+          floor(col("l_tax") * 100).as("tax_pct_floor"),
+          (col("l_orderkey") % 7).as("okey_mod7")
+        ).orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 100 + 0.5) / 100 AS charge,
+               abs(l_quantity - 25) AS qty_dev,
+               CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+               CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+               l_orderkey % 7 AS okey_mod7
+        FROM lineitem ORDER BY l_orderkey, l_linenumber""")
+    )
+  )
+
+  /** Flagship pipeline, expressed through the algebra: scan ~> filter ~>
+    * aggregate as three composable nodes (TPC-H Q1 shape, the reference's
+    * extract→transform→aggregate Spark motif
+    * `/root/reference/docs/examples-spark.md:19-41`).
+    */
+  def q1(s: SparkSession, dir: String): DataFrame = {
+    val scan = O.scanParquet("lineitem")
+    val beforeCutoff = O.where(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    val aggregate: Transform[DataFrame, DataFrame] = Node { df =>
+      df.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          Tables.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+    val pipeline = (scan ~> beforeCutoff ~> aggregate)
+      .lineageName("q1_agg")
+      .lineageInputs("lineitem")
+    pipeline.provide(SparkEnv(s, dir)).unsafeRun(())
+  }
+}

@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Embedding-column operators over `embeddings` (vec_id, embedding
+  * array<float>, label): array functions and similarity search.
+  *
+  * Similarity here is the exact (brute-force) path — correct at any n, and
+  * the right baseline to grade approximate variants against. The scale path
+  * (LSH bucketing, so candidate pairs shuffle on bucket keys instead of a
+  * full cross join) lives in `graft.ops.SimilarityOps`.
+  */
+object VectorQueries {
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "array_funcs",
+      (s, dir) =>
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .select(
+            col("vec_id"),
+            size(col("embedding")).as("dim"),
+            // +0.0 canonicalizes IEEE negative zero (engines disagree on -0.0)
+            (round(element_at(col("embedding"), 1).cast("double"), 4) + 0.0)
+              .as("first_val"),
+            // L2 norm via higher-order functions — stays in codegen, no UDF.
+            round(
+              sqrt(aggregate(col("embedding"), lit(0.0),
+                (acc, x) => acc + x.cast("double") * x.cast("double"))),
+              4
+            ).as("l2_norm")
+          )
+          .orderBy("vec_id"),
+      Some("""
+        SELECT vec_id, len(embedding) AS dim,
+               round(CAST(embedding[1] AS DOUBLE), 4) + 0.0 AS first_val,
+               round(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm
+        FROM embeddings ORDER BY vec_id""")
+    ),
+    QueryDef(
+      "similarity_topk",
+      // Exact top-k cosine neighbors of vec_id 0, computed with zip_with +
+      // aggregate (codegen'd, no UDF). The query vector rides along as a
+      // broadcast-joined 1-row plan, NOT a driver collect.
+      (s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_embedding"))
+        val dot = aggregate(
+          zip_with(col("embedding"), col("q_embedding"),
+            (a, b) => a.cast("double") * b.cast("double")),
+          lit(0.0), (acc, x) => acc + x)
+        val norm = (c: org.apache.spark.sql.Column) =>
+          sqrt(aggregate(c, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+        e.filter(col("vec_id") =!= 0)
+          .join(broadcast(q))
+          .select(
+            col("vec_id"),
+            round(dot / (norm(col("embedding")) * norm(col("q_embedding"))), 4)
+              .as("cosine")
+          )
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some("""
+        WITH q AS (
+          SELECT unnest(embedding) AS qx,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id = 0),
+        v AS (
+          SELECT vec_id, unnest(embedding) AS vx,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id <> 0),
+        d AS (
+          SELECT v.vec_id,
+                 sum(CAST(v.vx AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS dot,
+                 sum(CAST(v.vx AS DOUBLE) * CAST(v.vx AS DOUBLE)) AS vn2
+          FROM v JOIN q USING (i) GROUP BY v.vec_id),
+        qn AS (SELECT sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qn2 FROM q)
+        SELECT d.vec_id, round(dot / (sqrt(vn2) * sqrt(qn2)), 4) AS cosine
+        FROM d, qn
+        ORDER BY cosine DESC, vec_id LIMIT 10""")
+    )
+  )
+}
