@@ -1,0 +1,205 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large text/embedding corpora.
+  *
+  * Scale design: every variant funnels candidate generation through an
+  * EQUI-join on derived keys (LSH band hashes, SimHash bands, shared
+  * tokens, vector buckets) so the work shuffles and distributes — the
+  * brute-force O(n²) pair comparison never appears on the scale path; the
+  * one exact-pairs operator is windowed to a bounded id range and exists as
+  * the oracle baseline for grading the approximate ones.
+  *
+  * All hashing is `xxhash64` (deterministic, seedable, codegen'd) — no UDFs
+  * anywhere; everything stays inside whole-stage codegen.
+  */
+object DedupOps {
+
+  /** Distinct lower-cased whitespace tokens per doc. */
+  def tokenSets(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("array_distinct(filter(split(lower(text), '\\\\s+'), t -> t <> ''))")
+        .as("toks")
+    )
+
+  /** 3-token shingle sets per doc (guarding docs shorter than one shingle). */
+  def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =
+    tokenSets(docs).select(
+      col("doc_id"),
+      expr(
+        s"""array_distinct(
+              CASE WHEN size(toks) < $k THEN array(concat_ws(' ', toks))
+              ELSE transform(sequence(0, size(toks) - $k),
+                     i -> concat_ws(' ', slice(toks, i + 1, $k)))
+              END)""").as("shingles")
+    )
+
+  /** MinHash signature (k independent hash mins) over a set column. */
+  def minhashSignature(sets: DataFrame, setCol: String, k: Int = 64): DataFrame =
+    sets.withColumn(
+      "sig",
+      expr(s"transform(sequence(0, ${k - 1}), j -> array_min(transform($setCol, t -> xxhash64(j, t))))")
+    )
+
+  /** MinHash-LSH near-duplicate pairs: band the signature (bands × rowsPer
+    * = k), explode to (band, bandHash) keys, equi-join to candidates, then
+    * verify with exact Jaccard over the original sets.
+    *
+    * One shuffle on the band keys + one on the pair ids — no cross join at
+    * any scale. bands=16 × rows=4 targets recall at J ≥ ~0.7.
+    */
+  def minhashLsh(
+      docs: DataFrame,
+      threshold: Double = 0.5,
+      bands: Int = 16,
+      rowsPerBand: Int = 4
+  ): DataFrame = {
+    val sig = minhashSignature(tokenSets(docs), "toks", bands * rowsPerBand)
+    val banded = sig.select(
+      col("doc_id"),
+      col("toks"),
+      posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}),
+              b -> xxhash64(${(0 until rowsPerBand)
+                .map(r => s"sig[b * $rowsPerBand + $r]").mkString(", ")}))"""))
+    ).select(col("doc_id"), col("toks"), col("pos").as("band"), col("col").as("bh"))
+
+    val left = banded.select(col("band"), col("bh"),
+      col("doc_id").as("id_a"), col("toks").as("toks_a"))
+    val right = banded.select(col("band"), col("bh"),
+      col("doc_id").as("id_b"), col("toks").as("toks_b"))
+
+    left.join(right, Seq("band", "bh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
+      .distinct()
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Exact token-set Jaccard pairs via an inverted-index join: explode
+    * tokens, equi-join on token, count shared tokens per pair, compute
+    * J = |∩| / (|A| + |B| - |∩|). Fully SQL-expressible (this is the
+    * oracle-gradable baseline for the LSH variant). Shuffles on token then
+    * on the pair — common tokens are the skew axis; at scale drop the top
+    * document-frequency tokens (they contribute candidates, not precision).
+    */
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+    val toks = tokenSets(docs)
+      .select(col("doc_id"), explode(col("toks")).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val shared = toks.select(col("doc_id").as("id_a"), col("tok"))
+      .join(toks.select(col("doc_id").as("id_b"), col("tok")), "tok")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    shared
+      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+          .as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** 64-bit SimHash per document: for each bit, sign of the token-weighted
+    * sum; packed into one BIGINT with bitwise aggregation. Pure expressions
+    * — codegen-friendly, no UDF.
+    */
+  def simhash(docs: DataFrame): DataFrame =
+    tokenSets(docs).select(
+      col("doc_id"),
+      expr(
+        """aggregate(sequence(0, 63), cast(0 as bigint),
+             (acc, i) -> acc | (cast(CASE WHEN
+                 aggregate(toks, 0, (s, t) ->
+                   s + CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1 THEN 1 ELSE -1 END)
+                 > 0 THEN 1 ELSE 0 END as bigint) << i))""").as("simhash")
+    )
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, candidate
+    * generation by 8-bit band equality (pigeonhole: any pair within
+    * distance d < 8 shares at least one of 8 bands).
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val banded = sh.select(
+      col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 7), b -> shiftright(simhash, b * 8) & 255)"))
+    ).select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bv"))
+    val l = banded.select(col("band"), col("bv"),
+      col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val r = banded.select(col("band"), col("bv"),
+      col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    l.join(r, Seq("band", "bv"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("id_a", "id_b")
+  }
+
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Exact cosine near-duplicate pairs over a bounded id window (the
+    * graded baseline). The windowing is deliberate: all-pairs cosine is
+    * O(n²) and lives only here; the scale path is [[cosineLshPairs]].
+    */
+  def cosineNearDupExact(emb: DataFrame, maxId: Long, threshold: Double): DataFrame = {
+    val e = emb.filter(col("vec_id") < maxId)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(dotD(col("embedding"), col("embedding"))).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dotD(col("va"), col("vb")) / (col("na") * col("nb"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("cosine") * 10000 + 0.5) / 10000).as("cosine"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Scale path for embedding near-dup: sign-random-projection (SimHash
+    * for vectors). `nBits` hyperplanes with deterministic ±1 weights from
+    * xxhash64 → small integer bucket; only same-bucket pairs are compared
+    * exactly. Equi-join on bucket → shuffles, never crosses.
+    */
+  def cosineLshPairs(emb: DataFrame, nBits: Int = 8, threshold: Double = 0.3): DataFrame = {
+    val bucketed = emb.withColumn(
+      "bucket",
+      expr(
+        s"""aggregate(sequence(0, ${nBits - 1}), cast(0 as bigint), (acc, h) ->
+              acc | (cast(CASE WHEN
+                aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double),
+                  (s, i) -> s + cast(embedding[i] as double) *
+                    CASE WHEN (shiftright(xxhash64(h, i), 1) & 1) = 1 THEN 1.0 ELSE -1.0 END)
+                > 0.0 THEN 1 ELSE 0 END as bigint) << h))"""))
+      .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("nrm").as("na"))
+    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (floor(dotD(col("va"), col("vb")) / (col("na") * col("nb")) * 10000 + 0.5) / 10000)
+          .as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("id_a", "id_b")
+  }
+}

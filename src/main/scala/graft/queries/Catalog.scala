@@ -18,7 +18,8 @@ object Catalog {
   /** All registered queries across the operator modules. */
   def all: Seq[QueryDef] =
     Relational.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      EventQueries.queries ++ StreamingQueries.queries
+      EventQueries.queries ++ PipelineQueries.queries ++
+      StreamingQueries.queries
 
   def queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,168 @@
+package graft.queries
+
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+
+/** Training-data pipeline operators as graded queries: dedup family,
+  * similarity search, text analysis, multimodal plumbing. Probabilistic /
+  * engine-hash-based operators (MinHash-LSH, SimHash, SRP buckets) have no
+  * SQL oracle and get the rows-only check; each has an exact oracle-backed
+  * counterpart grading the same semantics.
+  */
+object PipelineQueries {
+
+  private val docs = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    s.read.parquet(s"$dir/documents.parquet")
+  private val emb = (s: org.apache.spark.sql.SparkSession, dir: String) =>
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  def queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------- dedup
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (s, dir) => DedupOps.ngramJaccard(docs(s, dir), threshold = 0.5),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(list_filter(
+            string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
+          FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               floor((CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        ORDER BY id_a, id_b""")
+    ),
+    QueryDef(
+      "dedup_minhash_lsh",
+      (s, dir) => DedupOps.minhashLsh(docs(s, dir), threshold = 0.5),
+      None // engine-hash-based candidate generation; exact counterpart above
+    ),
+    QueryDef(
+      "dedup_simhash",
+      (s, dir) => DedupOps.simhashPairs(docs(s, dir), maxHamming = 16),
+      None
+    ),
+    QueryDef(
+      "dedup_embedding_cosine",
+      (s, dir) => DedupOps.cosineNearDupExact(emb(s, dir), maxId = 300, threshold = 0.4),
+      Some("""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        v AS (SELECT vec_id, unnest(embedding) AS vx,
+                     generate_subscripts(embedding, 1) AS i FROM e),
+        n AS (SELECT vec_id, sum(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)) AS n2
+              FROM v GROUP BY vec_id),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     sum(CAST(a.vx AS DOUBLE) * CAST(b.vx AS DOUBLE)) AS dot
+              FROM v a JOIN v b USING (i) WHERE a.vec_id < b.vec_id
+              GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               floor((dot / (sqrt(na.n2) * sqrt(nb.n2))) * 10000 + 0.5) / 10000 AS cosine
+        FROM p JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4
+        ORDER BY id_a, id_b""")
+    ),
+    QueryDef(
+      "dedup_embedding_lsh",
+      (s, dir) => DedupOps.cosineLshPairs(emb(s, dir), nBits = 8, threshold = 0.3),
+      None
+    ),
+    // -------------------------------------------------------- similarity
+    QueryDef(
+      "similarity_lsh_topk",
+      (s, dir) => SimilarityOps.lshTopK(emb(s, dir), queryId = 0, k = 10, nBits = 4),
+      None // approximate by design; exact baseline = similarity_topk
+    ),
+    // ------------------------------------------------------ text analysis
+    QueryDef(
+      "lang_id",
+      (s, dir) => TextOps.langId(docs(s, dir)),
+      Some {
+        val langs = Seq("en", "es", "de", "fr", "zh")
+        def lst(l: String) =
+          TextOps.stopwords(l).map(w => s"'$w'").mkString("(", ", ", ")")
+        val scores = langs
+          .map(l => s"len(list_filter(toks, t -> t IN ${lst(l)})) AS s_$l")
+          .mkString(", ")
+        val cases = langs.map { l =>
+          val ge = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $ge THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH t AS (
+          SELECT doc_id, list_distinct(list_filter(
+            string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS toks
+          FROM documents),
+        s AS (SELECT doc_id, $scores FROM t)
+        SELECT doc_id, ${langs.map(l => s"s_$l").mkString(" + ")} AS stopword_hits,
+               CASE $cases ELSE 'unk' END AS pred_lang
+        FROM s ORDER BY doc_id"""
+      }
+    ),
+    QueryDef(
+      "quality_score",
+      (s, dir) => TextOps.qualityScore(docs(s, dir)),
+      Some {
+        val en = TextOps.stopwords("en").map(w => s"'$w'").mkString("(", ", ", ")")
+        s"""
+        WITH t AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents)
+        SELECT doc_id, len(toks) AS n_tokens,
+               floor((
+                 0.25 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) +
+                 0.25 * least((CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) /
+                               greatest(len(toks), 1)) / 8.0, 1.0) +
+                 0.5  * (CAST(len(list_filter(toks, t -> t IN $en)) AS DOUBLE) /
+                         greatest(len(toks), 1))
+               ) * 10000 + 0.5) / 10000 AS quality
+        FROM t ORDER BY doc_id"""
+      }
+    ),
+    QueryDef(
+      "token_counts",
+      (s, dir) => TextOps.tokenCounts(docs(s, dir)),
+      Some("""
+        SELECT doc_id,
+               len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))
+                 AS n_ws_tokens,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+                 AS n_bpe_tokens
+        FROM documents ORDER BY doc_id""")
+    ),
+    QueryDef(
+      "doc_fingerprint",
+      (s, dir) => TextOps.fingerprint(docs(s, dir)),
+      Some {
+        val pows = Seq(27512614111L, 887503681L, 28629151L, 923521L, 29791L, 961L, 31L, 1L)
+        val terms = pows.zipWithIndex
+          .map { case (p, j) => s"ascii(substr(text, p + $j, 1)) * CAST($p AS BIGINT)" }
+          .mkString(" + ")
+        s"""
+        WITH g AS (
+          SELECT doc_id, unnest(list_transform(range(1, length(text) - 6),
+            p -> ($terms) % 1000000007)) AS gram_hash
+          FROM documents WHERE length(text) >= 8)
+        SELECT doc_id, min(gram_hash) AS min_gram_hash,
+               count(DISTINCT gram_hash) AS n_distinct_grams
+        FROM g GROUP BY doc_id ORDER BY doc_id"""
+      }
+    ),
+    // --------------------------------------------------------- multimodal
+    QueryDef(
+      "multimodal_stats",
+      (s, dir) => MultimodalOps.mediaStats(s, dir),
+      Some("""
+        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+               CAST(list_sum(list_transform(range(1, length(text) + 1),
+                 i -> ascii(substr(text, i, 1)))) % 1000000007 AS BIGINT) AS checksum
+        FROM documents ORDER BY doc_id""")
+    )
+  )
+}

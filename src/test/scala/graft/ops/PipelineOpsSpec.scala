@@ -1,0 +1,142 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit specs for the training-data pipeline operators on crafted inputs
+  * with hand-computable expectations.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def docsDf(rows: (Long, String)*) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("ngramJaccard finds the duplicated pair with exact score") {
+    val df = DedupOps.ngramJaccard(
+      docsDf(
+        1L -> "the quick brown fox",
+        2L -> "the quick brown fox jumps", // J(1,2) = 4/5 = 0.8
+        3L -> "entirely different words here"
+      ),
+      threshold = 0.5
+    )
+    val rows = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 2L, 0.8)))
+  }
+
+  test("minhashLsh surfaces identical docs with jaccard 1.0") {
+    val out = DedupOps.minhashLsh(
+      docsDf(
+        1L -> "alpha beta gamma delta epsilon zeta",
+        2L -> "alpha beta gamma delta epsilon zeta",
+        3L -> "one two three four five six"
+      ),
+      threshold = 0.9
+    ).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
+    assert(out(0).getDouble(2) == 1.0)
+  }
+
+  test("simhash of identical docs is identical; pairs report hamming 0") {
+    val sh = DedupOps.simhash(docsDf(1L -> "a b c d", 2L -> "a b c d"))
+      .collect().map(_.getLong(1))
+    assert(sh(0) == sh(1))
+    val pairs = DedupOps.simhashPairs(
+      docsDf(1L -> "a b c d", 2L -> "a b c d", 3L -> "x y z w q r s t"),
+      maxHamming = 0
+    ).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+      == Seq((1L, 2L, 0)))
+  }
+
+  test("cosine exact near-dup flags identical vectors") {
+    val s = spark
+    import s.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val out = DedupOps.cosineNearDupExact(emb, maxId = 10, threshold = 0.99)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      == Seq((0L, 1L, 1.0)))
+  }
+
+  test("brute-force topk ranks by cosine; lsh topk is a subset superset-checked") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 50).map { i =>
+      val v = Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)
+      (i.toLong, v)
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val exact = SimilarityOps.bruteForceTopK(emb, 0, 5).collect()
+    assert(exact.length == 5)
+    val scores = exact.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse), "must be ranked desc")
+    val approx = SimilarityOps.lshTopK(emb, 0, 5, nBits = 2).collect()
+    assert(approx.nonEmpty)
+    // every approx hit must carry its true cosine (same scoring expression)
+    val exactAll = SimilarityOps.bruteForceTopK(emb, 0, 49).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    approx.foreach(r => assert(exactAll(r.getLong(0)) == r.getDouble(1)))
+  }
+
+  test("multimodal decode stub: checksum and byte count from real bytes") {
+    val bytes = "hello".getBytes("UTF-8")
+    val d = MultimodalOps.decodeStub(bytes)
+    assert(d.n_bytes == 5)
+    assert(d.checksum == bytes.map(_ & 0xff).sum.toLong)
+    assert(d.feature.length == 4)
+    assert(d.feature(0) == (bytes(0) & 0xff) / 256.0f)
+  }
+
+  test("langId prefers the language whose stopwords dominate") {
+    val out = TextOps.langId(docsDf(
+      1L -> "the cat and the dog of the house",
+      2L -> "el perro y la casa de la ciudad que",
+      3L -> "der hund und die katze ist nicht da"
+    )).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "es")
+    assert(out(3L) == "de")
+  }
+
+  test("quality score is bounded and monotone in stopword ratio") {
+    val out = TextOps.qualityScore(docsDf(
+      1L -> "the of and to in is it a",     // all stopwords
+      2L -> "zzz qqq xxx www yyy vvv"       // none
+    )).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
+    assert(out(1L) > out(2L))
+  }
+
+  test("fingerprint is deterministic and shift-sensitive") {
+    val a = TextOps.fingerprint(docsDf(1L -> "abcdefghij")).collect()(0)
+    val b = TextOps.fingerprint(docsDf(1L -> "abcdefghij")).collect()(0)
+    assert(a.getLong(1) == b.getLong(1) && a.getLong(2) == b.getLong(2))
+    val c = TextOps.fingerprint(docsDf(1L -> "abcdefghik")).collect()(0)
+    assert(a.getLong(1) != c.getLong(1) || a.getLong(2) == c.getLong(2))
+    // 10 chars -> 3 grams of 8
+    assert(a.getLong(2) == 3L)
+  }
+
+  test("token counts: BPE-ish regex splits punctuation and digits") {
+    val out = TextOps.tokenCounts(docsDf(1L -> "hello, world 42!")).collect()(0)
+    assert(out.getInt(1) == 3) // ws tokens: "hello,», "world", "42!"
+    assert(out.getInt(2) == 5) // hello , world 42 !
+  }
+}
