@@ -1,8 +1,66 @@
 package graft.queries
 
-/** Structured Streaming operators (tumbling/sliding/session windows,
-  * stateful dedup) — populated by graft.streaming; see StreamingOps.
+import graft.streaming.StreamingOps
+
+/** Structured Streaming operators run to completion over the events replay,
+  * graded against batch-equivalent SQL (time windows are calendar buckets /
+  * gaps-and-islands in ANSI SQL). Timestamps are compared at microsecond
+  * precision on both sides (`make_timestamp(epoch_ns(ts) // 1000)` mirrors
+  * Spark's nanos→micros rebuild).
   */
 object StreamingQueries {
-  def queries: Seq[QueryDef] = Seq.empty
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "stream_tumbling_agg",
+      (s, dir) => StreamingOps.tumblingAgg(s, dir),
+      Some("""
+        SELECT date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) AS window_start,
+               event_type, count(*) AS n,
+               floor((sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
+        FROM events
+        GROUP BY 1, 2 ORDER BY window_start, event_type""")
+    ),
+    QueryDef(
+      "stream_sliding_agg",
+      (s, dir) => StreamingOps.slidingAgg(s, dir),
+      Some("""
+        WITH starts AS (
+          SELECT unnest([
+            date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)),
+            date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) - INTERVAL 1 DAY
+          ]) AS window_start
+          FROM events)
+        SELECT window_start, count(*) AS n
+        FROM starts GROUP BY 1 ORDER BY window_start""")
+    ),
+    QueryDef(
+      "stream_session",
+      (s, dir) => StreamingOps.sessionAgg(s, dir),
+      Some("""
+        WITH e AS (
+          SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")
+    ),
+    QueryDef(
+      "stream_dedup",
+      (s, dir) => StreamingOps.streamDedup(s, dir),
+      Some("""
+        SELECT event_type, count(DISTINCT event_id) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    )
+  )
 }

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
+
+/** Streaming semantics on crafted MemoryStream input: tumbling windows,
+  * session merging, stateful dedup.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-stream-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .config("spark.sql.session.timeZone", "UTC")
+    .getOrCreate()
+
+  private def ts(min: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 00:$min%02d:00")
+
+  test("tumbling window counts per 10-minute bucket") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(
+      Ev(1, ts(1), 1, 1.0), Ev(2, ts(5), 1, 2.0),
+      Ev(3, ts(11), 2, 3.0), Ev(4, ts(19), 2, 4.0), Ev(5, ts(25), 1, 5.0))
+    val agg = mem.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val out = StreamingOps.runToTable(agg, "complete")
+      .select(col("window.start").cast("string").as("start"), col("n"))
+      .orderBy("start")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(
+      ("2024-01-01 00:00:00", 2L),
+      ("2024-01-01 00:10:00", 2L),
+      ("2024-01-01 00:20:00", 1L)))
+  }
+
+  test("session window merges events within the gap, splits beyond it") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    // user 1: events at 0,4,8 (one session), then 30 (new session)
+    mem.addData(
+      Ev(1, ts(0), 1, 0), Ev(2, ts(4), 1, 0), Ev(3, ts(8), 1, 0),
+      Ev(4, ts(30), 1, 0))
+    val agg = mem.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val out = StreamingOps.runToTable(agg, "complete")
+      .select(col("session_window.start").cast("string").as("start"), col("n"))
+      .orderBy("start")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("2024-01-01 00:00:00", 3L), ("2024-01-01 00:30:00", 1L)))
+  }
+
+  test("streaming dedup drops repeated event ids") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    mem.addData(Ev(1, ts(1), 1, 0), Ev(1, ts(2), 1, 0), Ev(2, ts(3), 1, 0))
+    val deduped = mem.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+      .groupBy()
+      .agg(count(lit(1)).as("n"))
+    val out = StreamingOps.runToTable(deduped, "complete").collect()
+    assert(out(0).getLong(0) == 2L)
+  }
+}
