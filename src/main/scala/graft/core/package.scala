@@ -87,6 +87,25 @@ package object core {
       chain: ReaderIfElseChain[T, A, B, C]
   ): Reader[T, Node[A, C]] = chain.build
 
+  // -- lineage rendering ---------------------------------------------------
+  implicit final class NodeRenderOps[A, B](private val node: Node[A, B]) {
+    def toJson: String = LineageRender.toJson(Seq(node))
+    def toDot: String = LineageRender.toDot(Seq(node))
+    def toMermaid: String = LineageRender.toMermaid(Seq(node))
+  }
+
+  implicit final class ReaderRenderOps[R, A](private val reader: Reader[R, A]) {
+    def toJson: String = LineageRender.toJson(Seq(reader))
+    def toDot: String = LineageRender.toDot(Seq(reader))
+    def toMermaid: String = LineageRender.toMermaid(Seq(reader))
+  }
+
+  implicit final class SeqRenderOps[T](private val items: Seq[T]) {
+    def toJson: String = LineageRender.toJson(items)
+    def toDot: String = LineageRender.toDot(items)
+    def toMermaid: String = LineageRender.toMermaid(items)
+  }
+
   // -- validation check lifting --------------------------------------------
   implicit def curriedToCheck[T, A](f: T => A => Option[String]): ValidationCheck[T, A] =
     CurriedCheck(f)

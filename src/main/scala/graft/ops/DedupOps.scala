@@ -44,43 +44,50 @@ object DedupOps {
       expr(s"transform(sequence(0, ${k - 1}), j -> array_min(transform($setCol, t -> xxhash64(j, t))))")
     )
 
-  /** MinHash-LSH near-duplicate pairs: band the signature (bands × rowsPer
-    * = k), explode to (band, bandHash) keys, equi-join to candidates, then
-    * verify with exact Jaccard over the original sets.
+  /** MinHash-LSH near-duplicate pairs: band the signature (bands ×
+    * rowsPerBand = k), explode to (band, bandHash) keys, equi-join IDS ONLY
+    * to candidates, dedupe pairs, then re-attach signatures and score with
+    * the MinHash Jaccard estimate (fraction of equal components).
     *
-    * One shuffle on the band keys + one on the pair ids — no cross join at
-    * any scale. bands=16 × rows=4 targets recall at J ≥ ~0.7.
+    * Shuffle discipline: the band join moves only (band, hash, id) triples
+    * — never token or signature arrays — so a band collision storm costs
+    * narrow rows, not kilobyte payloads; signatures (fixed 64×8B) join back
+    * on the deduped pair list only. bands=8 × rows=8 keeps candidates
+    * selective (P ≈ 8·J⁸: 0.4% at J=0.5, 77% recall at J=0.8).
     */
   def minhashLsh(
       docs: DataFrame,
-      threshold: Double = 0.5,
-      bands: Int = 16,
-      rowsPerBand: Int = 4
+      threshold: Double = 0.8,
+      bands: Int = 8,
+      rowsPerBand: Int = 8
   ): DataFrame = {
-    val sig = minhashSignature(tokenSets(docs), "toks", bands * rowsPerBand)
+    val k = bands * rowsPerBand
+    val sig = minhashSignature(tokenSets(docs), "toks", k)
+      .select(col("doc_id"), col("sig"))
     val banded = sig.select(
       col("doc_id"),
-      col("toks"),
       posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}),
               b -> xxhash64(${(0 until rowsPerBand)
                 .map(r => s"sig[b * $rowsPerBand + $r]").mkString(", ")}))"""))
-    ).select(col("doc_id"), col("toks"), col("pos").as("band"), col("col").as("bh"))
+    ).select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
 
-    val left = banded.select(col("band"), col("bh"),
-      col("doc_id").as("id_a"), col("toks").as("toks_a"))
-    val right = banded.select(col("band"), col("bh"),
-      col("doc_id").as("id_b"), col("toks").as("toks_b"))
-
-    left.join(right, Seq("band", "bh"))
+    val candidates = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("doc_id").as("id_b")),
+        Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
+      .select("id_a", "id_b")
       .distinct()
-      .filter(col("jaccard") >= threshold)
+
+    candidates
+      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
+        (size(expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)"))
+          .cast("double") / k).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("est_jaccard") * 10000 + 0.5) / 10000).as("est_jaccard"))
       .orderBy("id_a", "id_b")
   }
 
@@ -127,16 +134,18 @@ object DedupOps {
                  > 0 THEN 1 ELSE 0 END as bigint) << i))""").as("simhash")
     )
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming, candidate
-    * generation by 8-bit band equality (pigeonhole: any pair within
-    * distance d < 8 shares at least one of 8 bands).
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 4),
+    * candidate generation by 16-bit band equality — pigeonhole: ≤3
+    * differing bits cannot touch all 4 bands, so recall is exact; 16-bit
+    * values keep buckets narrow even on highly-correlated corpora.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4x16-bit banding guarantees recall only for d <= 3")
     val sh = simhash(docs)
     val banded = sh.select(
       col("doc_id"), col("simhash"),
       posexplode(expr(
-        "transform(sequence(0, 7), b -> shiftright(simhash, b * 8) & 255)"))
+        "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)"))
     ).select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bv"))
     val l = banded.select(col("band"), col("bv"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))

@@ -92,14 +92,16 @@ object TextOps {
     val terms = pows.zipWithIndex
       .map { case (p, j) => s"ascii(substr(text, p + $j, 1)) * cast($p as bigint)" }
       .mkString(" + ")
+    // Entirely per-row (array_min / array_distinct on the gram array):
+    // zero shuffle, stays in one codegen stage over the scan — vs the
+    // naive explode + groupBy which shuffles |text| rows per document.
     docs.filter(length(col("text")) >= 8)
       .select(col("doc_id"),
-        explode(expr(
-          s"transform(sequence(1, length(text) - 7), p -> ($terms) % 1000000007)"))
-          .as("gram_hash"))
-      .groupBy("doc_id")
-      .agg(min(col("gram_hash")).as("min_gram_hash"),
-        countDistinct(col("gram_hash")).as("n_distinct_grams"))
+        expr(s"transform(sequence(1, length(text) - 7), p -> ($terms) % 1000000007)")
+          .as("grams"))
+      .select(col("doc_id"),
+        expr("array_min(grams)").as("min_gram_hash"),
+        expr("size(array_distinct(grams))").cast("long").as("n_distinct_grams"))
       .orderBy("doc_id")
   }
 }

@@ -19,7 +19,7 @@ object PipelineQueries {
     // ------------------------------------------------------------- dedup
     QueryDef(
       "dedup_ngram_jaccard",
-      (s, dir) => DedupOps.ngramJaccard(docs(s, dir), threshold = 0.5),
+      (s, dir) => DedupOps.ngramJaccard(docs(s, dir), threshold = 0.8),
       Some("""
         WITH toks AS (
           SELECT doc_id, unnest(list_distinct(list_filter(
@@ -35,17 +35,17 @@ object PipelineQueries {
         FROM shared
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
         ORDER BY id_a, id_b""")
     ),
     QueryDef(
       "dedup_minhash_lsh",
-      (s, dir) => DedupOps.minhashLsh(docs(s, dir), threshold = 0.5),
+      (s, dir) => DedupOps.minhashLsh(docs(s, dir), threshold = 0.8),
       None // engine-hash-based candidate generation; exact counterpart above
     ),
     QueryDef(
       "dedup_simhash",
-      (s, dir) => DedupOps.simhashPairs(docs(s, dir), maxHamming = 16),
+      (s, dir) => DedupOps.simhashPairs(docs(s, dir), maxHamming = 3),
       None
     ),
     QueryDef(

@@ -35,7 +35,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq((1L, 2L, 0.8)))
   }
 
-  test("minhashLsh surfaces identical docs with jaccard 1.0") {
+  test("minhashLsh surfaces identical docs with estimated jaccard 1.0") {
     val out = DedupOps.minhashLsh(
       docsDf(
         1L -> "alpha beta gamma delta epsilon zeta",
@@ -46,7 +46,7 @@ class PipelineOpsSpec extends AnyFunSuite {
     ).collect()
     assert(out.length == 1)
     assert(out(0).getLong(0) == 1L && out(0).getLong(1) == 2L)
-    assert(out(0).getDouble(2) == 1.0)
+    assert(out(0).getDouble(2) == 1.0) // identical signatures -> estimate 1.0
   }
 
   test("simhash of identical docs is identical; pairs report hamming 0") {
