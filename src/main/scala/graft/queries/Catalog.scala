@@ -18,7 +18,7 @@ object Catalog {
   /** All registered queries across the operator modules. */
   def all: Seq[QueryDef] =
     Relational.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      EventQueries.queries ++ PipelineQueries.queries ++
+      EventQueries.queries ++ PipelineQueries.queries ++ UdfQueries.queries ++
       StreamingQueries.queries
 
   def queriesMap: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.functions.CosineSimilarity
 import org.apache.spark.sql.functions._
 
 /** Embedding-column operators over `embeddings` (vec_id, embedding
@@ -11,6 +12,25 @@ import org.apache.spark.sql.functions._
   * full cross join) lives in `graft.ops.SimilarityOps`.
   */
 object VectorQueries {
+
+  private val topkOracle = """
+        WITH q AS (
+          SELECT unnest(embedding) AS qx,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id = 0),
+        v AS (
+          SELECT vec_id, unnest(embedding) AS vx,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id <> 0),
+        d AS (
+          SELECT v.vec_id,
+                 sum(CAST(v.vx AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS dot,
+                 sum(CAST(v.vx AS DOUBLE) * CAST(v.vx AS DOUBLE)) AS vn2
+          FROM v JOIN q USING (i) GROUP BY v.vec_id),
+        qn AS (SELECT sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qn2 FROM q)
+        SELECT d.vec_id, round(dot / (sqrt(vn2) * sqrt(qn2)), 4) AS cosine
+        FROM d, qn
+        ORDER BY cosine DESC, vec_id LIMIT 10"""
 
   def queries: Seq[QueryDef] = Seq(
     QueryDef(
@@ -63,24 +83,26 @@ object VectorQueries {
           .orderBy(col("cosine").desc, col("vec_id"))
           .limit(10)
       },
-      Some("""
-        WITH q AS (
-          SELECT unnest(embedding) AS qx,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings WHERE vec_id = 0),
-        v AS (
-          SELECT vec_id, unnest(embedding) AS vx,
-                 generate_subscripts(embedding, 1) AS i
-          FROM embeddings WHERE vec_id <> 0),
-        d AS (
-          SELECT v.vec_id,
-                 sum(CAST(v.vx AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS dot,
-                 sum(CAST(v.vx AS DOUBLE) * CAST(v.vx AS DOUBLE)) AS vn2
-          FROM v JOIN q USING (i) GROUP BY v.vec_id),
-        qn AS (SELECT sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qn2 FROM q)
-        SELECT d.vec_id, round(dot / (sqrt(vn2) * sqrt(qn2)), 4) AS cosine
-        FROM d, qn
-        ORDER BY cosine DESC, vec_id LIMIT 10""")
+      Some(topkOracle)
+    ),
+    QueryDef(
+      "similarity_topk_native",
+      // Same query through the native codegen'd Catalyst expression
+      // (graft.functions.CosineSimilarity) — identical accumulation order,
+      // so it shares the oracle with the zip_with form.
+      (s, dir) => {
+        CosineSimilarity.register(s)
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val q = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("q_embedding"))
+        e.filter(col("vec_id") =!= 0)
+          .join(broadcast(q))
+          .select(col("vec_id"),
+            round(expr("cosine_sim(embedding, q_embedding)"), 4).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id"))
+          .limit(10)
+      },
+      Some(topkOracle)
     )
   )
 }

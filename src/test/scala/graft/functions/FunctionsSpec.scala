@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class FunctionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-fn-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("native cosine_sim matches the composed zip_with form exactly") {
+    val s = spark
+    import s.implicits._
+    CosineSimilarity.register(spark)
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(3.0f, 2.0f, 1.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(0.5f, 0.5f), Array(0.5f, 0.5f))
+    ).toDF("a", "b")
+    val both = df.select(
+      expr("cosine_sim(a, b)").as("native"),
+      (aggregate(zip_with(col("a"), col("b"),
+        (x, y) => x.cast("double") * y.cast("double")), lit(0.0), (acc, x) => acc + x) /
+        (sqrt(aggregate(col("a"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double"))) *
+          sqrt(aggregate(col("b"), lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))))
+        .as("composed")
+    ).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // known value: identical direction -> 1.0
+    assert(math.abs(both(2).getDouble(0) - 1.0) < 1e-12)
+    // zero-vector guard: native defines 0.0 instead of dividing by zero
+    val zero = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+      .select(expr("cosine_sim(a, b)")).collect()(0).getDouble(0)
+    assert(zero == 0.0)
+  }
+
+  test("cosine_sim stays in whole-stage codegen (no CodegenFallback)") {
+    val s = spark
+    import s.implicits._
+    CosineSimilarity.register(spark)
+    // Non-local source so ConvertToLocalRelation can't pre-fold the project
+    val df = spark.range(100).select(
+      array(col("id").cast("float"), (col("id") + 1).cast("float")).as("a"),
+      array((col("id") + 2).cast("float"), col("id").cast("float")).as("b"))
+    val planned = df.select(expr("cosine_sim(a, b)"))
+    // "*(n)" prefixes mark WholeStageCodegen spans in the plan rendering
+    assert(planned.queryExecution.executedPlan.toString.contains("*(1) Project"))
+    assert(planned.collect().length == 100)
+  }
+
+  test("type check rejects non-float arrays") {
+    val s = spark
+    import s.implicits._
+    CosineSimilarity.register(spark)
+    val df = Seq((Array(1.0, 2.0), Array(2.0, 1.0))).toDF("a", "b")
+    val ex = intercept[Exception](df.select(expr("cosine_sim(a, b)")).collect())
+    assert(ex.getMessage.contains("array<float>"))
+  }
+
+  test("slugify UDF and GeometricMean aggregator") {
+    val s = spark
+    import s.implicits._
+    assert(Udfs.slugifyFn("Hello, World! 42") == "hello-world-42")
+    val out = Seq(2.0, 8.0).toDF("x")
+      .agg(Udfs.geometricMean(col("x"))).collect()(0).getDouble(0)
+    assert(math.abs(out - 4.0) < 1e-12) // sqrt(2*8) = 4
+  }
+}
