@@ -368,6 +368,26 @@ object Relational {
                  ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_qty
         FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""")
     ),
+    QueryDef(
+      "topk_per_group_native",
+      // Grouped top-k through the custom operator (graft.plans.TopKPerGroup):
+      // partial bounded heaps -> hash shuffle on the group key -> final
+      // heaps. Same rows as the window_rank formulation, no full sort.
+      (s, dir) =>
+        graft.plans.TopKPerGroup(
+          t(s, dir, "part").select("p_brand", "p_partkey", "p_retailprice"),
+          k = 3,
+          groupCols = Seq("p_brand"),
+          orderCols = Seq("p_retailprice" -> true, "p_partkey" -> false)
+        ).orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey")),
+      Some("""
+        SELECT p_brand, p_partkey, p_retailprice FROM (
+          SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                   ORDER BY p_retailprice DESC, p_partkey) AS rn
+          FROM part) s
+        WHERE rn <= 3 ORDER BY p_brand, p_retailprice DESC, p_partkey""")
+    ),
     // --------------------------------------------------------- sort/limit
     QueryDef(
       "sort_limit",

@@ -1,0 +1,54 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKPerGroupSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-topk-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("matches the window formulation on random data") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(7)
+    val df = (1 to 5000)
+      .map(i => (s"g${rng.nextInt(20)}", i.toLong, rng.nextInt(1000).toDouble))
+      .toDF("grp", "id", "score")
+      .repartition(7)
+    val mine = TopKPerGroup(df, 5, Seq("grp"), Seq("score" -> true, "id" -> false))
+      .select("grp", "id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val w = Window.partitionBy($"grp").orderBy($"score".desc, $"id")
+    val expected = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 5)
+      .select("grp", "id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(mine == expected)
+  }
+
+  test("groups smaller than k keep all their rows") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("grp", "v")
+    val out = TopKPerGroup(df, 10, Seq("grp"), Seq("v" -> false)).count()
+    assert(out == 3)
+  }
+
+  test("physical plan is partial -> exchange -> final (no full sort)") {
+    val s = spark
+    import s.implicits._
+    val df = (1 to 100).map(i => (s"g${i % 5}", i)).toDF("grp", "v")
+    val plan = TopKPerGroup(df, 2, Seq("grp"), Seq("v" -> true))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("FinalTopK"))
+    assert(plan.contains("PartialTopK"))
+    assert(plan.contains("Exchange hashpartitioning(grp"))
+    assert(!plan.contains("Sort ["), s"unexpected sort in:\n$plan")
+  }
+}
