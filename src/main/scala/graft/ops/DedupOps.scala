@@ -37,7 +37,11 @@ object DedupOps {
               END)""").as("shingles")
     )
 
-  /** MinHash signature (k independent hash mins) over a set column. */
+  /** MinHash signature (k independent seeded hashes) over a set column.
+    * Independent hashes cost k evaluations per element but keep the
+    * similarity estimator unbiased — double-hashing variants (h1 + j·h2)
+    * measurably overestimate J on small sets and were rejected here.
+    */
   def minhashSignature(sets: DataFrame, setCol: String, k: Int = 64): DataFrame =
     sets.withColumn(
       "sig",
@@ -91,27 +95,50 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** Exact token-set Jaccard pairs via an inverted-index join: explode
-    * tokens, equi-join on token, count shared tokens per pair, compute
-    * J = |∩| / (|A| + |B| - |∩|). Fully SQL-expressible (this is the
-    * oracle-gradable baseline for the LSH variant). Shuffles on token then
-    * on the pair — common tokens are the skew axis; at scale drop the top
-    * document-frequency tokens (they contribute candidates, not precision).
+  /** Exact token-set Jaccard pairs with PPJoin-style prefix filtering
+    * (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection"): tokens are globally ordered rarest-first; a pair with
+    * J ≥ τ MUST share a token among each side's first
+    * |A| − ceil(τ·|A|) + 1 tokens, so the inverted index is built over
+    * prefixes only; size-compatibility (τ·|A| ≤ |B| ≤ |A|/τ) prunes
+    * further before the exact `array_intersect` verification.
+    *
+    * The prefix index shuffles the RAREST tokens — inverting the skew of a
+    * naive token join (whose hottest buckets are the most common tokens).
+    * Output is exact: verification computes true Jaccard on full sets.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     val toks = tokenSets(docs)
       .select(col("doc_id"), explode(col("toks")).as("tok"))
-    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val shared = toks.select(col("doc_id").as("id_a"), col("tok"))
-      .join(toks.select(col("doc_id").as("id_b"), col("tok")), "tok")
-      .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
-    shared
-      .join(sizes.select(col("doc_id").as("id_a"), col("sz").as("sz_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("sz").as("sz_b")), "id_b")
+    val docFreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc tokens sorted rarest-first under a global total order
+    val sorted = toks.join(docFreq, "tok")
+      .groupBy("doc_id")
+      .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
+        .as("stoks"))
+      .select(col("doc_id"), col("stoks"), size(col("stoks")).as("sz"))
+    val prefixed = sorted.select(
+      col("doc_id"), col("sz"),
+      explode(expr(
+        s"slice(stoks, 1, cast(sz - ceil($threshold * sz) + 1 as int))")).as("tok"))
+
+    val candidates = prefixed.select(col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"))
+      .join(prefixed.select(col("tok"), col("doc_id").as("id_b"), col("sz").as("sz_b")), "tok")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_b") >= ceil(lit(threshold) * col("sz_a")) &&
+        col("sz_b") <= floor(col("sz_a") / threshold))
+      .select("id_a", "id_b")
+      .distinct()
+
+    candidates
+      .join(sorted.select(col("doc_id").as("id_a"), col("stoks").as("toks_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sorted.select(col("doc_id").as("id_b"), col("stoks").as("toks_b"),
+        col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (col("inter").cast("double") / (col("sz_a") + col("sz_b") - col("inter")))
+        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          (col("sz_a") + col("sz_b") -
+            size(array_intersect(col("toks_a"), col("toks_b")))))
           .as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
@@ -124,15 +151,18 @@ object DedupOps {
     * — codegen-friendly, no UDF.
     */
   def simhash(docs: DataFrame): DataFrame =
-    tokenSets(docs).select(
-      col("doc_id"),
-      expr(
-        """aggregate(sequence(0, 63), cast(0 as bigint),
-             (acc, i) -> acc | (cast(CASE WHEN
-                 aggregate(toks, 0, (s, t) ->
-                   s + CASE WHEN (shiftright(xxhash64(t), i) & 1) = 1 THEN 1 ELSE -1 END)
-                 > 0 THEN 1 ELSE 0 END as bigint) << i))""").as("simhash")
-    )
+    tokenSets(docs)
+      // hash each token ONCE; the 64 bit-sums then read cached longs
+      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
+      .select(
+        col("doc_id"),
+        expr(
+          """aggregate(sequence(0, 63), cast(0 as bigint),
+               (acc, i) -> acc | (cast(CASE WHEN
+                   aggregate(th, 0, (s, h) ->
+                     s + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END)
+                   > 0 THEN 1 ELSE 0 END as bigint) << i))""").as("simhash")
+      )
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 4),
     * candidate generation by 16-bit band equality — pigeonhole: ≤3
