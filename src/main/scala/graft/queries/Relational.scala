@@ -311,6 +311,58 @@ object Relational {
         ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
     ),
     QueryDef(
+      "agg_grouping_sets",
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupingSets(
+            Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+            col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first,
+            col("l_linestatus").asc_nulls_first),
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n,
+               round(sum(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    ),
+    QueryDef(
+      "null_case_funcs",
+      // NULL semantics + conditional expressions: left join produces NULLs,
+      // coalesce/nullif/case classify them.
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val o = t(s, dir, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(max(col("o_totalprice")).as("max_price"))
+          .select(
+            col("c_custkey"),
+            coalesce(col("max_price"), lit(0.0)).as("price_or_zero"),
+            col("max_price").isNull.as("never_ordered"),
+            when(col("max_price") > 200000, "big")
+              .when(col("max_price") > 50000, "mid")
+              .otherwise("small").as("bucket"),
+            nullif(col("c_custkey") % 2, lit(0)).as("odd_or_null")
+          )
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH m AS (
+          SELECT c_custkey, max(o_totalprice) AS max_price
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey)
+        SELECT c_custkey,
+               coalesce(max_price, 0.0) AS price_or_zero,
+               max_price IS NULL AS never_ordered,
+               CASE WHEN max_price > 200000 THEN 'big'
+                    WHEN max_price > 50000 THEN 'mid'
+                    ELSE 'small' END AS bucket,
+               nullif(c_custkey % 2, 0) AS odd_or_null
+        FROM m ORDER BY c_custkey""")
+    ),
+    QueryDef(
       "topk",
       (s, dir) =>
         t(s, dir, "customer")

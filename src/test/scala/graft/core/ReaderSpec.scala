@@ -109,6 +109,19 @@ class ReaderSpec extends AnyFunSuite {
     assert(seen == "out=2")
   }
 
+  test("cross-env composition unifies via ReaderCompat (subtype narrows)") {
+    trait Base { def tag: String }
+    case class Full(tag: String, factor: Int) extends Base
+    // left requires only Base, right requires Full -> unified env is Full
+    val l = Transform.requires[Base, Unit, String](cfg => _ => cfg.tag)
+    val r = Transform.requires[Full, String, String](cfg => s => s * cfg.factor)
+    val p = l.~>(r)
+    assert(p.provide(Full("ab", 2)).unsafeRun(()) == "abab")
+    // and the mirror: left Full, right Base
+    val p2 = r.~>(Transform.requires[Base, String, Int](cfg => s => s.length + cfg.tag.length))
+    assert(p2.provide(Full("xy", 3)).unsafeRun("z") == 5)
+  }
+
   test("reader &> runs concurrently with shared config") {
     case class Cfg(ms: Long)
     val a = Extract.requires[Cfg, Unit, Int](cfg => _ => { Thread.sleep(cfg.ms); 1 })

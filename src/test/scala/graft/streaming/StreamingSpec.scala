@@ -66,6 +66,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("2024-01-01 00:00:00", 3L), ("2024-01-01 00:30:00", 1L)))
   }
 
+  test("watermark drops events later than the lateness bound (append mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val agg = mem.toDF()
+      .withWatermark("ts", "5 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(count(lit(1)).as("n"))
+    val name = "graft_late_test"
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData(Ev(1, ts(1), 1, 0), Ev(2, ts(5), 1, 0))
+      q.processAllAvailable()
+      // advance watermark far past the first window...
+      mem.addData(Ev(3, ts(59), 1, 0))
+      q.processAllAvailable()
+      // ...then send an event for the long-closed first window: too late
+      mem.addData(Ev(4, ts(2), 1, 0))
+      q.processAllAvailable()
+      mem.addData(Ev(5, Timestamp.valueOf("2024-01-01 02:00:00"), 1, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .select(col("window.start").cast("string").as("start"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // first window emitted with 2 rows only; the late 4th event was dropped
+    assert(rows.get("2024-01-01 00:00:00").contains(2L))
+  }
+
   test("streaming dedup drops repeated event ids") {
     val s = spark
     import s.implicits._
