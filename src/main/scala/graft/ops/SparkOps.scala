@@ -121,6 +121,60 @@ object SparkOps {
   def exceptAll: Transform[(DataFrame, DataFrame), DataFrame] =
     Node { case (l, r) => l.except(r) }
 
+  // ------------------------------------------------------- skew / layout
+
+  /** Skew-proof sum/count aggregation: spread each hot key over
+    * `saltBuckets` partial groups (salt varies per row, so one giant key
+    * splits into `saltBuckets` partial rows), aggregate, then merge. The
+    * result is identical to a direct groupBy — sums/counts are associative
+    * — only the shuffle distribution changes. Use when one key dominates:
+    * AQE splits join skew but not aggregation skew.
+    */
+  def saltedSumCount(
+      keys: Seq[Column],
+      value: Column,
+      saltBuckets: Int
+  ): Transform[DataFrame, DataFrame] =
+    Node { df =>
+      df.withColumn("__salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+        .groupBy(keys :+ col("__salt"): _*)
+        .agg(sum(value).as("__psum"), count(lit(1)).as("__pcnt"))
+        .groupBy(keys: _*)
+        .agg(sum(col("__psum")).as("sum"), sum(col("__pcnt")).as("count"))
+    }
+
+  /** Bucketed write: co-locates future joins/aggregations on `bucketCols`
+    * — two tables bucketed the same way join with ZERO exchange. The
+    * cluster-scale alternative to re-shuffling a fact table every query.
+    * (Requires a table catalog; writes via `saveAsTable`.)
+    */
+  def writeBucketed(
+      table: String,
+      buckets: Int,
+      bucketCols: Seq[String],
+      sortCols: Seq[String] = Nil
+  ): Load[DataFrame, DataFrame] =
+    Node { df =>
+      val spark = df.sparkSession
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      // a dropped-from-catalog but still-on-disk location blocks re-create
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+        table.toLowerCase)
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(): Unit
+        }
+        rm(loc)
+      }
+      val w = df.write.mode("overwrite").bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+        .saveAsTable(table)
+      spark.table(table)
+    }
+
   // ------------------------------------------------------------- quality
 
   /** Data-quality gate: fail the pipeline if any row violates `invariant`.

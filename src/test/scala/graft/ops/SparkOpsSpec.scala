@@ -59,6 +59,43 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(spark.read.parquet(tmpB).count() == 5)
   }
 
+  test("saltedSumCount equals direct aggregation (skew-spread only)") {
+    val s = spark
+    import s.implicits._
+    // one pathologically hot key + a normal tail
+    val df = ((1 to 10000).map(_ => ("hot", 1.0)) ++
+      (1 to 100).map(i => (s"k$i", i.toDouble))).toDF("k", "v")
+    val salted = SparkOps.saltedSumCount(Seq(col("k")), col("v"), saltBuckets = 8)
+      .unsafeRun(df)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    val direct = df.groupBy("k")
+      .agg(sum($"v").as("sum"), count(lit(1)).as("count"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("bucketed tables join without an exchange") {
+    val env = SparkEnv(spark, dir)
+    val nation = SparkOps.scanParquet("nation").provide(env).unsafeRun(())
+    val customer = SparkOps.scanParquet("customer").provide(env).unsafeRun(())
+    SparkOps.writeBucketed("b_nation", 4, Seq("n_nationkey")).unsafeRun(nation)
+    SparkOps.writeBucketed("b_customer", 4, Seq("c_nationkey")).unsafeRun(customer)
+    // force a shuffle-based join so the assertion is about bucketing, not
+    // the broadcast threshold
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("b_customer")
+        .join(spark.table("b_nation"),
+          col("c_nationkey") === col("n_nationkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      // both sides pre-bucketed on the join key: no repartitioning exchange
+      assert(!plan.contains("Exchange hashpartitioning"), s"unexpected exchange:\n$plan")
+      assert(joined.count() == customer.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("join node composes over a fan-out of two scans") {
     val env = SparkEnv(spark, dir)
     val pipeline =
