@@ -20,4 +20,15 @@ object GraftSqlBridge {
       exp.extraStrategies = exp.extraStrategies :+ strategy
     }
   }
+
+  /** Idempotently append an optimizer rule to the session. */
+  def installOptimizerRule(
+      spark: SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[classic.SparkSession].experimental
+    if (!exp.extraOptimizations.contains(rule)) {
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+    }
+  }
 }
