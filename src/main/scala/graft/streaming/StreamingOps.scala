@@ -9,6 +9,8 @@ import org.apache.spark.sql.types._
 /** Structured Streaming operators over the `events` table, replayed as a
   * file stream (`readStream.parquet`) — the same code path a production
   * deployment would run against an arriving directory/Kafka source.
+  * (Model per "Structured Streaming: A Declarative API for Real-Time
+  * Applications in Apache Spark", SIGMOD 2018 — see PAPERS.md.)
   *
   * Test/verify execution uses the memory sink + `processAllAvailable`,
   * which drives the real incremental engine (state store, watermarks,
