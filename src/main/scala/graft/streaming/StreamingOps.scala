@@ -18,6 +18,15 @@ import org.apache.spark.sql.types._
   * `complete` mode so the final state is observable after a bounded replay;
   * a production job would run `append`/`update` with the same plans.
   */
+/** Typed event for custom-state operators. */
+final case class UserEvent(user_id: Long, value: Double)
+
+/** Per-key state carried across micro-batches. */
+final case class RunningTotal(total: Double, n: Long)
+
+/** Emitted update row from [[StreamingOps.statefulUserTotals]]. */
+final case class UserTotal(user_id: Long, total: Double, n: Long, alert: Boolean)
+
 object StreamingOps {
 
   /** Events schema with `ts` as raw nanos (Spark 4 rejects TIMESTAMP(NANOS)
@@ -118,6 +127,32 @@ object StreamingOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"))
       .orderBy("user_id", "session_start")
+  }
+
+  /** Custom arbitrary state via `flatMapGroupsWithState`: running per-user
+    * totals with a high-value alert stream — the shape for state machines
+    * that windows can't express (counters, CEP-ish transitions, per-key
+    * model state). Emits one update row per input batch per user; state is
+    * a single running aggregate per key, bounded by key cardinality.
+    */
+  def statefulUserTotals(
+      events: org.apache.spark.sql.Dataset[UserEvent],
+      alertThreshold: Double
+  ): org.apache.spark.sql.Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RunningTotal, UserTotal](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, batch: Iterator[UserEvent], state: GroupState[RunningTotal]) =>
+          val prev = state.getOption.getOrElse(RunningTotal(0.0, 0L))
+          var total = prev.total
+          var n = prev.n
+          batch.foreach { e => total += e.value; n += 1 }
+          state.update(RunningTotal(total, n))
+          Iterator.single(UserTotal(userId, total, n, total >= alertThreshold))
+      }
   }
 
   /** Stateful streaming dedup on event_id (watermark-scoped state), then a

@@ -66,6 +66,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("2024-01-01 00:00:00", 3L), ("2024-01-01 00:30:00", 1L)))
   }
 
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[UserEvent]
+    val out = StreamingOps.statefulUserTotals(mem.toDS(), alertThreshold = 100.0)
+    val name = "graft_state_test"
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      mem.addData(UserEvent(1, 40.0), UserEvent(2, 10.0))
+      q.processAllAvailable()
+      mem.addData(UserEvent(1, 70.0)) // user 1 crosses 100 in batch 2
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2), r.getBoolean(3)))
+    // batch 1 emits (1, 40, 1, false), (2, 10, 1, false); batch 2 emits (1, 110, 2, true)
+    assert(rows.toSet == Set((1L, 40.0, 1L, false), (2L, 10.0, 1L, false),
+      (1L, 110.0, 2L, true)))
+  }
+
   test("watermark drops events later than the lateness bound (append mode)") {
     val s = spark
     import s.implicits._
