@@ -48,6 +48,56 @@ object SimilarityOps {
                   CASE WHEN (shiftright(xxhash64(h, i), 1) & 1) = 1 THEN 1.0 ELSE -1.0 END)
               > 0.0 THEN 1 ELSE 0 END as bigint) << h))""")
 
+  /** IVF (inverted-file) approximate top-k: vectors are assigned to their
+    * nearest of `nCentroids` centroid vectors; a query searches only its
+    * `nProbe` closest centroids' cells exactly. The cluster-scale ANN
+    * shape: assignment is one broadcast join + per-vector argmax (no
+    * all-pairs), search touches nProbe/nCentroids of the data.
+    *
+    * Centroid selection here is deterministic (lowest vec_ids) — a stand-in
+    * for k-means|| training on a sample; swap the `centroids` DataFrame and
+    * nothing else changes.
+    */
+  def ivfTopK(
+      emb: DataFrame,
+      queryId: Long,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 4
+  ): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centroids = emb.orderBy("vec_id").limit(nCentroids)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val scored = emb.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        (dotD(col("embedding"), col("cvec")) /
+          (normD(col("embedding")) * normD(col("cvec")))).as("c_cos"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_cos").desc, col("cid"))
+    val assigned = scored
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("embedding"), col("cid"))
+
+    val probes = scored.filter(col("vec_id") === queryId)
+      .orderBy(col("c_cos").desc, col("cid"))
+      .limit(nProbe)
+      .select(col("cid"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+
+    assigned
+      .join(broadcast(probes), "cid")
+      .filter(col("vec_id") =!= queryId)
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        (floor(dotD(col("embedding"), col("q_embedding")) /
+          (normD(col("embedding")) * normD(col("q_embedding"))) * 10000 + 0.5) / 10000)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Approximate top-k: candidates = vectors whose bucket is within
     * Hamming distance 1 of the query's bucket (multi-probe), re-ranked by
     * exact cosine. Probe expansion happens on the tiny query side.

@@ -78,6 +78,11 @@ object PipelineQueries {
       (s, dir) => SimilarityOps.lshTopK(emb(s, dir), queryId = 0, k = 10, nBits = 4),
       None // approximate by design; exact baseline = similarity_topk
     ),
+    QueryDef(
+      "similarity_ivf_topk",
+      (s, dir) => SimilarityOps.ivfTopK(emb(s, dir), queryId = 0, k = 10),
+      None // approximate by design; exact baseline = similarity_topk
+    ),
     // ------------------------------------------------------ text analysis
     QueryDef(
       "lang_id",

@@ -95,6 +95,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     approx.foreach(r => assert(exactAll(r.getLong(0)) == r.getDouble(1)))
   }
 
+  test("ivf topk scores candidates with true cosines from probed cells") {
+    val s = spark
+    import s.implicits._
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 3 + j).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val approx = SimilarityOps.ivfTopK(emb, 0, 5, nCentroids = 8, nProbe = 3).collect()
+    assert(approx.nonEmpty && approx.length <= 5)
+    val exactAll = SimilarityOps.bruteForceTopK(emb, 0, 59).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    approx.foreach(r => assert(exactAll(r.getLong(0)) == r.getDouble(1)))
+    val scores = approx.map(_.getDouble(1))
+    assert(scores.sameElements(scores.sorted.reverse))
+  }
+
   test("multimodal decode stub: checksum and byte count from real bytes") {
     val bytes = "hello".getBytes("UTF-8")
     val d = MultimodalOps.decodeStub(bytes)
