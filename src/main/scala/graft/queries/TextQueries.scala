@@ -13,10 +13,12 @@ object TextQueries {
     QueryDef(
       "dedup_exact",
       // Exact content dedup: keep the lowest doc_id per identical text.
-      // hash-groupBy — one shuffle on the dedup key, map-side combine on.
+      // Groups on the SHA-256 digest, not the body — the shuffle carries
+      // 32 bytes per row instead of whole documents (at 100 TB that is the
+      // difference between shuffling digests and shuffling the corpus).
       (s, dir) =>
         s.read.parquet(s"$dir/documents.parquet")
-          .groupBy(col("text"))
+          .groupBy(sha2(col("text"), 256))
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
           .orderBy("doc_id"),
