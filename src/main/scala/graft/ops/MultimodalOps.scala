@@ -17,6 +17,9 @@ final case class MediaFeature(
     feature: Array[Float]
 )
 
+/** One sampled frame of a media payload. */
+final case class MediaFrame(doc_id: Long, frame_idx: Int, frame: Array[Byte])
+
 /** Multimodal-column plumbing: schema, partitioning, batch shape are real;
   * only the innermost decode is a deterministic stand-in (the image/audio
   * codecs aren't in this container — swap [[decodeStub]] for a real decoder
@@ -67,6 +70,42 @@ object MultimodalOps {
       rows.map { r =>
         val d = decodeStub(r.media)
         MediaFeature(r.doc_id, d.n_bytes, d.checksum, d.feature)
+      }
+    }
+  }
+
+  /** STUB resize — stand-in for pixel resize: normalizes every payload to
+    * `targetBytes` (truncate or zero-pad). Real codecs replace the body;
+    * the partition-wise batch shape is the production one.
+    */
+  def resizeStub(media: Dataset[MediaRow], targetBytes: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val out = java.util.Arrays.copyOf(r.media, targetBytes)
+        r.copy(media = out)
+      }
+    }
+  }
+
+  /** STUB frame sampling — stand-in for video frame extraction: emits one
+    * row per `frameBytes`-sized chunk at `stride` spacing (one input row →
+    * many frame rows, the UDTF-ish shape frame samplers have).
+    */
+  def frameSample(
+      media: Dataset[MediaRow],
+      frameBytes: Int,
+      stride: Int
+  ): Dataset[MediaFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        Iterator.range(0, math.max(r.media.length - frameBytes + 1, 0), stride)
+          .zipWithIndex
+          .map { case (off, idx) =>
+            MediaFrame(r.doc_id, idx,
+              java.util.Arrays.copyOfRange(r.media, off, off + frameBytes))
+          }
       }
     }
   }

@@ -58,6 +58,11 @@ object TextOps {
     ).select(
       col("doc_id"),
       size(col("toks")).as("n_tokens"),
+      // punctuation density: non-alphanumeric, non-space chars per char
+      expr(
+        """floor((CAST(length(regexp_replace(concat_ws(' ', toks), '[A-Za-z0-9 ]', '')) AS DOUBLE) /
+             greatest(length(concat_ws(' ', toks)), 1)) * 10000 + 0.5) / 10000""")
+        .as("punct_ratio"),
       expr(
         s"""floor((
               0.25 * least(cast(size(toks) as double) / 100.0, 1.0) +

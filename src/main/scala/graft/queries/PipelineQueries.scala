@@ -120,6 +120,8 @@ object PipelineQueries {
             string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
           FROM documents)
         SELECT doc_id, len(toks) AS n_tokens,
+               floor((CAST(length(regexp_replace(list_aggregate(toks, 'string_agg', ' '), '[A-Za-z0-9 ]', '', 'g')) AS DOUBLE) /
+                      greatest(length(list_aggregate(toks, 'string_agg', ' ')), 1)) * 10000 + 0.5) / 10000 AS punct_ratio,
                floor((
                  0.25 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) +
                  0.25 * least((CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) /

@@ -120,6 +120,19 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(d.feature(0) == (bytes(0) & 0xff) / 256.0f)
   }
 
+  test("multimodal resize normalizes payload size; frame sampling chunks it") {
+    val s = spark
+    import s.implicits._
+    val media = Seq(MediaRow(1L, "abcdefghij".getBytes("UTF-8"), "txt")).toDS()
+    val resized = MultimodalOps.resizeStub(media, targetBytes = 4).collect()
+    assert(resized(0).media.length == 4)
+    assert(new String(resized(0).media) == "abcd")
+    val frames = MultimodalOps.frameSample(media, frameBytes = 4, stride = 3).collect()
+    // offsets 0, 3, 6 for a 10-byte payload with 4-byte frames
+    assert(frames.map(f => (f.frame_idx, new String(f.frame))).toSeq ==
+      Seq((0, "abcd"), (1, "defg"), (2, "ghij")))
+  }
+
   test("langId prefers the language whose stopwords dominate") {
     val out = TextOps.langId(docsDf(
       1L -> "the cat and the dog of the house",
@@ -132,12 +145,18 @@ class PipelineOpsSpec extends AnyFunSuite {
   }
 
   test("quality score is bounded and monotone in stopword ratio") {
-    val out = TextOps.qualityScore(docsDf(
+    val df = TextOps.qualityScore(docsDf(
       1L -> "the of and to in is it a",     // all stopwords
-      2L -> "zzz qqq xxx www yyy vvv"       // none
-    )).collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      2L -> "zzz, qqq! xxx www yyy vvv"     // none, some punctuation
+    ))
+    val out = df.select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(out.values.forall(q => q >= 0.0 && q <= 1.0))
     assert(out(1L) > out(2L))
+    val punct = df.select("doc_id", "punct_ratio").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(punct(1L) == 0.0)
+    assert(punct(2L) > 0.0 && punct(2L) < 1.0)
   }
 
   test("fingerprint is deterministic and shift-sensitive") {
