@@ -68,6 +68,9 @@ object DedupOps {
     val k = bands * rowsPerBand
     val sig = minhashSignature(tokenSets(docs), "toks", k)
       .select(col("doc_id"), col("sig"))
+      // consumed by banding and both signature re-joins - persist or the
+      // k-hash signature computation runs three times
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(
       col("doc_id"),
       posexplode(expr(
@@ -117,6 +120,10 @@ object DedupOps {
       .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
         .as("stoks"))
       .select(col("doc_id"), col("stoks"), size(col("stoks")).as("sz"))
+      // the sorted-token table feeds the prefix index AND both verify
+      // joins; without persistence Spark recomputes the token join +
+      // per-doc sort for each consumer (3x the dominant cost)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val prefixed = sorted.select(
       col("doc_id"), col("sz"),
       explode(expr(
@@ -177,6 +184,8 @@ object DedupOps {
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)"))
     ).select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bv"))
+      // self-joined below: persist so the 64-bit signature isn't built twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val l = banded.select(col("band"), col("bv"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("bv"),
@@ -229,6 +238,7 @@ object DedupOps {
                     CASE WHEN (shiftright(xxhash64(h, i), 1) & 1) = 1 THEN 1.0 ELSE -1.0 END)
                 > 0.0 THEN 1 ELSE 0 END as bigint) << h))"""))
       .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("va"), col("nrm").as("na"))
     val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
