@@ -126,6 +126,22 @@ class TraceTelSpec extends AnyFunSuite {
     assert(json.contains("\"key\":\"k\""))
   }
 
+  test("&> branches do not see the trace collector (documented reference parity)") {
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // The ThreadLocal trace state deliberately does NOT propagate into the
+    // futures `&>` spawns (matching the reference's behavior/caveat,
+    // `/root/reference/docs/examples-spark.md:100-101` advises `&` for
+    // Spark work). Logs from inside &> branches are lost to the collector.
+    val branch1 = Node[Unit, Int] { _ => Trace.log("from-branch-1"); 1 }
+    val branch2 = Node[Unit, Int] { _ => Trace.log("from-branch-2"); 2 }
+    val t = (branch1 &> branch2).unsafeRunTrace(())
+    assert(t.result == ((1, 2)))
+    assert(t.logs.isEmpty, "branch logs must not reach the collector")
+    // while the sequential form keeps them:
+    val seq = (branch1 & branch2).unsafeRunTrace(())
+    assert(seq.logs == List("from-branch-1", "from-branch-2"))
+  }
+
   test("Trace counts and last accessors") {
     val n = Node[Unit, Unit] { _ =>
       Trace.log("a"); Trace.log("b"); Trace.error("e1")
