@@ -86,6 +86,8 @@ object TrainingDataPipeline {
     println(s"[pipeline] counters: ${trace.counterTotals}")
     println(s"[pipeline] elapsed: ${trace.timeElapsedMillis} ms")
     println(s"[pipeline] curated corpus at: $out")
+    println("[pipeline] lineage (mermaid):")
+    println(pipeline.toMermaid)
 
     spark.stop()
   }
