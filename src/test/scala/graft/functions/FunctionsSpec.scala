@@ -62,6 +62,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("array<float>"))
   }
 
+  test("native minhash_sig is bit-identical to the HoF composition") {
+    val s = spark
+    import s.implicits._
+    MinHashSignature.register(spark)
+    val df = Seq(
+      Tuple1(Array("alpha", "beta", "gamma")),
+      Tuple1(Array("one")),
+      Tuple1(Array("x", "y", "z", "w", "v"))
+    ).toDF("toks")
+    val k = 16
+    val both = df.select(
+      expr(s"minhash_sig(toks, $k)").as("native"),
+      expr(s"transform(sequence(0, ${k - 1}), j -> array_min(transform(toks, t -> xxhash64(j, t))))")
+        .as("hof")
+    ).collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "signatures must match exactly")
+    }
+  }
+
   test("slugify UDF and GeometricMean aggregator") {
     val s = spark
     import s.implicits._
