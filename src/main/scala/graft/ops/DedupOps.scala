@@ -160,19 +160,11 @@ object DedupOps {
     * sum; packed into one BIGINT with bitwise aggregation. Pure expressions
     * — codegen-friendly, no UDF.
     */
-  def simhash(docs: DataFrame): DataFrame =
+  def simhash(docs: DataFrame): DataFrame = {
+    graft.functions.SimHash64.register(docs.sparkSession)
     tokenSets(docs)
-      // hash each token ONCE; the 64 bit-sums then read cached longs
-      .select(col("doc_id"), expr("transform(toks, t -> xxhash64(t))").as("th"))
-      .select(
-        col("doc_id"),
-        expr(
-          """aggregate(sequence(0, 63), cast(0 as bigint),
-               (acc, i) -> acc | (cast(CASE WHEN
-                   aggregate(th, 0, (s, h) ->
-                     s + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END)
-                   > 0 THEN 1 ELSE 0 END as bigint) << i))""").as("simhash")
-      )
+      .select(col("doc_id"), expr("simhash64(toks)").as("simhash"))
+  }
 
   /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 4),
     * candidate generation by 16-bit band equality — pigeonhole: ≤3

@@ -82,6 +82,27 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native simhash64 is bit-identical to the HoF composition") {
+    val s = spark
+    import s.implicits._
+    SimHash64.register(spark)
+    val df = Seq(
+      Tuple1(Array("alpha", "beta", "gamma", "delta")),
+      Tuple1(Array("one")),
+      Tuple1(Array("x", "y", "z", "w", "v", "u", "t"))
+    ).toDF("toks")
+    val both = df.select(
+      expr("simhash64(toks)").as("native"),
+      expr(
+        """aggregate(sequence(0, 63), cast(0 as bigint),
+             (acc, i) -> acc | (cast(CASE WHEN
+                 aggregate(transform(toks, t -> xxhash64(t)), 0, (s, h) ->
+                   s + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END)
+                 > 0 THEN 1 ELSE 0 END as bigint) << i))""").as("hof")
+    ).collect()
+    both.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("slugify UDF and GeometricMean aggregator") {
     val s = spark
     import s.implicits._
