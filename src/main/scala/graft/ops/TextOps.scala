@@ -85,6 +85,40 @@ object TextOps {
         .as("n_bpe_tokens")
     ).orderBy("doc_id")
 
+  /** Pretraining chunker: split each document into overlapping token
+    * windows of `windowTokens` with `strideTokens` advance (stride <
+    * window ⇒ overlap). One row per chunk, per-row array ops only — no
+    * shuffle, scales linearly with corpus size.
+    */
+  def chunkDocuments(
+      docs: DataFrame,
+      windowTokens: Int,
+      strideTokens: Int
+  ): DataFrame = {
+    require(strideTokens > 0 && windowTokens > 0)
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(
+                sequence(0, greatest(cast(ceil((size(toks) - $windowTokens) / cast($strideTokens as double)) as int), 0)),
+                w -> concat_ws(' ', slice(toks, w * $strideTokens + 1, $windowTokens)))""")))
+      .select(col("doc_id"), col("pos").as("chunk_idx"), col("col").as("chunk"),
+        size(split(col("col"), " ")).as("chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** Deterministic train/validation/test split on a stable key column —
+    * bucket by `key mod 100`: < valPct ⇒ "val", < valPct+testPct ⇒ "test",
+    * else "train". Reproducible across runs/engines, no RNG.
+    */
+  def deterministicSplit(df: DataFrame, keyCol: String, valPct: Int, testPct: Int): DataFrame =
+    df.withColumn("split",
+      when(col(keyCol) % 100 < valPct, "val")
+        .when(col(keyCol) % 100 < valPct + testPct, "test")
+        .otherwise("train"))
+
   /** Content fingerprint from 8-char polynomial rolling hashes (base 31,
     * mod 1e9+7): per doc the minimum gram hash + distinct gram count —
     * an order-invariant signature comparable across engines (plain integer

@@ -161,6 +161,42 @@ object PipelineQueries {
         FROM g GROUP BY doc_id ORDER BY doc_id"""
       }
     ),
+    QueryDef(
+      "doc_chunking",
+      // Pretraining chunker: 30-token windows, stride 20 (10-token overlap).
+      (s, dir) => TextOps.chunkDocuments(docs(s, dir), windowTokens = 30, strideTokens = 20),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '') AS toks
+          FROM documents),
+        w AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(0, greatest(CAST(ceil((len(toks) - 30) / 20.0) AS INT), 0) + 1),
+                   w -> struct_pack(
+                     i := w,
+                     c := array_to_string(list_slice(toks, w * 20 + 1, w * 20 + 30), ' '))))
+                 AS s
+          FROM t)
+        SELECT doc_id, s.i AS chunk_idx, s.c AS chunk,
+               len(string_split(s.c, ' ')) AS chunk_tokens
+        FROM w ORDER BY doc_id, chunk_idx""")
+    ),
+    QueryDef(
+      "train_val_split",
+      // Deterministic doc-level split: stable key modulo, no RNG.
+      (s, dir) =>
+        TextOps.deterministicSplit(docs(s, dir), "doc_id", valPct = 5, testPct = 5)
+          .groupBy(org.apache.spark.sql.functions.col("split"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .orderBy("split"),
+      Some("""
+        SELECT CASE WHEN doc_id % 100 < 5 THEN 'val'
+                    WHEN doc_id % 100 < 10 THEN 'test'
+                    ELSE 'train' END AS split, count(*) AS n
+        FROM documents GROUP BY 1 ORDER BY split""")
+    ),
     // --------------------------------------------------------- multimodal
     QueryDef(
       "multimodal_stats",

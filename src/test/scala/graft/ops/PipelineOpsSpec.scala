@@ -169,6 +169,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(a.getLong(2) == 3L)
   }
 
+  test("chunking produces overlapping windows with a short tail") {
+    // 10 tokens, window 4, stride 3 -> starts 0,3,6,9 per ceil((10-4)/3)=2 -> 3 windows? verify
+    val out = TextOps.chunkDocuments(
+      docsDf(1L -> "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"),
+      windowTokens = 4, strideTokens = 3
+    ).collect().map(r => (r.getInt(1), r.getString(2)))
+    assert(out.toSeq == Seq(
+      (0, "t1 t2 t3 t4"),
+      (1, "t4 t5 t6 t7"),
+      (2, "t7 t8 t9 t10")))
+    // shorter than one window -> single chunk with everything
+    val short = TextOps.chunkDocuments(docsDf(2L -> "a b"), 4, 3).collect()
+    assert(short.length == 1 && short(0).getString(2) == "a b")
+  }
+
+  test("deterministic split is stable and respects bucket percentages") {
+    val s = spark
+    import s.implicits._
+    val df = (0L until 1000L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val split = TextOps.deterministicSplit(df, "doc_id", valPct = 5, testPct = 5)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts("val") == 50 && counts("test") == 50 && counts("train") == 900)
+    // stability: same assignment on recompute
+    val again = TextOps.deterministicSplit(df, "doc_id", 5, 5)
+      .select("doc_id", "split").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again(3L) == "val" && again(7L) == "test" && again(42L) == "train")
+  }
+
   test("token counts: BPE-ish regex splits punctuation and digits") {
     val out = TextOps.tokenCounts(docsDf(1L -> "hello, world 42!")).collect()(0)
     assert(out.getInt(1) == 3) // ws tokens: "hello,», "world", "42!"
