@@ -119,6 +119,93 @@ object TextOps {
         .when(col(keyCol) % 100 < valPct + testPct, "test")
         .otherwise("train"))
 
+  /** Text normalization for training corpora: lowercase, strip every
+    * non-alphanumeric run to a single space, trim. One regexp pass per row
+    * — no shuffle, linear scale; the regex is identical under Java and
+    * POSIX-ish engines so the oracle mirrors it verbatim.
+    */
+  def cleanText(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("raw_chars"),
+      trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " ")).as("clean_text")
+    ).withColumn("clean_chars", length(col("clean_text")))
+      .orderBy("doc_id")
+
+  /** Gopher-style repetition signals per document: duplicate-token ratio
+    * (1 − distinct/total) and the share of all bigrams taken by the single
+    * most frequent bigram. Entirely per-row (sort the doc's bigram array,
+    * scan for the longest equal run with one `aggregate` fold) — the
+    * shuffle-free formulation; the naive explode + groupBy(doc, bigram)
+    * shuffles every bigram of the corpus.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        expr("""floor((1.0 - cast(size(array_distinct(toks)) as double) /
+                 greatest(size(toks), 1)) * 10000 + 0.5) / 10000""")
+          .as("dup_token_ratio"),
+        // IF-guard before indexing: ANSI mode makes toks[i] throw on an
+        // out-of-range index, so single-token docs must short-circuit to
+        // an empty bigram array.
+        expr("""IF(size(toks) < 2, array(),
+                 array_sort(transform(sequence(2, size(toks)),
+                   i -> concat(toks[i - 2], ' ', toks[i - 1]))))""").as("bigrams"))
+      .select(
+        col("doc_id"), col("n_tokens"), col("dup_token_ratio"),
+        expr("""CASE WHEN size(bigrams) = 0 OR n_tokens < 2 THEN 0.0 ELSE
+                  floor(cast(aggregate(bigrams,
+                    named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+                    (acc, x) -> named_struct(
+                      'prev', x,
+                      'run',  IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),
+                      'best', greatest(acc.best,
+                                IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))),
+                    acc -> acc.best) as double) /
+                  size(bigrams) * 10000 + 0.5) / 10000 END""")
+          .as("top_bigram_ratio"))
+      .orderBy("doc_id")
+
+  /** TF·IDF keyword search: score = Σ_t tf(t, doc) · ln(N / df(t)) over the
+    * query terms, top-k by (score, doc_id). Only rows containing a query
+    * term survive the first filter, so the shuffled relation is tiny
+    * regardless of corpus size; N arrives via a broadcast single-row
+    * aggregate (no driver-side count action).
+    */
+  def tfidfSearch(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val termList = inList(terms)
+    val tok = docs
+      .select(col("doc_id"),
+        explode(expr(s"filter(split(lower(text), '\\\\s+'), t -> t IN $termList)"))
+          .as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = tok.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf
+      .join(broadcast(df_), "tok")
+      .crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(floor(sum(col("tf") * log(col("n_docs") / col("df"))) * 10000 + 0.5)
+        .cast("long").as("score_e4"))
+    // Distributed top-k (TakeOrderedAndProject: per-partition heaps, then a
+    // k-row merge on the driver) — NOT a global row_number window, which
+    // would funnel every scored row through one partition. The rank window
+    // below runs over k rows only.
+    scored
+      .orderBy(col("score_e4").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_e4").desc, col("doc_id"))))
+      .select("rank", "doc_id", "score_e4")
+      .orderBy("rank")
+  }
+
   /** Content fingerprint from 8-char polynomial rolling hashes (base 31,
     * mod 1e9+7): per doc the minimum gram hash + distinct gram count —
     * an order-invariant signature comparable across engines (plain integer

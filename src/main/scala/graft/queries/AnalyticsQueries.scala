@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Analytical operators beyond the round-1 set: reshaping (pivot/unpivot),
+  * distribution statistics (exact percentiles, moments), richer window
+  * analytics, batch sessionization, skew-salted aggregation, partitioned
+  * writes, and a banded edit-distance similarity join.
+  *
+  * Scale posture notes are inline per query; the common themes:
+  * pivot uses an explicit value list (no driver-side collect of distinct
+  * keys), the salted aggregate demonstrates the two-stage skew pattern with
+  * bit-exact results (long-quantized partial sums are associative), and the
+  * edit-distance join is an equi-join on generated neighbor keys, never a
+  * cross product.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** floor-trick rounding — bit-identical in Spark and DuckDB (see
+    * Tables.moneySum).
+    */
+  private def q4(c: org.apache.spark.sql.Column) =
+    floor(c * 10000 + 0.5) / 10000
+
+  private val priorities = Seq(
+    "1-URGENT" -> "p1_urgent",
+    "2-HIGH" -> "p2_high",
+    "3-MEDIUM" -> "p3_medium",
+    "4-NOT SPECIFIED" -> "p4_not_specified",
+    "5-LOW" -> "p5_low")
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "agg_pivot",
+      (s, dir) => {
+        // Pivot with an EXPLICIT value list: the implicit form collects
+        // distinct keys onto the driver first (an extra job + a driver
+        // round-trip that has no place in a 100 TB plan). Explicit values
+        // compile straight to one aggregate with five conditional sums.
+        val p = t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .pivot("o_orderpriority", priorities.map(_._1))
+          .agg(Tables.moneySum(col("o_totalprice")))
+        priorities.foldLeft(p) { case (df, (v, a)) => df.withColumnRenamed(v, a) }
+          .orderBy("o_orderstatus")
+      },
+      Some {
+        val cols = priorities.map { case (v, a) =>
+          s"""floor((sum(CASE WHEN o_orderpriority = '$v'
+               THEN CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT) END) + 50) / 100) / 100.0 AS $a"""
+        }.mkString(",\n")
+        s"""SELECT o_orderstatus, $cols
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+      }
+    ),
+    QueryDef(
+      "unpivot_melt",
+      (s, dir) => {
+        // Wide -> long reshaping (melt). Per-row operation: no shuffle,
+        // output is |value columns| x |rows|, stays in one codegen stage.
+        t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal"),
+            col("c_nationkey").cast("double").as("c_nationkey"))
+          .unpivot(
+            Array(col("c_custkey")),
+            Array(col("c_acctbal"), col("c_nationkey")),
+            "metric", "value")
+          .orderBy("c_custkey", "metric")
+      },
+      Some("""
+        SELECT c_custkey, 'c_acctbal' AS metric, c_acctbal AS value FROM customer
+        UNION ALL
+        SELECT c_custkey, 'c_nationkey', CAST(c_nationkey AS DOUBLE) FROM customer
+        ORDER BY c_custkey, metric""")
+    ),
+    QueryDef(
+      "agg_percentile",
+      (s, dir) =>
+        // Exact interpolated percentiles per group. `percentile` holds the
+        // group's values in memory — fine per-group at any scale when group
+        // count is bounded; the unbounded-cardinality scale path is
+        // approx_percentile (t-digest, mergeable partial aggs).
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            q4(expr("percentile(l_extendedprice, 0.25)")).as("p25"),
+            q4(expr("percentile(l_extendedprice, 0.5)")).as("p50"),
+            q4(expr("percentile(l_extendedprice, 0.75)")).as("p75"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               floor(quantile_cont(l_extendedprice, 0.25) * 10000 + 0.5) / 10000 AS p25,
+               floor(quantile_cont(l_extendedprice, 0.5)  * 10000 + 0.5) / 10000 AS p50,
+               floor(quantile_cont(l_extendedprice, 0.75) * 10000 + 0.5) / 10000 AS p75,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+    QueryDef(
+      "agg_stats",
+      (s, dir) =>
+        // Second-moment statistics; all are sum-of-products under the hood,
+        // so partial (map-side) aggregation applies. Rounded because
+        // floating accumulation order differs between engines (and between
+        // Spark runs); the quantization absorbs last-ulp drift.
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            floor(stddev_samp(col("l_quantity")) * 1000000 + 0.5).cast("long").as("sd_qty_e6"),
+            floor(corr(col("l_quantity"), col("l_extendedprice")) * 10000 + 0.5).cast("long").as("corr_e4"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+          .orderBy("l_returnflag"),
+      Some("""
+        SELECT l_returnflag,
+               CAST(floor(stddev_samp(l_quantity) * 1000000 + 0.5) AS BIGINT) AS sd_qty_e6,
+               CAST(floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) AS BIGINT) AS corr_e4,
+               min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+    QueryDef(
+      "window_ntile",
+      (s, dir) => {
+        // Distribution window functions. The ORDER BY includes the unique
+        // o_orderkey so tied totalprices are totally ordered — without it
+        // ntile/percent_rank are nondeterministic across engines AND runs.
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+            ntile(4).over(w).as("quartile"),
+            floor(percent_rank().over(w) * 1000000 + 0.5).cast("long").as("pr_e6"),
+            floor(cume_dist().over(w) * 1000000 + 0.5).cast("long").as("cd_e6"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus, o_totalprice,
+               ntile(4) OVER w AS quartile,
+               CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_e6,
+               CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_e6
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey""")
+    ),
+    QueryDef(
+      "sessionize_batch",
+      (s, dir) => {
+        // Batch gaps-and-islands sessionization (30-min inactivity gap) —
+        // the batch twin of stream_session: lag marks session starts, a
+        // running sum numbers them. One shuffle on user_id; both windows
+        // share the same partitioning so Catalyst plans a single Exchange.
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"))
+          .withColumn("new_session",
+            // within 30 min of the previous event -> same session (0);
+            // larger gap or first event (NULL lag) -> new session (1)
+            when(col("ts") < lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTES"), 0)
+              .otherwise(1))
+          .withColumn("sid", sum(col("new_session"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("session_start"), count(lit(1)).as("n_events"))
+          .select("user_id", "session_start", "n_events")
+          .orderBy("user_id", "session_start")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")
+    ),
+    QueryDef(
+      "agg_skew_salted",
+      (s, dir) => {
+        // Two-stage skew-salted aggregation: stage 1 spreads each hot group
+        // key over 16 salt buckets (pre-shuffle cardinality x16, but no
+        // single reducer owns a hot key); stage 2 re-aggregates the 16
+        // partials. Bit-exact because the quantized partial sums are longs
+        // (associative) — the pattern a 100 TB job uses when one key owns
+        // 10% of the data. AQE's skew handling covers joins; aggregation
+        // skew still wants this.
+        val quanta = floor(col("l_extendedprice") * 10000 + 0.5).cast("long")
+        t(s, dir, "lineitem")
+          .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(sum(quanta).as("part_sum"), count(lit(1)).as("part_n"))
+          .groupBy(col("l_returnflag"))
+          .agg(
+            (floor((sum(col("part_sum")) + 50) / 100) / 100.0).as("total_price"),
+            sum(col("part_n")).as("n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag,
+               floor((sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total_price,
+               count(*) AS n
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+    QueryDef(
+      "write_partitioned",
+      (s, dir) => {
+        // Hive-style partitioned sink + partition-pruned scan: the read
+        // back filters on the partition column, so only the o_orderstatus=F
+        // directory is listed — the other partitions are never opened
+        // (PartitionFilters in the scan node, zero data skipped rows).
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_part_orders"
+        t(s, dir, "orders")
+          .write.mode("overwrite").partitionBy("o_orderstatus").parquet(tmp)
+        s.read.parquet(tmp)
+          .filter(col("o_orderstatus") === "F")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"), Tables.moneySum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               floor((sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
+        FROM orders WHERE o_orderstatus = 'F'
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+    QueryDef(
+      "str_distance",
+      (s, dir) => {
+        // Banded edit-distance join: each part compares against keys
+        // key+1..key+2 via an equi-join on generated neighbor ids — the
+        // standard trick that turns a bounded non-equi band into a shuffle
+        // join (never a cartesian). Levenshtein is exact integer DP in both
+        // engines.
+        val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+        val probes = p.select(
+          explode(expr("array(p_partkey + 1, p_partkey + 2)")).as("nbr_key"),
+          col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+        probes.join(
+            p.select(col("p_partkey").as("nbr_key"), col("p_name").as("name_b")),
+            "nbr_key")
+          .select(col("key_a"), col("nbr_key").as("key_b"),
+            levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+          .orderBy("key_a", "key_b")
+      },
+      Some("""
+        SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+               levenshtein(a.p_name, b.p_name) AS edit_dist
+        FROM part a JOIN part b
+          ON b.p_partkey BETWEEN a.p_partkey + 1 AND a.p_partkey + 2
+        ORDER BY key_a, key_b""")
+    )
+  )
+}

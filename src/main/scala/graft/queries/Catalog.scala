@@ -17,8 +17,9 @@ final case class QueryDef(
 object Catalog {
   /** All registered queries across the operator modules. */
   def all: Seq[QueryDef] =
-    Relational.queries ++ TextQueries.queries ++ VectorQueries.queries ++
-      EventQueries.queries ++ PipelineQueries.queries ++ UdfQueries.queries ++
+    Relational.queries ++ AnalyticsQueries.queries ++ TextQueries.queries ++
+      VectorQueries.queries ++ EventQueries.queries ++
+      PipelineQueries.queries ++ UdfQueries.queries ++
       StreamingQueries.queries
 
   def queriesMap: Map[String, (SparkSession, String) => DataFrame] =

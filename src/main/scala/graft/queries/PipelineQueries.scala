@@ -1,6 +1,6 @@
 package graft.queries
 
-import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.ops.{DedupOps, GraphOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Training-data pipeline operators as graded queries: dedup family,
   * similarity search, text analysis, multimodal plumbing. Probabilistic /
@@ -14,6 +14,25 @@ object PipelineQueries {
     s.read.parquet(s"$dir/documents.parquet")
   private val emb = (s: org.apache.spark.sql.SparkSession, dir: String) =>
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Exact token-Jaccard >= 0.95 pairs as a CTE fragment (shared by the
+    * cluster oracles; mirrors the dedup_ngram_jaccard oracle at a higher
+    * threshold).
+    */
+  private val pairCte = """toks AS (
+          SELECT doc_id, unnest(list_distinct(list_filter(
+            string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
+          FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM shared
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.95)"""
 
   def queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------- dedup
@@ -37,6 +56,48 @@ object PipelineQueries {
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8
         ORDER BY id_a, id_b""")
+    ),
+    QueryDef(
+      "dedup_clusters",
+      // Near-dup clustering: exact Jaccard >= 0.95 pairs -> connected
+      // components (min-label propagation) -> per-doc component label.
+      (s, dir) => GraphOps.dedupClusters(docs(s, dir), threshold = 0.95),
+      Some(s"""
+        WITH RECURSIVE $pairCte,
+        e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+        walk(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e2.b, walk.label FROM walk JOIN e2 ON e2.a = walk.node)
+        SELECT node AS doc_id, min(label) AS component
+        FROM walk GROUP BY node ORDER BY doc_id""")
+    ),
+    QueryDef(
+      "dedup_keep_best",
+      // Canonicalization: keep one representative per near-dup cluster
+      // (longest text, doc_id tiebreak) — the step that turns pair mining
+      // into an actual deduplicated corpus.
+      (s, dir) => GraphOps.dedupKeepBest(docs(s, dir), threshold = 0.95),
+      Some(s"""
+        WITH RECURSIVE $pairCte,
+        e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+        walk(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e2.b, walk.label FROM walk JOIN e2 ON e2.a = walk.node),
+        comp AS (
+          SELECT node AS doc_id, min(label) AS component
+          FROM walk GROUP BY node),
+        r AS (
+          SELECT c.component, d.doc_id, d.n_chars,
+                 row_number() OVER (PARTITION BY c.component
+                   ORDER BY d.n_chars DESC, d.doc_id) AS rn,
+                 count(*) OVER (PARTITION BY c.component) AS n_docs
+          FROM comp c JOIN documents d USING (doc_id))
+        SELECT component, n_docs, doc_id AS kept_doc, n_chars AS kept_chars
+        FROM r WHERE rn = 1 ORDER BY component""")
     ),
     QueryDef(
       "dedup_minhash_lsh",

@@ -56,6 +56,15 @@ object StreamingQueries {
         ORDER BY user_id, session_start""")
     ),
     QueryDef(
+      "stream_static_join",
+      (s, dir) => StreamingOps.streamStaticJoin(s, dir),
+      Some("""
+        SELECT c_nationkey, count(*) AS n,
+               floor((sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total_value
+        FROM events JOIN customer ON user_id = c_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey""")
+    ),
+    QueryDef(
       "stream_dedup",
       (s, dir) => StreamingOps.streamDedup(s, dir),
       Some("""

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.TextOps
 import org.apache.spark.sql.functions._
 
 /** Text / document-corpus operators over the `documents` table (doc_id,
@@ -57,6 +58,70 @@ object TextQueries {
         SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
                length(text) AS len_chars
         FROM documents ORDER BY doc_id""")
+    ),
+    QueryDef(
+      "text_clean",
+      (s, dir) => TextOps.cleanText(s.read.parquet(s"$dir/documents.parquet")),
+      Some("""
+        SELECT doc_id, length(text) AS raw_chars,
+               trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS clean_text,
+               length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS clean_chars
+        FROM documents ORDER BY doc_id""")
+    ),
+    QueryDef(
+      "quality_repetition",
+      (s, dir) =>
+        TextOps.repetitionSignals(s.read.parquet(s"$dir/documents.parquet")),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS ts
+          FROM documents),
+        base AS (
+          SELECT doc_id, len(ts) AS n_tokens,
+                 floor((1.0 - CAST(len(list_distinct(ts)) AS DOUBLE) /
+                   greatest(len(ts), 1)) * 10000 + 0.5) / 10000 AS dup_token_ratio
+          FROM toks),
+        bg AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(2, len(ts) + 1),
+                   i -> ts[i - 1] || ' ' || ts[i])) AS bigram
+          FROM toks WHERE len(ts) >= 2),
+        bgc AS (
+          SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY doc_id, bigram),
+        top AS (
+          SELECT doc_id,
+                 floor(CAST(max(c) AS DOUBLE) / sum(c) * 10000 + 0.5) / 10000 AS tbr
+          FROM bgc GROUP BY doc_id)
+        SELECT b.doc_id, b.n_tokens, b.dup_token_ratio,
+               coalesce(t.tbr, 0.0) AS top_bigram_ratio
+        FROM base b LEFT JOIN top t ON b.doc_id = t.doc_id
+        ORDER BY b.doc_id""")
+    ),
+    QueryDef(
+      "text_tfidf_search",
+      (s, dir) =>
+        TextOps.tfidfSearch(
+          s.read.parquet(s"$dir/documents.parquet"),
+          Seq("data", "spark", "dup"), 20),
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\s+'),
+            t -> t IN ('data', 'spark', 'dup'))) AS tok
+          FROM documents),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id,
+                 CAST(floor(sum(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df)) * 10000 + 0.5) AS BIGINT) AS score_e4
+          FROM tf JOIN df USING (tok) CROSS JOIN n
+          GROUP BY tf.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS INTEGER) AS rank,
+               doc_id, score_e4
+        FROM scored
+        ORDER BY score_e4 DESC, doc_id LIMIT 20""")
     )
   )
 }

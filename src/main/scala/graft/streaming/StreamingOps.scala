@@ -155,6 +155,26 @@ object StreamingOps {
       }
   }
 
+  /** Stream–static join: enrich the event stream with a batch dimension
+    * (customer), then aggregate per nation. Stream–static equi-joins are
+    * stateless on the stream side — each micro-batch hash-joins against
+    * the (broadcastable) static relation; no watermark, no state store.
+    * This is the canonical "enrich events with a dim table" deployment.
+    */
+  def streamStaticJoin(spark: SparkSession, dir: String): DataFrame = {
+    val dim = broadcast(
+      spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"), col("c_nationkey")))
+    val agg = replayEvents(spark, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        (floor((sum(floor(col("value") * 10000 + 0.5).cast("long")) + 50) / 100) / 100.0)
+          .as("total_value"))
+    runToTable(agg, "complete")
+      .orderBy("c_nationkey")
+  }
+
   /** Stateful streaming dedup on event_id (watermark-scoped state), then a
     * per-type count of the deduplicated stream.
     */

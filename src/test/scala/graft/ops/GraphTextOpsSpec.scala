@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the graph (connected-components dedup clustering) and the
+  * round-2 text operators (cleaning, repetition signals, TF-IDF search).
+  */
+class GraphTextOpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-graphtext-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("connectedComponents labels a path, a separate edge, and a singleton") {
+    val s = spark
+    import s.implicits._
+    // graph: 1-2-3 path, 10-11 edge, 20 isolated
+    val verts = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents converges on a long chain (diameter > 2 rounds)") {
+    val s = spark
+    import s.implicits._
+    val n = 12L
+    val verts = (1L to n).toDF("id")
+    val edges = (1L until n).map(i => (i, i + 1)).toDF("src", "dst")
+    val got = GraphOps.connectedComponents(verts, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.values.toSet == Set(1L), s"all $n chain vertices collapse to label 1")
+  }
+
+  test("repetitionSignals computes dup-token and top-bigram ratios exactly") {
+    val s = spark
+    import s.implicits._
+    // "a b a b a": 5 tokens, 2 distinct -> dup ratio 0.6;
+    // bigrams: (a b, b a, a b, b a) -> top bigram 2/4 = 0.5
+    val docs = Seq((1L, "a b a b a"), (2L, "x")).toDF("doc_id", "text")
+    val rows = TextOps.repetitionSignals(docs).collect()
+    val r1 = rows.find(_.getLong(0) == 1L).get
+    assert(r1.getInt(1) == 5)
+    assert(r1.getDouble(2) == 0.6)
+    assert(r1.getDouble(3) == 0.5)
+    val r2 = rows.find(_.getLong(0) == 2L).get
+    assert(r2.getInt(1) == 1 && r2.getDouble(2) == 0.0 && r2.getDouble(3) == 0.0)
+  }
+
+  test("cleanText lowercases, strips symbol runs, trims") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq((1L, "  Hello,   WORLD!! 42 ")).toDF("doc_id", "text")
+    val r = TextOps.cleanText(docs).head
+    assert(r.getAs[String]("clean_text") == "hello world 42")
+  }
+
+  test("tfidfSearch ranks the doc with more rare-term hits first") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "rare rare common"),
+      (2L, "common common common"),
+      (3L, "other words only"),
+      (4L, "rare common other")
+    ).toDF("doc_id", "text")
+    val top = TextOps.tfidfSearch(docs, Seq("rare", "common"), 3).collect()
+    assert(top.length == 3)
+    // doc 1 has 2x the rare term (idf ln(4/2)) -> highest score
+    assert(top.head.getAs[Long]("doc_id") == 1L)
+    assert(top.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
+  }
+}
