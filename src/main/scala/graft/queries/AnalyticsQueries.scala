@@ -237,6 +237,98 @@ object AnalyticsQueries {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     ),
     QueryDef(
+      "join_full_outer",
+      (s, dir) => {
+        // Full-outer join of two filtered sides chosen so both null
+        // shapes occur (customers with no big order; big-order customers
+        // outside the low-balance set). Shuffled hash/SMJ — full outer
+        // can't broadcast, so both sides partition on the key.
+        val lowBal = t(s, dir, "customer")
+          .filter(col("c_acctbal") < 0)
+          .select(col("c_custkey"), col("c_acctbal"))
+        val bigOrders = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 450000)
+          .groupBy(col("o_custkey"))
+          .agg(count(lit(1)).as("n_big"))
+        lowBal.join(bigOrders, lowBal("c_custkey") === bigOrders("o_custkey"), "full_outer")
+          .select(
+            coalesce(lowBal("c_custkey"), bigOrders("o_custkey")).as("custkey"),
+            col("c_acctbal"), col("n_big"))
+          .orderBy("custkey")
+      },
+      Some("""
+        SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey, c.c_acctbal, o.n_big
+        FROM (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal < 0) c
+        FULL JOIN (SELECT o_custkey, count(*) AS n_big FROM orders
+                   WHERE o_totalprice > 450000 GROUP BY o_custkey) o
+          ON c.c_custkey = o.o_custkey
+        ORDER BY custkey""")
+    ),
+    QueryDef(
+      "scan_orc",
+      (s, dir) => {
+        // Round-trip through the ORC source (the second columnar format
+        // production lakes carry besides parquet).
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_orc_nation"
+        val src = t(s, dir, "nation")
+        src.coalesce(1).write.mode("overwrite").orc(tmp)
+        s.read.schema(src.schema).orc(tmp).orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")
+    ),
+    QueryDef(
+      "sql_subqueries",
+      (s, dir) => {
+        // The spark.sql entry point with a scalar subquery + a correlated
+        // EXISTS — Catalyst rewrites the scalar subquery to a broadcast
+        // one-row join and the EXISTS to a left-semi join; nothing here is
+        // driver-side. Predicates compare exact types (timestamps/ints)
+        // only, so the oracle agrees bit-for-bit.
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          SELECT o_orderpriority, count(*) AS n
+          FROM orders_v
+          WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 30 DAY FROM orders_v)
+            AND EXISTS (SELECT 1 FROM lineitem_v
+                        WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+          GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders
+        WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 30 DAY FROM orders)
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+    QueryDef(
+      "window_range_frame",
+      (s, dir) => {
+        // RANGE-framed window: per-customer rolling 30-day order total.
+        // The frame is value-based (peer days included regardless of row
+        // order), so results are deterministic even with same-day ties;
+        // sums run over long-quantized cents — exact in any engine.
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("day_num"))
+          .rangeBetween(-30, Window.currentRow)
+        t(s, dir, "orders")
+          .withColumn("day_num",
+            datediff(col("o_orderdate"), to_date(lit("1970-01-01"))))
+          .withColumn("rolling_e4",
+            sum(floor(col("o_totalprice") * 10000 + 0.5).cast("long")).over(w))
+          .select("o_orderkey", "o_custkey", "day_num", "rolling_e4")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               datediff('day', DATE '1970-01-01', o_orderdate) AS day_num,
+               CAST(sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY datediff('day', DATE '1970-01-01', o_orderdate)
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_e4
+        FROM orders ORDER BY o_orderkey""")
+    ),
+    QueryDef(
       "str_distance",
       (s, dir) => {
         // Banded edit-distance join: each part compares against keys

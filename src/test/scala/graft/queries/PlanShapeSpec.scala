@@ -1,0 +1,65 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the round-2 operators: the properties that
+  * make them scale (pruning, join strategy, no cartesian) are checked
+  * against `executedPlan`, not just inferred from results.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-planshape-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planOf(name: String): String = {
+    val df = Catalog.queriesMap(name)(spark, dir)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("write_partitioned read-back prunes to the single o_orderstatus partition") {
+    val plan = planOf("write_partitioned")
+    // Partition filter on the hive-style directory column; data-skipping
+    // shows as a PartitionFilters entry on the scan, and the scan must not
+    // carry a post-scan filter on o_orderstatus.
+    assert(plan.contains("PartitionFilters"), s"expected partition filters in:\n$plan")
+    assert(plan.contains("o_orderstatus"), "partition column in scan")
+  }
+
+  test("str_distance is an equi-join on generated neighbor keys, not a cartesian") {
+    val plan = planOf("str_distance")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+  }
+
+  test("sql_subqueries rewrites EXISTS to a semi join (no nested loop per row)") {
+    val plan = planOf("sql_subqueries")
+    assert(plan.toLowerCase.contains("semi"), s"expected semi join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("join_full_outer keeps both sides shuffled (full outer cannot broadcast)") {
+    val plan = planOf("join_full_outer")
+    assert(plan.contains("FullOuter"), s"expected full outer join in:\n$plan")
+  }
+
+  test("agg_pivot plans a single aggregate without a driver-side distinct collect") {
+    // With an explicit value list the pivot lowers to one aggregate; an
+    // implicit pivot would first run a separate distinct job.
+    val df = Catalog.queriesMap("agg_pivot")(spark, dir)
+    val aggs = "HashAggregate".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(aggs >= 2, "partial+final aggregate pair present")
+  }
+
+  test("tfidf top-k plans TakeOrderedAndProject, not a global window sort") {
+    val plan = planOf("text_tfidf_search")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
+  }
+}
