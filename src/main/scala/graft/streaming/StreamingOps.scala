@@ -74,20 +74,34 @@ object StreamingOps {
 
   /** Run a (finite) streaming query to completion into a memory sink and
     * return the result table.
+    *
+    * State-store partition count: a streaming job fixes its shuffle
+    * partitioning at first checkpoint — it is a per-deployment knob sized
+    * to key cardinality and throughput, NOT inherited from the batch
+    * session default. For the replay workload (tens of keys, one file) 8
+    * partitions hold; a production deployment against a firehose sets it
+    * to match its executor fleet before the first start.
     */
   def runToTable(result: DataFrame, mode: String): DataFrame = {
+    val spark = result.sparkSession
     val name = s"graft_stream_${runId.incrementAndGet()}"
-    val q = result.writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode(mode)
-      .start()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      q.processAllAvailable()
+      val q = result.writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .start()
+      try {
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+      }
     } finally {
-      q.stop()
+      spark.conf.set("spark.sql.shuffle.partitions", prev)
     }
-    result.sparkSession.table(name)
+    spark.table(name)
   }
 
   /** Tumbling 1-day windows per event type (count + exact money total). */
