@@ -237,6 +237,57 @@ object AnalyticsQueries {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     ),
     QueryDef(
+      "agg_mode",
+      (s, dir) =>
+        // Modal value per group with DETERMINISTIC ties: two-level
+        // aggregate + max(struct(count, value)) argmax. Built-in mode()
+        // breaks ties arbitrarily (and differently across engines), so it
+        // cannot be graded — and shouldn't be used in reproducible
+        // pipelines either. Both aggregates are associative: map-side
+        // partials all the way.
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy(col("o_orderstatus"))
+          .agg(max(struct(col("cnt"), col("o_orderpriority"))).as("b"))
+          .select(col("o_orderstatus"),
+            col("b.o_orderpriority").as("mode_priority"),
+            col("b.cnt").as("mode_count"))
+          .orderBy("o_orderstatus"),
+      Some("""
+        WITH c AS (
+          SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+          FROM orders GROUP BY 1, 2),
+        r AS (
+          SELECT o_orderstatus, o_orderpriority, cnt,
+                 row_number() OVER (PARTITION BY o_orderstatus
+                   ORDER BY cnt DESC, o_orderpriority DESC) AS rn
+          FROM c)
+        SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt AS mode_count
+        FROM r WHERE rn = 1 ORDER BY o_orderstatus""")
+    ),
+    QueryDef(
+      "agg_collect",
+      (s, dir) =>
+        // Ordered collection aggregate: collect_list has nondeterministic
+        // arrival order, so sort the collected array before joining — the
+        // only reproducible way to build delimited lists in a distributed
+        // engine.
+        t(s, dir, "nation")
+          .join(broadcast(t(s, dir, "region")),
+            col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(
+            concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"),
+            count(lit(1)).as("n"))
+          .orderBy("r_name"),
+      Some("""
+        SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")
+    ),
+    QueryDef(
       "join_full_outer",
       (s, dir) => {
         // Full-outer join of two filtered sides chosen so both null

@@ -65,6 +65,23 @@ object StreamingQueries {
         GROUP BY c_nationkey ORDER BY c_nationkey""")
     ),
     QueryDef(
+      "stream_stream_join",
+      (s, dir) => StreamingOps.streamStreamJoin(s, dir),
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 make_timestamp(epoch_ns(ts) // 1000) AS ts
+          FROM events)
+        SELECT p.user_id AS user_id,
+               c.event_id AS click_id, p.event_id AS purchase_id,
+               epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        FROM e p JOIN e c
+          ON c.event_type = 'click' AND p.event_type = 'purchase'
+         AND c.user_id = p.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        ORDER BY 1, 2, 3""")
+    ),
+    QueryDef(
       "stream_dedup",
       (s, dir) => StreamingOps.streamDedup(s, dir),
       Some("""

@@ -189,6 +189,35 @@ object StreamingOps {
       .orderBy("c_nationkey")
   }
 
+  /** Stream–stream interval join: purchases matched to a preceding click
+    * by the same user within one hour. Both sides are independent
+    * streaming sources with watermarks; the time-bound join condition lets
+    * the engine evict click state once the interval expires — the shape
+    * that keeps stream–stream join state bounded at any throughput.
+    */
+  def streamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    val clicks = replayEvents(spark, dir)
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = replayEvents(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("click_user") === col("purchase_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_user").as("user_id"), col("click_id"),
+        col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+    runToTable(joined, "append")
+      .orderBy("user_id", "click_id", "purchase_id")
+  }
+
   /** Stateful streaming dedup on event_id (watermark-scoped state), then a
     * per-type count of the deduplicated stream.
     */
