@@ -380,6 +380,104 @@ object AnalyticsQueries {
         FROM orders ORDER BY o_orderkey""")
     ),
     QueryDef(
+      "merge_upsert",
+      (s, dir) => {
+        // MERGE / upsert without a table format: full-outer join target ×
+        // changeset, coalesce source-wins. The join shuffles both sides on
+        // the key — the same shape Delta/Iceberg MERGE lowers to; with a
+        // sorted/bucketed target the shuffle drops to the changeset side
+        // only. Changeset here: +100.00 balance for every 10th customer
+        // (updates) and re-keyed clones of custkey<50 (inserts).
+        val tgt = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val updates = tgt.filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 100.0).as("c_acctbal"))
+        val inserts = tgt.filter(col("c_custkey") < 50)
+          .select((col("c_custkey") + 1000000).as("c_custkey"),
+            concat(col("c_name"), lit("_new")).as("c_name"), col("c_acctbal"))
+        val src = updates.unionByName(inserts)
+          .select(col("c_custkey").as("k"), col("c_name").as("src_name"),
+            col("c_acctbal").as("src_bal"))
+        tgt.join(src, col("c_custkey") === col("k"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("k")).as("custkey"),
+            coalesce(col("src_name"), col("c_name")).as("name"),
+            coalesce(col("src_bal"), col("c_acctbal")).as("acctbal"))
+          .orderBy("custkey")
+      },
+      Some("""
+        WITH tgt AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        src AS (
+          SELECT c_custkey AS k, c_name AS src_name, c_acctbal + 100.0 AS src_bal
+          FROM tgt WHERE c_custkey % 10 = 0
+          UNION ALL
+          SELECT c_custkey + 1000000, c_name || '_new', c_acctbal
+          FROM tgt WHERE c_custkey < 50)
+        SELECT coalesce(t.c_custkey, s.k) AS custkey,
+               coalesce(s.src_name, t.c_name) AS name,
+               coalesce(s.src_bal, t.c_acctbal) AS acctbal
+        FROM tgt t FULL JOIN src s ON t.c_custkey = s.k
+        ORDER BY custkey""")
+    ),
+    QueryDef(
+      "dedup_keep_latest",
+      (s, dir) =>
+        // CDC-style dedup: latest record per key, via the associative
+        // max(struct(ts, tiebreak)) argmax — map-side partials, no window
+        // sort; the canonical "compact a change stream to current state"
+        // operator.
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("b"),
+            count(lit(1)).as("n_orders"))
+          .select(col("o_custkey"), col("b.o_orderkey").as("last_orderkey"),
+            col("b.o_orderdate").as("last_orderdate"), col("n_orders"))
+          .orderBy("o_custkey"),
+      Some("""
+        WITH r AS (
+          SELECT o_custkey, o_orderkey, o_orderdate,
+                 row_number() OVER (PARTITION BY o_custkey
+                   ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+                 count(*) OVER (PARTITION BY o_custkey) AS n_orders
+          FROM orders)
+        SELECT o_custkey, o_orderkey AS last_orderkey,
+               o_orderdate AS last_orderdate, n_orders
+        FROM r WHERE rn = 1 ORDER BY o_custkey""")
+    ),
+    QueryDef(
+      "dq_profile",
+      (s, dir) => {
+        // Column profiling in ONE pass over the table (null + distinct
+        // counts per column computed in a single aggregate, then unpivoted
+        // to rows) — profiling 100 TB must not scan once per column.
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        val aggs = cols.flatMap(c => Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct"))) :+
+          count(lit(1)).as("n_rows")
+        val one = t(s, dir, "orders").agg(aggs.head, aggs.tail: _*)
+        val entries = cols.map(c => struct(
+          lit(c).as("column_name"),
+          col(s"${c}_nulls").cast("long").as("n_nulls"),
+          col(s"${c}_distinct").cast("long").as("n_distinct")))
+        one.select(explode(array(entries: _*)).as("p"), col("n_rows"))
+          .select(col("p.column_name").as("column_name"), col("n_rows"),
+            col("p.n_nulls").as("n_nulls"), col("p.n_distinct").as("n_distinct"))
+          .orderBy("column_name")
+      },
+      Some {
+        val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "o_orderdate", "o_orderpriority")
+        cols.map(c => s"""
+          SELECT '$c' AS column_name, count(*) AS n_rows,
+                 CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+                 count(DISTINCT $c) AS n_distinct
+          FROM orders""").mkString(" UNION ALL ") + " ORDER BY column_name"
+      }
+    ),
+    QueryDef(
       "str_distance",
       (s, dir) => {
         // Banded edit-distance join: each part compares against keys
