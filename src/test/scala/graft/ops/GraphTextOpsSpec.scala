@@ -38,6 +38,34 @@ class GraphTextOpsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L), s"all $n chain vertices collapse to label 1")
   }
 
+  test("connectedComponents agrees with a union-find reference on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 2 + rnd.nextInt(20)
+      val ids = (1L to n.toLong).toVector
+      val edgeList = (1 to rnd.nextInt(2 * n)).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter { case (a, b) => a != b }.distinct
+      // driver-side union-find with min-label canonicalization
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = ids.map(i => i -> find(i)).toMap
+      val verts = ids.toDF("id")
+      val edges =
+        if (edgeList.nonEmpty) edgeList.toDF("src", "dst")
+        else Seq.empty[(Long, Long)].toDF("src", "dst")
+      val got = GraphOps.connectedComponents(verts, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"n=$n edges=$edgeList")
+    }
+  }
+
   test("repetitionSignals computes dup-token and top-bigram ratios exactly") {
     val s = spark
     import s.implicits._
