@@ -380,6 +380,50 @@ object AnalyticsQueries {
         FROM orders ORDER BY o_orderkey""")
     ),
     QueryDef(
+      "join_bucketed",
+      (s, dir) => {
+        // Bucketed tables co-locate both sides on the join key at WRITE
+        // time: the join plans with zero Exchange on either side (asserted
+        // in PlanShapeSpec) — at 100 TB this converts the recurring
+        // join shuffle into a one-time layout cost, the single biggest
+        // lever for repeated fact-dim joins.
+        // A fresh session's in-memory catalog forgets managed tables while
+        // their warehouse directories survive — drop both before writing.
+        def reset(table: String): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $table")
+          val wh = java.net.URI.create(s.conf.get("spark.sql.warehouse.dir"))
+          val dir = java.nio.file.Paths.get(
+            if (wh.getScheme == "file") java.nio.file.Paths.get(wh).toString
+            else wh.getPath).resolve(table)
+          if (java.nio.file.Files.exists(dir)) {
+            import scala.jdk.CollectionConverters._
+            java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+          }
+        }
+        reset("graft_orders_bucketed")
+        reset("graft_customer_bucketed")
+        t(s, dir, "orders").write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_orders_bucketed")
+        t(s, dir, "customer").write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_customer_bucketed")
+        s.table("graft_customer_bucketed")
+          .join(s.table("graft_orders_bucketed"),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_orders"),
+            Tables.moneySum(col("o_totalprice")).as("total"))
+          .orderBy("c_nationkey")
+      },
+      Some("""
+        SELECT c_nationkey, count(*) AS n_orders,
+               floor((sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_nationkey ORDER BY c_nationkey""")
+    ),
+    QueryDef(
       "merge_upsert",
       (s, dir) => {
         // MERGE / upsert without a table format: full-outer join target ×

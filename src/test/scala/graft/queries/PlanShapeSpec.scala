@@ -58,6 +58,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(aggs >= 2, "partial+final aggregate pair present")
   }
 
+  test("join_bucketed joins with no Exchange on either side") {
+    // At test scale Catalyst would broadcast the dim side (also
+    // exchange-free, but not what bucketing is for) — disable broadcast to
+    // exercise the big-big case the layout exists for.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = Catalog.queriesMap("join_bucketed")(spark, dir)
+      // The plan below the aggregation must contain the join with both
+      // children exchange-free (bucketed layout satisfies the distribution).
+      val plan = df.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected sort-merge join in:\n$plan")
+      assert(!plan.substring(joinIdx).contains("Exchange"),
+        s"join children must be exchange-free:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("tfidf top-k plans TakeOrderedAndProject, not a global window sort") {
     val plan = planOf("text_tfidf_search")
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
