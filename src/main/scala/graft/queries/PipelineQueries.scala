@@ -258,6 +258,86 @@ object PipelineQueries {
                     ELSE 'train' END AS split, count(*) AS n
         FROM documents GROUP BY 1 ORDER BY split""")
     ),
+    // ------------------------------------------------- composite pipeline
+    QueryDef(
+      "pipeline_curation",
+      (s, dir) => {
+        // The algebra carrying the operators end-to-end as ONE graded
+        // query: clean -> quality gate -> exact dedup on cleaned text ->
+        // chunk accounting -> per-language corpus stats, composed with
+        // `~>` and run as a plain function. Laziness composes: the whole
+        // chain is one Catalyst plan (stages don't materialize at node
+        // boundaries), so pushdown/pruning cross the `~>` seams.
+        import graft.core._
+        import org.apache.spark.sql.DataFrame
+        import org.apache.spark.sql.functions._
+        val clean: Transform[DataFrame, DataFrame] = Node { df =>
+          df.select(col("doc_id"), col("lang"), col("text"),
+            trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+              .as("clean_text"))
+        }
+        val gate: Transform[DataFrame, DataFrame] = Node { df =>
+          df.join(TextOps.qualityScore(df.select("doc_id", "text"))
+              .select(col("doc_id"), col("quality")), "doc_id")
+            .filter(col("quality") >= 0.3)
+        }
+        val dedup: Transform[DataFrame, DataFrame] = Node { df =>
+          df.groupBy(col("clean_text"))
+            .agg(min(struct(col("doc_id"), col("lang"))).as("k"))
+            .select(col("k.doc_id").as("doc_id"), col("k.lang").as("lang"),
+              col("clean_text"))
+        }
+        val chunks: Transform[DataFrame, DataFrame] = Node { df =>
+          df.withColumn("n_toks",
+              size(expr("filter(split(clean_text, ' '), t -> t <> '')")))
+            .withColumn("n_chunks",
+              greatest(ceil((col("n_toks") - 30) / 20.0).cast("int"), lit(0)) + 1)
+        }
+        val stats: Transform[DataFrame, DataFrame] = Node { df =>
+          df.groupBy(col("lang"))
+            .agg(count(lit(1)).as("n_docs"), sum(col("n_chunks")).as("total_chunks"))
+            .orderBy("lang")
+        }
+        val pipe = clean ~> gate ~> dedup ~> chunks ~> stats
+        pipe(docs(s, dir))
+      },
+      Some {
+        val en = TextOps.stopwords("en").map(w => s"'$w'").mkString("(", ", ", ")")
+        s"""
+        WITH t0 AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks
+          FROM documents),
+        q AS (
+          SELECT doc_id,
+                 floor((
+                   0.25 * least(CAST(len(toks) AS DOUBLE) / 100.0, 1.0) +
+                   0.25 * least((CAST(length(list_aggregate(toks, 'string_agg', '')) AS DOUBLE) /
+                                 greatest(len(toks), 1)) / 8.0, 1.0) +
+                   0.5  * (CAST(len(list_filter(toks, t -> t IN $en)) AS DOUBLE) /
+                           greatest(len(toks), 1))
+                 ) * 10000 + 0.5) / 10000 AS quality
+          FROM t0),
+        c AS (
+          SELECT doc_id, lang,
+                 trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS clean_text
+          FROM documents),
+        g AS (
+          SELECT c.* FROM c JOIN q USING (doc_id) WHERE q.quality >= 0.3),
+        d AS (
+          SELECT clean_text, doc_id, lang,
+                 row_number() OVER (PARTITION BY clean_text ORDER BY doc_id) AS rn
+          FROM g),
+        k AS (
+          SELECT lang,
+                 len(list_filter(string_split(clean_text, ' '), x -> x <> '')) AS n
+          FROM d WHERE rn = 1)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(greatest(CAST(ceil((n - 30) / 20.0) AS INT), 0) + 1) AS BIGINT)
+                 AS total_chunks
+        FROM k GROUP BY lang ORDER BY lang"""
+      }
+    ),
     // --------------------------------------------------------- multimodal
     QueryDef(
       "multimodal_stats",
