@@ -201,6 +201,56 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** A×B (two-corpus) exact Jaccard join: candidates from a prefix-token
+    * equi-join BETWEEN the two sides' indexes — the incremental-dedup /
+    * eval-set-decontamination shape (incoming batch vs existing corpus,
+    * benchmark queries vs training set). Unlike the self-join miner there
+    * is no id ordering constraint; each side keeps its own (cached) index.
+    */
+  def ngramJaccardBetween(
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double
+  ): DataFrame = {
+    // ONE index over the union: PPJoin's prefix theorem requires a COMMON
+    // global token order — per-side document frequencies give each side a
+    // different rarest-first order and silently destroy recall. Requires
+    // disjoint doc_ids across the two sides (true for ingest-vs-corpus
+    // and eval-vs-training runs; re-key one side otherwise).
+    val ix = sortedTokenIndex(left.unionByName(right))
+    val li = ix.join(left.select(col("doc_id")), "doc_id")
+    val ri = ix.join(right.select(col("doc_id")), "doc_id")
+    def prefixed(ix: DataFrame) = ix.select(
+      col("doc_id"), col("sz"),
+      explode(expr(
+        s"slice(stoks, 1, cast(sz - ceil($threshold * sz) + 1 as int))")).as("tok"))
+    val probes = prefixed(li).select(
+      col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"),
+      explode(expr(
+        s"""sequence(cast(ceil($threshold * sz) as int),
+                     cast(floor(sz / $threshold) as int))""")).as("sz_b"))
+    val candidates = probes
+      .join(prefixed(ri).select(col("tok"), col("doc_id").as("id_b"), col("sz").as("sz_b")),
+        Seq("tok", "sz_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(li.select(col("doc_id").as("id_a"), col("stoks").as("toks_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(ri.select(col("doc_id").as("id_b"), col("stoks").as("toks_b"),
+        col("sz").as("sz_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"),
+        monotonically_increasing_id().as("_barrier"))
+      .filter(col("inter").cast("double") /
+        (col("sz_a") + col("sz_b") - col("inter")) >= threshold)
+      .select(col("id_a"), col("id_b"),
+        (floor(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")) * 10000 + 0.5) / 10000)
+          .as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** 64-bit SimHash per document: for each bit, sign of the token-weighted
     * sum; packed into one BIGINT with bitwise aggregation. Pure expressions
     * — codegen-friendly, no UDF.

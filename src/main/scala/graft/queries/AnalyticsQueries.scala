@@ -148,6 +148,35 @@ object AnalyticsQueries {
         ORDER BY o_orderkey""")
     ),
     QueryDef(
+      "window_first_last",
+      (s, dir) => {
+        // Positional window values over an EXPLICIT full-partition frame:
+        // last_value/nth_value default to the running frame (unbounded
+        // preceding → current row), which silently yields the current row
+        // — the full frame must be spelled out for "partition extremes".
+        // Unique o_orderkey in the ordering keeps ties deterministic.
+        val w = Window.partitionBy(col("o_orderstatus"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            first(col("o_orderkey")).over(w).as("cheapest_key"),
+            last(col("o_orderkey")).over(w).as("priciest_key"),
+            nth_value(col("o_orderkey"), 3).over(w).as("third_cheapest_key"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderstatus,
+               first_value(o_orderkey) OVER w AS cheapest_key,
+               last_value(o_orderkey) OVER w AS priciest_key,
+               nth_value(o_orderkey, 3) OVER w AS third_cheapest_key
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderstatus
+                     ORDER BY o_totalprice, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey""")
+    ),
+    QueryDef(
       "sessionize_batch",
       (s, dir) => {
         // Batch gaps-and-islands sessionization (30-min inactivity gap) —

@@ -105,6 +105,36 @@ object PipelineQueries {
       None // engine-hash-based candidate generation; exact counterpart above
     ),
     QueryDef(
+      "dedup_incremental",
+      // Incoming batch (odd doc_ids) checked against the existing corpus
+      // (even doc_ids): the A×B similarity join every incremental ingest
+      // and eval-decontamination pass runs. Exact Jaccard >= 0.9.
+      (s, dir) => {
+        val d = docs(s, dir)
+        DedupOps.ngramJaccardBetween(
+          d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+          d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+          threshold = 0.9)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(list_filter(
+            string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
+          FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0 GROUP BY 1, 2)
+        SELECT id_a, id_b,
+               floor((CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)) * 10000 + 0.5) / 10000 AS jaccard
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.9
+        ORDER BY id_a, id_b""")
+    ),
+    QueryDef(
       "dedup_simhash",
       (s, dir) => DedupOps.simhashPairs(docs(s, dir), maxHamming = 3),
       None
