@@ -66,6 +66,29 @@ class GraphTextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngramJaccardBetween finds every cross-corpus pair (one global token order)") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    def mkDoc(): String =
+      (1 to (5 + rnd.nextInt(4))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val left = (1L to 15L).map(i => (i, mkDoc())).toDF("doc_id", "text")
+    val right = (101L to 115L).map(i => (i, mkDoc())).toDF("doc_id", "text")
+    val got = DedupOps.ngramJaccardBetween(left, right, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force reference on the driver
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase).toSet
+    val l = left.collect().map(r => r.getLong(0) -> toks(r.getString(1)))
+    val rr = right.collect().map(r => r.getLong(0) -> toks(r.getString(1)))
+    val expected = (for {
+      (ia, ta) <- l; (ib, tb) <- rr
+      j = ta.intersect(tb).size.toDouble / ta.union(tb).size
+      if j >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("repetitionSignals computes dup-token and top-bigram ratios exactly") {
     val s = spark
     import s.implicits._
