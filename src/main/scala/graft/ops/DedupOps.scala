@@ -17,13 +17,15 @@ import org.apache.spark.sql.functions._
   */
 object DedupOps {
 
-  /** Distinct lower-cased whitespace tokens per doc. */
-  def tokenSets(docs: DataFrame): DataFrame =
-    docs.select(
-      col("doc_id"),
-      expr("array_distinct(filter(split(lower(text), '\\\\s+'), t -> t <> ''))")
-        .as("toks")
-    )
+  /** Distinct lower-cased whitespace tokens per doc — the native
+    * [[graft.functions.DistinctTokens]] expression, bit-identical to
+    * `array_distinct(filter(split(lower(text), '\\s+'), t -> t <> ''))`
+    * but one pass per document (no regex engine, no intermediate arrays).
+    */
+  def tokenSets(docs: DataFrame): DataFrame = {
+    graft.functions.DistinctTokens.register(docs.sparkSession)
+    docs.select(col("doc_id"), expr("ws_distinct_tokens(text)").as("toks"))
+  }
 
   /** 3-token shingle sets per doc (guarding docs shorter than one shingle). */
   def shingleSets(docs: DataFrame, k: Int = 3): DataFrame =

@@ -62,6 +62,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("array<float>"))
   }
 
+  test("native ws_distinct_tokens is bit-identical to the SQL composition") {
+    DistinctTokens.register(spark)
+    // real corpus + synthetic edge cases (leading/trailing/mixed whitespace,
+    // repeats, empties, case folding)
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("text"))
+    val s = spark
+    import s.implicits._
+    val edges = Seq("  A  b\ta ", "", "one", "x\n\ny X x", "\t").toDF("text")
+    Seq(corpus, edges).foreach { df =>
+      val both = df.select(
+        expr("ws_distinct_tokens(text)").as("native"),
+        expr("array_distinct(filter(split(lower(text), '\\\\s+'), t -> t <> ''))")
+          .as("hof")
+      ).collect()
+      both.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"token arrays must match exactly: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+  }
+
   test("native minhash_sig is bit-identical to the HoF composition") {
     val s = spark
     import s.implicits._
