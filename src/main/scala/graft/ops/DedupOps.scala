@@ -220,8 +220,36 @@ object DedupOps {
     // disjoint doc_ids across the two sides (true for ingest-vs-corpus
     // and eval-vs-training runs; re-key one side otherwise).
     val ix = sortedTokenIndex(left.unionByName(right))
-    val li = ix.join(left.select(col("doc_id")), "doc_id")
-    val ri = ix.join(right.select(col("doc_id")), "doc_id")
+    crossPairs(ix,
+      ix.join(left.select(col("doc_id")), "doc_id"),
+      ix.join(right.select(col("doc_id")), "doc_id"),
+      threshold)
+  }
+
+  /** A×B Jaccard join where both sides PARTITION one corpus (e.g. incoming
+    * vs existing rows of the same table): indexes the corpus once — and
+    * shares that (cached) index with every other mining pass over it —
+    * instead of re-indexing the reassembled union.
+    */
+  def ngramJaccardSplit(
+      docs: DataFrame,
+      leftCond: org.apache.spark.sql.Column,
+      rightCond: org.apache.spark.sql.Column,
+      threshold: Double
+  ): DataFrame = {
+    val ix = sortedTokenIndex(docs)
+    crossPairs(ix,
+      ix.join(docs.filter(leftCond).select(col("doc_id")), "doc_id"),
+      ix.join(docs.filter(rightCond).select(col("doc_id")), "doc_id"),
+      threshold)
+  }
+
+  private def crossPairs(
+      ix: DataFrame,
+      li: DataFrame,
+      ri: DataFrame,
+      threshold: Double
+  ): DataFrame = {
     def prefixed(ix: DataFrame) = ix.select(
       col("doc_id"), col("sz"),
       explode(expr(

@@ -110,10 +110,9 @@ object PipelineQueries {
       // (even doc_ids): the A×B similarity join every incremental ingest
       // and eval-decontamination pass runs. Exact Jaccard >= 0.9.
       (s, dir) => {
-        val d = docs(s, dir)
-        DedupOps.ngramJaccardBetween(
-          d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
-          d.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+        import org.apache.spark.sql.functions.col
+        DedupOps.ngramJaccardSplit(docs(s, dir),
+          col("doc_id") % 2 === 1, col("doc_id") % 2 === 0,
           threshold = 0.9)
       },
       Some("""
