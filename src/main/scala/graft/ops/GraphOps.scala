@@ -77,7 +77,12 @@ object GraphOps {
       val l2 = labels.select(col("id").as("lid"), col("label").as("llabel"))
       val jumped = labels.join(l2, labels("label") === l2("lid"))
         .select(labels("id"), col("llabel").as("label"))
-      val next = labels.union(prop).union(jumped)
+      // second application: label(label(label(x))) — still only reads the
+      // materialized previous round, compresses chains 4x per round
+      val l3 = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+      val jumped2 = jumped.join(l3, jumped("label") === l3("jid"))
+        .select(jumped("id"), col("jlabel").as("label"))
+      val next = labels.union(prop).union(jumped2)
         .groupBy("id").agg(min("label").as("label"))
         .localCheckpoint(true)
       val cur = next.agg(sum(col("label")).cast("decimal(38,0)").as("s"))
