@@ -86,6 +86,53 @@ object VectorQueries {
       Some(topkOracle)
     ),
     QueryDef(
+      "kmeans_assign",
+      // One Lloyd's-iteration assignment step: every vector to its nearest
+      // of 8 deterministic centroids (the embeddings of vec_id 0..7) by
+      // squared L2, quantized to 1e-4 before the argmin so the cross-engine
+      // tie-break (then lowest centroid id) is bit-stable. Centroids
+      // broadcast; distances stay in codegen'd higher-order functions; the
+      // argmin is the associative min(struct) — a full k-means loop
+      // re-averages assignments and repeats, exactly like the CC loop.
+      (s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val cents = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+        val d2 = aggregate(
+          zip_with(col("embedding"), col("cvec"),
+            (a, b) => (a.cast("double") - b.cast("double")) *
+              (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, x) => acc + x)
+        e.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            floor(d2 * 10000 + 0.5).cast("long").as("d2_e4"))
+          .groupBy(col("vec_id"))
+          .agg(min(struct(col("d2_e4"), col("cid"))).as("b"))
+          .groupBy(col("b.cid").as("cid"))
+          .agg(count(lit(1)).as("n_vectors"), min(col("vec_id")).as("first_vec"))
+          .orderBy("cid")
+      },
+      Some("""
+        WITH ve AS (
+          SELECT vec_id, unnest(embedding) AS vx,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        ce AS (
+          SELECT vec_id AS cid, unnest(embedding) AS cx,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id < 8),
+        d AS (
+          SELECT ve.vec_id, ce.cid,
+                 CAST(floor(sum(POWER(CAST(ve.vx AS DOUBLE) - CAST(ce.cx AS DOUBLE), 2)) * 10000 + 0.5) AS BIGINT) AS d2_e4
+          FROM ve JOIN ce USING (i) GROUP BY 1, 2),
+        a AS (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d2_e4, cid) AS rn
+          FROM d)
+        SELECT cid, count(*) AS n_vectors, min(vec_id) AS first_vec
+        FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""")
+    ),
+    QueryDef(
       "similarity_topk_native",
       // Same query through the native codegen'd Catalyst expression
       // (graft.functions.CosineSimilarity) — identical accumulation order,
