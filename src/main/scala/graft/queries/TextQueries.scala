@@ -60,6 +60,31 @@ object TextQueries {
         FROM documents ORDER BY doc_id""")
     ),
     QueryDef(
+      "corpus_sample",
+      // Deterministic stratified down-sampling for data mixing: keep 40%
+      // of English docs and all others, decided by a multiplicative hash
+      // of the stable doc key (Knuth 2654435761 mod 2^32) — reproducible
+      // across runs/engines/partitionings, unlike rand()-based sampling.
+      // Output is the per-lang kept/total accounting a mixing config
+      // audits. doc_id*2654435761 < 2^63 at any realistic id, no overflow.
+      (s, dir) =>
+        s.read.parquet(s"$dir/documents.parquet")
+          .withColumn("bucket",
+            (col("doc_id") * 2654435761L) % 4294967296L % 100)
+          .withColumn("keep",
+            when(col("lang") === "en", col("bucket") < 40).otherwise(lit(true)))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+          .orderBy("lang"),
+      Some("""
+        SELECT lang, count(*) AS n_total,
+               CAST(sum(CASE WHEN lang <> 'en'
+                      OR (doc_id * 2654435761) % 4294967296 % 100 < 40
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        FROM documents GROUP BY lang ORDER BY lang""")
+    ),
+    QueryDef(
       "text_clean",
       (s, dir) => TextOps.cleanText(s.read.parquet(s"$dir/documents.parquet")),
       Some("""

@@ -89,6 +89,24 @@ class GraphTextOpsSpec extends AnyFunSuite {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("ngramJaccardSplit equals ngramJaccardBetween on a partitioned corpus") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("red", "green", "blue", "cyan", "teal", "pink")
+    val docs = (1L to 24L).map { i =>
+      (i, (1 to (4 + rnd.nextInt(4))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    import org.apache.spark.sql.functions.col
+    val split = DedupOps.ngramJaccardSplit(docs,
+      col("doc_id") % 2 === 1, col("doc_id") % 2 === 0, 0.6).collect().toSet
+    val between = DedupOps.ngramJaccardBetween(
+      docs.filter(col("doc_id") % 2 === 1),
+      docs.filter(col("doc_id") % 2 === 0), 0.6).collect().toSet
+    assert(split.map(_.toString) == between.map(_.toString))
+    assert(split.nonEmpty, "tiny vocab should produce cross pairs")
+  }
+
   test("repetitionSignals computes dup-token and top-bigram ratios exactly") {
     val s = spark
     import s.implicits._
