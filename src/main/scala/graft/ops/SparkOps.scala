@@ -144,6 +144,34 @@ object SparkOps {
         .agg(sum(col("__psum")).as("sum"), sum(col("__pcnt")).as("count"))
     }
 
+  /** Skew-proof equi-join: replicate the small side across `saltBuckets`
+    * salt values (a broadcast cross join with a tiny salt range — no
+    * shuffle of the small side rows themselves until the join) and give
+    * each big-side row a deterministic salt from `bigSaltSrc` (any
+    * roughly-uniform per-row column, e.g. a line number). The join then
+    * shuffles on (key, salt), so one hot key's rows spread over
+    * `saltBuckets` reducers instead of hammering one. Result is identical
+    * to the plain equi-join: every big row matches exactly the one replica
+    * carrying its salt. At cluster scale, salt only the keys a stats pass
+    * flags as hot — replicating the whole small side multiplies its
+    * shuffle volume by `saltBuckets`.
+    */
+  def saltedEquiJoin(
+      big: DataFrame,
+      small: DataFrame,
+      cond: (DataFrame, DataFrame) => Column,
+      bigSaltSrc: Column,
+      saltBuckets: Int
+  ): DataFrame = {
+    val salts = small.sparkSession.range(saltBuckets.toLong)
+      .select(col("id").cast("int").as("__rsalt"))
+    val smallX = small.crossJoin(broadcast(salts))
+    val bigS = big.withColumn("__lsalt",
+      pmod(bigSaltSrc, lit(saltBuckets)).cast("int"))
+    bigS.join(smallX, cond(bigS, smallX) && bigS("__lsalt") === smallX("__rsalt"))
+      .drop("__lsalt", "__rsalt")
+  }
+
   /** Bucketed write: co-locates future joins/aggregations on `bucketCols`
     * — two tables bucketed the same way join with ZERO exchange. The
     * cluster-scale alternative to re-shuffling a fact table every query.

@@ -551,6 +551,67 @@ object AnalyticsQueries {
       }
     ),
     QueryDef(
+      "bloom_join",
+      // Explicit runtime-filter join: build a Bloom filter over the
+      // selective side's keys (df.stat.bloomFilter — a mergeable sketch,
+      // built distributed, only the ~1 MB bitset reaches the driver), push
+      // `mightContain` down the fact scan, then finish with the exact
+      // equi-join that removes the false positives. This is what Spark's
+      // own InjectRuntimeFilter does when stats warrant; stated explicitly
+      // here because at 100 TB the pre-filter drops ~80% of the fact
+      // shuffle for a 20%-selective dimension predicate. Result is
+      // bit-identical to the plain join — the oracle IS the plain join.
+      (s, dir) => {
+        val urgent = t(s, dir, "orders")
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey"))
+        val bf = urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01)
+        val mightContain = udf((k: Long) => bf.mightContain(k))
+        t(s, dir, "lineitem")
+          .filter(mightContain(col("l_orderkey")))
+          .join(urgent, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            Tables.moneySum(col("l_extendedprice")).as("total"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l.l_returnflag, count(*) AS n,
+               floor((sum(CAST(floor(l.l_extendedprice * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderpriority = '1-URGENT'
+        GROUP BY l.l_returnflag ORDER BY l.l_returnflag""")
+    ),
+    QueryDef(
+      "join_skew_salted",
+      // The join twin of agg_skew_salted: lineitem⋈orders through
+      // SparkOps.saltedEquiJoin — the small side replicated across 8 salt
+      // values, the fact side salted deterministically by line number, the
+      // shuffle keyed on (orderkey, salt) so a hot order spreads over 8
+      // reducers. Equality with the plain join is the graded check.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"), col("l_discount"))
+        val ords = t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        graft.ops.SparkOps.saltedEquiJoin(
+            li, ords,
+            (l, r) => l("l_orderkey") === r("o_orderkey"),
+            col("l_linenumber"), 8)
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .as("revenue"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o.o_orderpriority, count(*) AS n,
+               floor((sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS revenue
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority ORDER BY o_orderpriority""")
+    ),
+    QueryDef(
       "str_distance",
       (s, dir) => {
         // Banded edit-distance join: each part compares against keys

@@ -1,8 +1,12 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Date/time and JSON operators over `orders` / `events`. */
+/** Date/time and JSON operators over `orders` / `events`, plus the
+  * time-series shapes built on them: calendar gap filling, SCD-2 interval
+  * histories, and exact-arithmetic outlier detection.
+  */
 object EventQueries {
 
   def queries: Seq[QueryDef] = Seq(
@@ -102,6 +106,111 @@ object EventQueries {
         UNION ALL SELECT '2_click_after_signup', count(*) FROM s2
         UNION ALL SELECT '3_purchase_after_click', count(*) FROM s3
         ORDER BY stage""")
+    ),
+    QueryDef(
+      "gap_fill",
+      // Time-series gap filling: the calendar spine is generated
+      // DISTRIBUTED (sequence() over the min/max bounds — a one-row
+      // broadcast, then explode), never a driver-side loop; sparse daily
+      // aggregates left-join onto it. The 100 TB shape: bounds come from
+      // partition-pruned min/max statistics, the spine is tiny, the join
+      // broadcasts the spine against the aggregated (already small) side.
+      (s, dir) => {
+        val orders = s.read.parquet(s"$dir/orders.parquet")
+        val daily = orders
+          .groupBy(to_date(col("o_orderdate")).as("d"))
+          .agg(count(lit(1)).as("n"),
+            Tables.moneySum(col("o_totalprice")).as("total"))
+        val days = orders
+          .agg(min(to_date(col("o_orderdate"))).as("lo"),
+            max(to_date(col("o_orderdate"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("d"))
+        days.join(daily, Seq("d"), "left")
+          .select(col("d"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            coalesce(col("total"), lit(0.0)).as("total"))
+          .orderBy("d")
+      },
+      Some("""
+        WITH b AS (SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+                          max(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+        days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+        daily AS (
+          SELECT CAST(o_orderdate AS DATE) AS d, count(*) AS n,
+                 floor((sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
+          FROM orders GROUP BY 1)
+        SELECT days.d, coalesce(daily.n, 0) AS n, coalesce(daily.total, 0.0) AS total
+        FROM days LEFT JOIN daily USING (d) ORDER BY d""")
+    ),
+    QueryDef(
+      "scd2_history",
+      // Slowly-changing-dimension type 2 from an ordered change log: each
+      // order opens a validity interval closed by the customer's next
+      // order (lead() over one window). One shuffle on the entity key;
+      // the (o_orderdate, o_orderkey) compound sort key makes same-day
+      // rows a total order, so intervals are engine-stable.
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_custkey"),
+            row_number().over(w).as("version"),
+            col("o_orderkey"), col("o_orderpriority"),
+            col("o_orderdate").as("valid_from"),
+            lead(col("o_orderdate"), 1).over(w).as("valid_to"))
+          .orderBy("o_custkey", "version")
+      },
+      Some("""
+        SELECT o_custkey,
+               CAST(row_number() OVER w AS INTEGER) AS version,
+               o_orderkey, o_orderpriority, o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_custkey, version""")
+    ),
+    QueryDef(
+      "anomaly_zscore",
+      // Per-type z-score outlier counts with an EXACT integer decision:
+      // |v−μ| > 2.5σ  ⇔  4·(n·v−S)² > 25·(n·Q−S²)  over long-quantized
+      // values (S=Σv, Q=Σv²), evaluated in decimal(38,0) — no float enters
+      // the predicate, so a borderline row can never flip between engines
+      // (DuckDB mirrors it in HUGEINT). Two passes over events: one tiny
+      // grouped aggregate, broadcast back for the filter. Headroom:
+      // |n·v| < 1e12 at sf1 → squares < 1e24 ≪ 1e38.
+      (s, dir) => {
+        val dec = "decimal(38,0)"
+        val q = Tables.events(s, dir)
+          .select(col("event_id"), col("event_type"),
+            floor(col("value") * 10000 + 0.5).cast("long").as("v_e4"))
+        val st = q.groupBy("event_type").agg(
+          count(lit(1)).cast(dec).as("n_t"),
+          sum(col("v_e4").cast(dec)).as("s_t"),
+          sum(col("v_e4").cast(dec) * col("v_e4").cast(dec)).as("q_t"))
+        val dev = col("n_t") * col("v_e4").cast(dec) - col("s_t")
+        q.join(broadcast(st), "event_type")
+          .where(dev * dev * lit(4) > (col("n_t") * col("q_t") - col("s_t") * col("s_t")) * lit(25))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_outliers"), min(col("event_id")).as("first_outlier"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH q AS (
+          SELECT event_id, event_type,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v_e4
+          FROM events),
+        st AS (
+          SELECT event_type, CAST(count(*) AS HUGEINT) AS n_t,
+                 sum(CAST(v_e4 AS HUGEINT)) AS s_t,
+                 sum(CAST(v_e4 AS HUGEINT) * v_e4) AS q_t
+          FROM q GROUP BY event_type)
+        SELECT q.event_type, count(*) AS n_outliers,
+               min(q.event_id) AS first_outlier
+        FROM q JOIN st USING (event_type)
+        WHERE (st.n_t * q.v_e4 - st.s_t) * (st.n_t * q.v_e4 - st.s_t) * 4
+              > (st.n_t * st.q_t - st.s_t * st.s_t) * 25
+        GROUP BY q.event_type ORDER BY q.event_type""")
     ),
     QueryDef(
       "retention_cohort",

@@ -124,6 +124,123 @@ object TextQueries {
         ORDER BY b.doc_id""")
     ),
     QueryDef(
+      "pii_scrub",
+      // PII redaction — the curation pass every web-scale corpus runs
+      // before training. The synthetic documents carry no PII, so the
+      // regexes are exercised on a contact string derived from customer
+      // columns (email + IPv4 + phone per row); patterns stay in the
+      // RE2 ∩ java.util.regex common subset (char classes, bounded
+      // repetition, \b) so both engines agree byte-for-byte.
+      // regexp_replace/regexp_count are codegen'd — one pass per pattern,
+      // no UDF; at 100 TB this is a map-only stage with zero shuffle.
+      (s, dir) => {
+        val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+        val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+        val phonePat = "\\b555-\\d{4}\\b"
+        s.read.parquet(s"$dir/customer.parquet")
+          .withColumn("contact", concat(
+            lower(regexp_replace(col("c_name"), "#", ".")),
+            lit("@corp.example ip=10."),
+            (col("c_custkey") % 256).cast("string"),
+            lit(".0.7 call 555-"),
+            lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+          .select(
+            col("c_custkey"),
+            regexp_count(col("contact"), lit(emailPat)).as("n_email"),
+            regexp_count(col("contact"), lit(ipPat)).as("n_ip"),
+            regexp_count(col("contact"), lit(phonePat)).as("n_phone"),
+            regexp_replace(regexp_replace(regexp_replace(col("contact"),
+              emailPat, "[EMAIL]"), ipPat, "[IP]"), phonePat, "[PHONE]")
+              .as("scrubbed"))
+          .orderBy("c_custkey")
+      },
+      Some("""
+        WITH c AS (
+          SELECT c_custkey,
+                 lower(replace(c_name, '#', '.')) || '@corp.example ip=10.' ||
+                 CAST(c_custkey % 256 AS VARCHAR) || '.0.7 call 555-' ||
+                 lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') AS contact
+          FROM customer)
+        SELECT c_custkey,
+               len(regexp_extract_all(contact, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+               len(regexp_extract_all(contact, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ip,
+               len(regexp_extract_all(contact, '\b555-\d{4}\b')) AS n_phone,
+               regexp_replace(regexp_replace(regexp_replace(contact,
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g'),
+                 '\b555-\d{4}\b', '[PHONE]', 'g') AS scrubbed
+        FROM c ORDER BY c_custkey""")
+    ),
+    QueryDef(
+      "ngram_counts",
+      // Corpus-wide top-20 bigram frequencies — the language-model n-gram
+      // statistics pass. explode + groupBy compiles to a partial (map-side)
+      // aggregate before the shuffle, so the wire carries one row per
+      // distinct bigram per task, not one per occurrence; the top-20 is a
+      // TakeOrderedAndProject (per-partition heaps, no global sort).
+      (s, dir) =>
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(split(col("text"), " ").as("ts"))
+          .where(size(col("ts")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(ts) - 1), i -> concat_ws(' ', ts[i-1], ts[i]))"))
+            .as("bigram"))
+          .groupBy("bigram")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("bigram"))
+          .limit(20),
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        bg AS (
+          SELECT unnest(list_transform(range(2, len(ts) + 1),
+                   i -> ts[i - 1] || ' ' || ts[i])) AS bigram
+          FROM toks WHERE len(ts) >= 2)
+        SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram LIMIT 20""")
+    ),
+    QueryDef(
+      "dedup_substring",
+      // Exact duplicated-substring detection (Lee et al.'s dedup signal at
+      // token 13-gram granularity): count, per document, the 13-grams that
+      // also appear in at least one OTHER document. distinct
+      // (doc, gram) pairs → gram frequency → join back. The gram shuffle
+      // carries the raw 13-gram here for oracle comparability; the 100 TB
+      // path shuffles xxhash64(gram) digests instead (8 bytes vs ~80) and
+      // keeps the same downstream plan, exactly as dedup_exact hashes
+      // bodies before its shuffle.
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val grams = docs
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .where(size(col("ts")) >= 13)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ts) - 12), i -> array_join(slice(ts, i, 13), ' '))"))
+            .as("gram"))
+          .distinct()
+        val dup = grams.groupBy("gram").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1).select("gram")
+        val perDoc = grams.join(dup, "gram")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_dup_grams"))
+        docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, array_to_string(ts[i : i + 12], ' ') AS gram
+          FROM toks, unnest(range(1, len(ts) - 11)) AS t(i)
+          WHERE len(ts) >= 13),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        per_doc AS (
+          SELECT g.doc_id, count(*) AS n_dup_grams
+          FROM g JOIN dup USING (gram) GROUP BY g.doc_id)
+        SELECT d.doc_id, coalesce(p.n_dup_grams, 0) AS n_dup_grams
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id""")
+    ),
+    QueryDef(
       "text_tfidf_search",
       (s, dir) =>
         TextOps.tfidfSearch(

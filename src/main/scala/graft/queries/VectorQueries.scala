@@ -133,6 +133,33 @@ object VectorQueries {
         FROM a WHERE rn = 1 GROUP BY cid ORDER BY cid""")
     ),
     QueryDef(
+      "embedding_pool",
+      // Mean-pooled centroid per label — the "average embedding" reduction
+      // behind class prototypes and IVF coarse quantizers. posexplode keeps
+      // the dimension index; values quantize to 1e-6 longs BEFORE the sum
+      // (associative → partition-order-proof), and the mean is an exact
+      // floor division. One shuffle on (label, dim); map-side partial
+      // aggregation means the wire carries n_labels × dim rows per task.
+      (s, dir) =>
+        s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("label"), (col("pos") + 1).as("i"),
+            floor(col("x").cast("double") * 1000000 + 0.5).cast("long").as("x_e6"))
+          .groupBy("label", "i")
+          .agg(count(lit(1)).as("n"), sum(col("x_e6")).as("sx"))
+          .select(col("label"), col("i"), col("n"),
+            floor(col("sx") / col("n")).as("mean_e6"))
+          .orderBy("label", "i"),
+      Some("""
+        WITH x AS (
+          SELECT label, generate_subscripts(embedding, 1) AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x_e6
+          FROM embeddings)
+        SELECT label, i, count(*) AS n,
+               CAST(floor(CAST(sum(x_e6) AS DOUBLE) / count(*)) AS BIGINT) AS mean_e6
+        FROM x GROUP BY label, i ORDER BY label, i""")
+    ),
+    QueryDef(
       "similarity_topk_native",
       // Same query through the native codegen'd Catalyst expression
       // (graft.functions.CosineSimilarity) — identical accumulation order,

@@ -74,6 +74,24 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(salted == direct)
   }
 
+  test("saltedEquiJoin equals the plain equi-join (hot key spread)") {
+    val s = spark
+    import s.implicits._
+    // hot key 1 carries 5000 of 5100 big-side rows
+    val big = ((1 to 5000).map(i => (1L, i)) ++
+      (1 to 100).map(i => (i.toLong + 1, i))).toDF("k", "line")
+    val small = (1L to 101L).map(k => (k, s"dim$k")).toDF("dk", "attr")
+    val salted = SparkOps.saltedEquiJoin(
+        big, small, (l, r) => l("k") === r("dk"), col("line"), 8)
+      .select("k", "line", "attr")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val plain = big.join(small, $"k" === $"dk")
+      .select("k", "line", "attr")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(salted == plain)
+    assert(salted.size == 5100)
+  }
+
   test("bucketed tables join without an exchange") {
     val env = SparkEnv(spark, dir)
     val nation = SparkOps.scanParquet("nation").provide(env).unsafeRun(())
