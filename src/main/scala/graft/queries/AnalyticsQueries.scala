@@ -357,6 +357,41 @@ object AnalyticsQueries {
       Some("SELECT * FROM nation ORDER BY n_nationkey")
     ),
     QueryDef(
+      "scan_text",
+      // Raw-text source with schema-on-read: write delimited lines, read
+      // them back as a one-column `value` scan, parse with split + casts.
+      // The parse is ordinary codegen'd projection — the pattern for any
+      // line-oriented format Spark lacks a connector for (logs, WARC
+      // headers, custom exports); at scale the text scan splits by line
+      // ranges exactly like CSV.
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_text_region"
+        t(s, dir, "region")
+          .select(concat_ws("|", col("r_regionkey"), col("r_name")).as("value"))
+          .coalesce(1).write.mode("overwrite").text(tmp)
+        s.read.text(tmp)
+          .select(split(col("value"), "\\|").as("p"))
+          .select(col("p").getItem(0).cast("int").as("r_regionkey"),
+            col("p").getItem(1).as("r_name"))
+          .orderBy("r_regionkey")
+      },
+      Some("SELECT * FROM region ORDER BY r_regionkey")
+    ),
+    QueryDef(
+      "scan_xml",
+      // Round-trip through Spark 4's built-in XML source (rowTag records,
+      // explicit schema — inference over XML costs a full extra pass).
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_xml_nation"
+        val src = t(s, dir, "nation")
+        src.coalesce(1).write.format("xml").option("rowTag", "nation")
+          .mode("overwrite").save(tmp)
+        s.read.schema(src.schema).format("xml").option("rowTag", "nation")
+          .load(tmp).orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")
+    ),
+    QueryDef(
       "sql_subqueries",
       (s, dir) => {
         // The spark.sql entry point with a scalar subquery + a correlated

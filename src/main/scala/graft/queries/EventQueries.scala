@@ -213,6 +213,34 @@ object EventQueries {
         GROUP BY q.event_type ORDER BY q.event_type""")
     ),
     QueryDef(
+      "window_cume_distinct",
+      // Cumulative DISTINCT users per day — COUNT(DISTINCT) OVER is
+      // unsupported as a window in Spark, and the naive emulation
+      // (size(collect_set) over an unbounded frame) holds every key in
+      // window state. The scalable identity: a user is DISTINCT exactly
+      // once, on their first day — so aggregate first-appearances per day
+      // (shuffle on (type, user), then (type, day) — both partial-agg
+      // friendly) and run a plain cumulative SUM over the small daily
+      // series.
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"), to_date(col("ts")).as("d"))
+        val first = e.groupBy("event_type", "user_id").agg(min("d").as("d"))
+        first.groupBy("event_type", "d").agg(count(lit(1)).as("n_new"))
+          .withColumn("cume_users",
+            sum(col("n_new")).over(
+              Window.partitionBy("event_type").orderBy("d")))
+          .orderBy("event_type", "d")
+      },
+      Some("""
+        WITH e AS (SELECT event_type, user_id, CAST(ts AS DATE) AS d FROM events),
+        f AS (SELECT event_type, user_id, min(d) AS d FROM e GROUP BY 1, 2),
+        p AS (SELECT event_type, d, count(*) AS n_new FROM f GROUP BY 1, 2)
+        SELECT event_type, d, n_new,
+               CAST(sum(n_new) OVER (PARTITION BY event_type ORDER BY d) AS BIGINT) AS cume_users
+        FROM p ORDER BY event_type, d""")
+    ),
+    QueryDef(
       "retention_cohort",
       (s, dir) => {
         // Cohort retention at DAY granularity (the corpus spans 30 days):
