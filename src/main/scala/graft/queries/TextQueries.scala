@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.ops.TextOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text / document-corpus operators over the `documents` table (doc_id,
@@ -239,6 +240,54 @@ object TextQueries {
         SELECT d.doc_id, coalesce(p.n_dup_grams, 0) AS n_dup_grams
         FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
         ORDER BY d.doc_id""")
+    ),
+    QueryDef(
+      "pack_sequences",
+      // Sequence packing for pretraining: concatenate the corpus in doc_id
+      // order and cut every 2048 tokens; each doc reports its global token
+      // offset and the context-window bins it lands in. The global prefix
+      // sum is TWO-PHASE — per-bucket partial sums, a tiny cumulative scan
+      // over bucket totals (broadcast back), then a per-bucket window — so
+      // no single-partition global window ever materializes; the same
+      // doc_id-div bucketing gives deterministic bucket contents at any
+      // parallelism. The oracle computes the naive single-window cumsum —
+      // equality IS the proof the two-phase plan is exact.
+      (s, dir) => {
+        val C = 2048
+        val bucketSz = 500L
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("n_tokens"))
+          .withColumn("part", expr(s"doc_id div $bucketSz"))
+        val offsets = docs.groupBy("part").agg(sum("n_tokens").as("psum"))
+          .withColumn("offset",
+            coalesce(sum(col("psum")).over(
+              Window.orderBy("part").rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select("part", "offset")
+        docs.join(broadcast(offsets), "part")
+          .withColumn("end_off",
+            col("offset") + sum(col("n_tokens")).over(
+              Window.partitionBy("part").orderBy("doc_id")))
+          .select(col("doc_id"), col("n_tokens"),
+            (col("end_off") - col("n_tokens")).as("start_off"),
+            expr(s"(end_off - n_tokens) div $C").as("first_bin"),
+            expr(s"(end_off - 1) div $C").as("last_bin"),
+            (expr(s"(end_off - n_tokens) div $C") =!= expr(s"(end_off - 1) div $C"))
+              .as("crosses_boundary"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents),
+        c AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_off
+              FROM d)
+        SELECT doc_id, n_tokens, end_off - n_tokens AS start_off,
+               (end_off - n_tokens) // 2048 AS first_bin,
+               (end_off - 1) // 2048 AS last_bin,
+               ((end_off - n_tokens) // 2048) <> ((end_off - 1) // 2048) AS crosses_boundary
+        FROM c ORDER BY doc_id""")
     ),
     QueryDef(
       "text_tfidf_search",
