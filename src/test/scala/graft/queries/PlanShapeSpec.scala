@@ -82,4 +82,46 @@ class PlanShapeSpec extends AnyFunSuite {
     val plan = planOf("text_tfidf_search")
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
   }
+
+  test("bloom_join applies the runtime filter at the fact scan, below the join") {
+    val plan = planOf("bloom_join")
+    // The mightContain UDF must sit in a Filter on the lineitem side
+    // BEFORE the (broadcast) join — pre-shuffle row pruning is the point.
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0, s"expected broadcast join in:\n$plan")
+    val factSide = plan.substring(joinIdx)
+    assert(factSide.contains("UDF(knownnotnull(l_orderkey"),
+      s"expected bloom UDF filter below the join in:\n$plan")
+  }
+
+  test("ngram_counts plans map-side partial aggregation and a top-k operator") {
+    val plan = planOf("ngram_counts")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final aggregate in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k operator in:\n$plan")
+  }
+
+  test("pack_sequences never plans a single-partition global window") {
+    val plan = planOf("pack_sequences")
+    // The doc-level cumsum window must carry a partition spec on the bucket
+    // key (rendered as `], [part#N L], [doc_id ...` — partitionBy then
+    // orderBy); only the tiny bucket-offset series may run unpartitioned.
+    assert("\\], \\[part#\\d+L?\\], \\[doc_id".r.findFirstIn(plan).isDefined,
+      s"expected bucket-partitioned doc window in:\n$plan")
+  }
+
+  test("join_skew_salted joins on (key, salt) with the salt range broadcast") {
+    val plan = planOf("join_skew_salted")
+    assert(plan.contains("__lsalt") || plan.contains("__rsalt"),
+      s"expected salt keys in join in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("gap_fill broadcasts the calendar spine (no shuffle of the spine join)") {
+    val plan = planOf("gap_fill")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast spine join in:\n$plan")
+  }
 }
