@@ -376,6 +376,38 @@ object PipelineQueries {
                CAST(list_sum(list_transform(range(1, length(text) + 1),
                  i -> ascii(substr(text, i, 1)))) % 1000000007 AS BIGINT) AS checksum
         FROM documents ORDER BY doc_id""")
+    ),
+    QueryDef(
+      "multimodal_frames",
+      // The frame-sampling (one row → many frames) shape, graded: per-doc
+      // frame counts and bytes after a 64-byte/stride-32 sample over the
+      // opaque payload. Frame geometry is fully determined by payload
+      // length, so the UDTF-ish mapPartitions stage gets a real SQL oracle
+      // (docs shorter than one frame keep a 0-frame row via the left join).
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val frames = MultimodalOps
+          .frameSample(MultimodalOps.mediaTable(s, dir), frameBytes = 64, stride = 32)
+          .toDF()
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_frames"),
+            sum(octet_length(col("frame"))).as("frame_bytes"))
+        s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+          .join(frames, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_frames"), lit(0L)).as("n_frames"),
+            coalesce(col("frame_bytes"), lit(0L)).as("frame_bytes"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH f AS (
+          SELECT doc_id,
+                 CASE WHEN octet_length(encode(text)) < 64 THEN 0
+                      ELSE (octet_length(encode(text)) - 64) // 32 + 1 END AS n_frames
+          FROM documents)
+        SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(64 * n_frames AS BIGINT) AS frame_bytes
+        FROM f ORDER BY doc_id""")
     )
   )
 }
