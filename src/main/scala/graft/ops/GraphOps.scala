@@ -127,6 +127,37 @@ object GraphOps {
       .orderBy("doc_id")
   }
 
+  /** Fixed-iteration PageRank over an undirected pair list with EXACT
+    * integer arithmetic: ranks live as 1e-6 quanta (longs), per-edge
+    * contributions are integer floor divisions by degree, and each round is
+    * `150000 + floor(0.85 · Σ contrib)` — the only float op is one IEEE
+    * multiply+floor per vertex per round, identical in any engine, so a
+    * fixed iteration count gives bit-stable ranks (floats accumulated
+    * per-edge would diverge with partition order). Scale shape per round:
+    * one equi-join edges⋈ranks on src plus one groupBy(dst) — the same
+    * key-partitioned shuffle pair as a connected-components round; the
+    * full algorithm iterates exactly like [[connectedComponents]]
+    * (checkpointing each round once rounds grow deep).
+    */
+  def pagerankQuantized(pairs: DataFrame, iterations: Int): DataFrame = {
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("s"), col("id_b").as("d")),
+        struct(col("id_b").as("s"), col("id_a").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    (1 to iterations).foreach { _ =>
+      val contrib = edges.join(ranks, edges("src") === ranks("id"))
+        .join(deg, "src")
+        .select(col("dst").as("id"), expr("r div deg").as("c"))
+      ranks = contrib.groupBy("id")
+        .agg((lit(150000L) + floor(lit(0.85) * sum(col("c")))).cast("long").as("r"))
+    }
+    ranks
+  }
+
   /** Keep-best representative per near-dup cluster: longest text wins,
     * lowest doc_id breaks ties. Realized as max(struct(n_chars, -doc_id))
     * — an associative argmax, so it partial-aggregates map-side (no

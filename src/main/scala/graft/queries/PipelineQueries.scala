@@ -367,6 +367,40 @@ object PipelineQueries {
         FROM k GROUP BY lang ORDER BY lang"""
       }
     ),
+    QueryDef(
+      "graph_pagerank",
+      // Two PageRank iterations over the near-dup graph (token Jaccard >=
+      // 0.95 pairs — the same cached PPJoin mining dedup_clusters uses):
+      // which documents sit at the CENTER of duplication families. Exact
+      // quantized-integer rounds (see GraphOps.pagerankQuantized), so the
+      // DuckDB replay of the identical recurrence matches bit-for-bit.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        GraphOps.pagerankQuantized(
+            DedupOps.ngramJaccard(docs(s, dir), threshold = 0.95)
+              .select("id_a", "id_b"),
+            iterations = 2)
+          .select(col("id").as("doc_id"), col("r").as("rank_q"))
+          .orderBy(col("rank_q").desc, col("doc_id"))
+          .limit(50)
+      },
+      Some(s"""
+        WITH $pairCte,
+        e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS r FROM deg),
+        r1 AS (SELECT e.dst AS id,
+                 CAST(150000 + floor(0.85 * sum(r0.r // deg.deg)) AS BIGINT) AS r
+               FROM e JOIN r0 ON e.src = r0.id JOIN deg ON e.src = deg.src
+               GROUP BY e.dst),
+        r2 AS (SELECT e.dst AS id,
+                 CAST(150000 + floor(0.85 * sum(r1.r // deg.deg)) AS BIGINT) AS r
+               FROM e JOIN r1 ON e.src = r1.id JOIN deg ON e.src = deg.src
+               GROUP BY e.dst)
+        SELECT id AS doc_id, r AS rank_q FROM r2
+        ORDER BY rank_q DESC, doc_id LIMIT 50""")
+    ),
     // --------------------------------------------------------- multimodal
     QueryDef(
       "multimodal_stats",

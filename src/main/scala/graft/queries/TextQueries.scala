@@ -242,6 +242,55 @@ object TextQueries {
         ORDER BY d.doc_id""")
     ),
     QueryDef(
+      "quality_surprise",
+      // Bigram-LM rarity score: mean inverse add-one-smoothed conditional
+      // probability of each document's bigrams under the corpus model —
+      // the perplexity-style "how unusual is this text" quality signal,
+      // computed ENTIRELY in integer arithmetic ((c1+V)·1e6 div (c2+1),
+      // exact long sums, integer mean). A log-domain NLL would hang
+      // engine-portability on libm's last ulp; the inverse-probability
+      // form ranks documents the same way and is bit-stable anywhere.
+      // Scale: two corpus-stat aggregates (map-side combinable), then the
+      // per-occurrence joins key on bigram/unigram — model tables are
+      // vocabulary-sized (sublinear in corpus), broadcast here, shuffle
+      // (with AQE skew split on stopword-hot tokens) at 100 TB.
+      (s, dir) => {
+        val toksDf = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        val uni = toksDf.select(explode(col("ts")).as("w1"))
+          .groupBy("w1").agg(count(lit(1)).as("c1"))
+        val vDf = uni.agg(count(lit(1)).as("v"))
+        val bg = toksDf.where(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, concat_ws(' ', ts[i-1], ts[i]) AS b))"))
+            .as("x"))
+          .select(col("doc_id"), col("x.w1").as("w1"), col("x.b").as("b"))
+        val big = bg.groupBy("b").agg(count(lit(1)).as("c2"))
+        bg.join(big, "b").join(uni, "w1").crossJoin(broadcast(vDf))
+          .select(col("doc_id"),
+            expr("((c1 + v) * 1000000) div (c2 + 1)").as("inv_q"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum(col("inv_q")).as("s"))
+          .select(col("doc_id"), col("n_bigrams"),
+            expr("s div n_bigrams").as("surprise_q"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        uni AS (SELECT w1, count(*) AS c1
+                FROM (SELECT unnest(ts) AS w1 FROM toks) GROUP BY w1),
+        v AS (SELECT count(*) AS v FROM uni),
+        bg AS (SELECT doc_id, ts[i - 1] AS w1, ts[i - 1] || ' ' || ts[i] AS b
+               FROM toks, unnest(range(2, len(ts) + 1)) AS r(i)
+               WHERE len(ts) >= 2),
+        big AS (SELECT b, count(*) AS c2 FROM bg GROUP BY b),
+        x AS (SELECT bg.doc_id, ((uni.c1 + v.v) * 1000000) // (big.c2 + 1) AS inv_q
+              FROM bg JOIN big USING (b) JOIN uni USING (w1) CROSS JOIN v)
+        SELECT doc_id, count(*) AS n_bigrams,
+               CAST(sum(inv_q) // count(*) AS BIGINT) AS surprise_q
+        FROM x GROUP BY doc_id ORDER BY doc_id""")
+    ),
+    QueryDef(
       "pack_sequences",
       // Sequence packing for pretraining: concatenate the corpus in doc_id
       // order and cut every 2048 tokens; each doc reports its global token
