@@ -156,6 +156,31 @@ object DedupOps {
     })
   }
 
+  /** Session-scoped cache of MATERIALIZED near-dup pair lists, keyed by
+    * (corpus plan, threshold). The pair list at a given threshold is the
+    * other expensive shared artifact besides the token index: clustering,
+    * PageRank centrality, and keep-best canonicalization all consume the
+    * same mined pairs — a production pipeline writes the pair table once
+    * per corpus snapshot and every downstream graph pass reads it.
+    */
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Double), DataFrame]()
+
+  /** [[ngramJaccard]] through the pair cache: first caller mines and
+    * persists, later callers (any consumer of the same corpus+threshold)
+    * reuse the materialized pairs.
+    */
+  def ngramJaccardCached(docs: DataFrame, threshold: Double): DataFrame = {
+    val key = (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.logical.semanticHash(), threshold)
+    pairsCache.computeIfAbsent(key, _ => {
+      val df = ngramJaccard(docs, threshold)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      df.count()
+      df
+    })
+  }
+
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     val sorted = sortedTokenIndex(docs)
     val prefixed = sorted.select(

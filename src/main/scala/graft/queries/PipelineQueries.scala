@@ -377,7 +377,7 @@ object PipelineQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.col
         GraphOps.pagerankQuantized(
-            DedupOps.ngramJaccard(docs(s, dir), threshold = 0.95)
+            DedupOps.ngramJaccardCached(docs(s, dir), threshold = 0.95)
               .select("id_a", "id_b"),
             iterations = 2)
           .select(col("id").as("doc_id"), col("r").as("rank_q"))
