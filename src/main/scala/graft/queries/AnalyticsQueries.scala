@@ -357,6 +357,120 @@ object AnalyticsQueries {
       Some("SELECT * FROM nation ORDER BY n_nationkey")
     ),
     QueryDef(
+      "rfm_segmentation",
+      // RFM customer segmentation: per-customer recency/frequency/monetary
+      // extremes (map-side-combinable aggregates over orders), then
+      // quartile codes via ntile over a TOTAL order (metric, custkey) so
+      // equal metrics land deterministically. The ntile windows are global
+      // but run over the per-customer aggregate — customers-sized, orders
+      // of magnitude below the raw data; at billions of customers the
+      // ranking goes two-phase exactly like pack_sequences' prefix sum.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+        val anchor = o.agg(max(to_date(col("o_orderdate"))).as("anchor"))
+        val rfm = o.groupBy(col("o_custkey"))
+          .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+            count(lit(1)).as("f"),
+            sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("m_cents"))
+          .crossJoin(broadcast(anchor))
+          .select(col("o_custkey"),
+            datediff(col("anchor"), col("last_d")).as("r"),
+            col("f"), col("m_cents"))
+        rfm
+          .withColumn("r_q", ntile(4).over(Window.orderBy(col("r"), col("o_custkey"))))
+          .withColumn("f_q", ntile(4).over(Window.orderBy(col("f").desc, col("o_custkey"))))
+          .withColumn("m_q", ntile(4).over(Window.orderBy(col("m_cents").desc, col("o_custkey"))))
+          .groupBy("r_q", "f_q", "m_q")
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy("r_q", "f_q", "m_q")
+      },
+      Some("""
+        WITH a AS (SELECT max(CAST(o_orderdate AS DATE)) AS anchor FROM orders),
+        rfm AS (
+          SELECT o_custkey,
+                 datediff('day', max(CAST(o_orderdate AS DATE)), (SELECT anchor FROM a)) AS r,
+                 count(*) AS f,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+          FROM orders GROUP BY o_custkey),
+        q AS (
+          SELECT CAST(ntile(4) OVER (ORDER BY r, o_custkey) AS INTEGER) AS r_q,
+                 CAST(ntile(4) OVER (ORDER BY f DESC, o_custkey) AS INTEGER) AS f_q,
+                 CAST(ntile(4) OVER (ORDER BY m_cents DESC, o_custkey) AS INTEGER) AS m_q
+          FROM rfm)
+        SELECT r_q, f_q, m_q, count(*) AS n_customers
+        FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
+    ),
+    QueryDef(
+      "dq_checks",
+      // Deequ-style expectation suite: five named row-level rules checked
+      // in ONE pass (one aggregate of conditional sums — never one job per
+      // rule), then unpivoted to a (rule, violations, rows) report via
+      // explode of uniformly-named structs.
+      (s, dir) => {
+        val rules = Seq(
+          "discount_in_range" -> (col("l_discount") >= 0 && col("l_discount") <= 0.1),
+          "price_positive" -> (col("l_extendedprice") > 0),
+          "qty_in_range" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+          "returnflag_valid" -> col("l_returnflag").isin("A", "N", "R"),
+          "shipdate_present" -> col("l_shipdate").isNotNull)
+        val aggs = rules.map { case (n, c) =>
+          sum(when(!c, 1L).otherwise(0L)).as(n)
+        } :+ count(lit(1)).as("n_rows")
+        t(s, dir, "lineitem")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(explode(expr(
+            "array(" + rules.map { case (n, _) =>
+              s"struct('$n' AS rule, $n AS n_violations)"
+            }.mkString(",") + ")")).as("x"), col("n_rows"))
+          .select(col("x.rule").as("rule"),
+            col("x.n_violations").as("n_violations"), col("n_rows"))
+          .orderBy("rule")
+      },
+      Some {
+        val rules = Seq(
+          "discount_in_range" -> "NOT (l_discount >= 0 AND l_discount <= 0.1)",
+          "price_positive" -> "NOT (l_extendedprice > 0)",
+          "qty_in_range" -> "NOT (l_quantity >= 1 AND l_quantity <= 50)",
+          "returnflag_valid" -> "l_returnflag NOT IN ('A', 'N', 'R')",
+          "shipdate_present" -> "l_shipdate IS NULL")
+        val sums = rules.map { case (n, p) =>
+          s"CAST(sum(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS $n"
+        }.mkString(", ")
+        val arms = rules.map { case (n, _) =>
+          s"SELECT '$n' AS rule, $n AS n_violations, n_rows FROM s"
+        }.mkString(" UNION ALL ")
+        s"WITH s AS (SELECT count(*) AS n_rows, $sums FROM lineitem) $arms ORDER BY rule"
+      }
+    ),
+    QueryDef(
+      "join_null_safe",
+      // Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+      // each other instead of silently dropping — the semantics ETL key
+      // reconciliation needs when "unknown" is itself a join key. Executes
+      // as an ordinary hash join on the null-safe key (still an equi-join;
+      // no fallback to nested loops).
+      (s, dir) => {
+        val l = t(s, dir, "orders")
+          .groupBy(nullif(col("o_orderstatus"), lit("O")).as("k"))
+          .agg(count(lit(1)).as("n_l"))
+        val r = t(s, dir, "orders")
+          .groupBy(nullif(col("o_orderstatus"), lit("P")).as("k"))
+          .agg(count(lit(1)).as("n_r"))
+        l.join(r, l("k") <=> r("k"))
+          .select(coalesce(l("k"), lit("NULL_KEY")).as("k"),
+            col("n_l"), col("n_r"))
+          .orderBy("k")
+      },
+      Some("""
+        WITH l AS (SELECT nullif(o_orderstatus, 'O') AS k, count(*) AS n_l
+                   FROM orders GROUP BY 1),
+        r AS (SELECT nullif(o_orderstatus, 'P') AS k, count(*) AS n_r
+              FROM orders GROUP BY 1)
+        SELECT coalesce(l.k, 'NULL_KEY') AS k, n_l, n_r
+        FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+        ORDER BY k""")
+    ),
+    QueryDef(
       "scan_text",
       // Raw-text source with schema-on-read: write delimited lines, read
       // them back as a one-column `value` scan, parse with split + casts.

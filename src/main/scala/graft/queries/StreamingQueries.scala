@@ -82,6 +82,15 @@ object StreamingQueries {
         ORDER BY 1, 2, 3""")
     ),
     QueryDef(
+      "stream_topk",
+      (s, dir) => StreamingOps.streamTopK(s, dir, 10),
+      Some("""
+        SELECT user_id, count(*) AS n,
+               floor((sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
+        FROM events GROUP BY user_id
+        ORDER BY n DESC, user_id LIMIT 10""")
+    ),
+    QueryDef(
       "stream_dedup",
       (s, dir) => StreamingOps.streamDedup(s, dir),
       Some("""

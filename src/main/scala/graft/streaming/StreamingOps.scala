@@ -218,6 +218,25 @@ object StreamingOps {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** Streaming top-k: complete-mode aggregation with ORDER BY + LIMIT
+    * INSIDE the streaming query — the engine re-ranks the maintained
+    * aggregate state on every trigger (sort+limit over streaming relations
+    * is legal only in complete mode; in append mode the batch top-k twin
+    * is `topk`). State is keyed-aggregate-sized, not input-sized; the
+    * (n, user_id) compound order makes the cut deterministic under ties.
+    */
+  def streamTopK(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val agg = replayEvents(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        (floor((sum(floor(col("value") * 10000 + 0.5).cast("long")) + 50) / 100) / 100.0)
+          .as("total"))
+      .orderBy(col("n").desc, col("user_id"))
+      .limit(k)
+    runToTable(agg, "complete")
+      .orderBy(col("n").desc, col("user_id"))
+  }
+
   /** Stateful streaming dedup on event_id (watermark-scoped state), then a
     * per-type count of the deduplicated stream.
     */
