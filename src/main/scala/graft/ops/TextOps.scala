@@ -230,4 +230,53 @@ object TextOps {
         expr("size(array_distinct(grams))").cast("long").as("n_distinct_grams"))
       .orderBy("doc_id")
   }
+
+  /** Misra–Gries over one partition's stream: at most `k` counters; when
+    * full, every counter decrements (the classic k-way cancellation). Any
+    * item with partition frequency > n_p/(k+1) survives — so the union of
+    * per-partition survivors is a SUPERSET of every item with global
+    * frequency > N/(k+1), regardless of how rows are partitioned.
+    */
+  private def misraGries(it: Iterator[String], k: Int): Iterator[String] = {
+    val counters = scala.collection.mutable.HashMap.empty[String, Long]
+    it.foreach { x =>
+      if (counters.contains(x)) counters(x) += 1
+      else if (counters.size < k) counters(x) = 1
+      else {
+        val dead = counters.iterator.collect { case (key, 1) => key }.toList
+        counters.mapValuesInPlace((_, v) => v - 1)
+        dead.foreach(counters.remove)
+      }
+    }
+    counters.keysIterator
+  }
+
+  /** EXACT distributed heavy hitters (frequency > 1/`denom` of the corpus)
+    * in two passes: (1) per-partition Misra–Gries candidates via
+    * `mapPartitions` — one of the few genuinely per-partition imperative
+    * jobs — whose union provably contains every global heavy hitter;
+    * (2) exact counts for the (tiny, broadcast) candidate set only. The
+    * heavy full groupBy over every distinct token never runs; the final
+    * filter `n · denom > N` is integer-exact. Result is independent of
+    * partitioning: candidates are a superset by the MG guarantee, and
+    * pass 2 decides membership exactly.
+    */
+  def heavyHitters(items: DataFrame, itemCol: String, denom: Int): DataFrame = {
+    val spark = items.sparkSession
+    import spark.implicits._
+    val col0 = col(itemCol)
+    val ds = items.select(col0.cast("string")).as[String]
+    // k chosen so MG's threshold n_p/(k+1) is well under N/denom per
+    // partition: any k >= denom works; headroom costs only candidate rows.
+    val cands = ds.mapPartitions(it => misraGries(it, denom * 4))
+      .distinct().toDF(itemCol)
+    val total = items.agg(count(lit(1)).as("total"))
+    items.join(broadcast(cands), itemCol)
+      .groupBy(col0)
+      .agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .filter(col("n") * denom > col("total"))
+      .select(col0, col("n"))
+      .orderBy(col("n").desc, col0)
+  }
 }

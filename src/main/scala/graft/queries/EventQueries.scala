@@ -213,6 +213,32 @@ object EventQueries {
         GROUP BY q.event_type ORDER BY q.event_type""")
     ),
     QueryDef(
+      "agg_histogram",
+      // Fixed-width value histogram (10 bins between the observed global
+      // min/max) with INTEGER bin assignment over quantized values — a
+      // float `(v-lo)/width` would put edge values in different bins per
+      // engine; `((v-lo)·10) div span` cannot. Bounds ride along as a
+      // broadcast one-row plan; the bin groupBy partial-aggregates
+      // map-side.
+      (s, dir) => {
+        val q = Tables.events(s, dir).select(col("event_type"),
+          floor(col("value") * 10000 + 0.5).cast("long").as("v"))
+        val b = q.agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+        q.crossJoin(broadcast(b))
+          .select(col("event_type"),
+            expr("((v - lo) * 10) div (hi - lo + 1)").as("bin"))
+          .groupBy("event_type", "bin")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("event_type", "bin")
+      },
+      Some("""
+        WITH q AS (SELECT event_type,
+                     CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v FROM events),
+        b AS (SELECT min(v) AS lo, max(v) AS hi FROM q)
+        SELECT event_type, ((v - lo) * 10) // (hi - lo + 1) AS bin, count(*) AS n
+        FROM q, b GROUP BY 1, 2 ORDER BY event_type, bin""")
+    ),
+    QueryDef(
       "window_cume_distinct",
       // Cumulative DISTINCT users per day — COUNT(DISTINCT) OVER is
       // unsupported as a window in Spark, and the naive emulation

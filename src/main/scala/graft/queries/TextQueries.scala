@@ -242,6 +242,24 @@ object TextQueries {
         ORDER BY d.doc_id""")
     ),
     QueryDef(
+      "agg_heavy_hitters",
+      // Exact corpus-wide frequent tokens (> 2% of all occurrences) via
+      // the two-pass Misra–Gries pattern (see TextOps.heavyHitters): the
+      // candidate sketch pass replaces the full-vocabulary groupBy — at
+      // 100 TB that is the difference between shuffling every distinct
+      // token and broadcasting a few hundred candidates.
+      (s, dir) => TextOps.heavyHitters(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(explode(split(col("text"), " ")).as("tok")),
+        "tok", denom = 50),
+      Some("""
+        WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        tot AS (SELECT count(*) AS total FROM t),
+        c AS (SELECT tok, count(*) AS n FROM t GROUP BY tok)
+        SELECT tok, n FROM c, tot WHERE n * 50 > total
+        ORDER BY n DESC, tok""")
+    ),
+    QueryDef(
       "quality_surprise",
       // Bigram-LM rarity score: mean inverse add-one-smoothed conditional
       // probability of each document's bigrams under the corpus model —
