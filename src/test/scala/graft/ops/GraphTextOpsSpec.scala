@@ -145,4 +145,23 @@ class GraphTextOpsSpec extends AnyFunSuite {
     assert(top.head.getAs[Long]("doc_id") == 1L)
     assert(top.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3))
   }
+
+  test("heavyHitters is exact and independent of partitioning") {
+    val s = spark
+    import s.implicits._
+    // skewed stream: "hot" 500x, "warm" 60x, 100 singletons (tail)
+    val items = (Seq.fill(500)("hot") ++ Seq.fill(60)("warm") ++
+      (1 to 100).map(i => s"cold$i"))
+    val expected = {
+      val n = items.size
+      items.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * 20 > n }.toMap
+    }
+    for (parts <- Seq(1, 3, 16)) {
+      val df = items.toDF("tok").repartition(parts)
+      val got = TextOps.heavyHitters(df, "tok", denom = 20)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"parts=$parts")
+    }
+  }
 }
