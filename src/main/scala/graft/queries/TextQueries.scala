@@ -260,6 +260,49 @@ object TextQueries {
         ORDER BY n DESC, tok""")
     ),
     QueryDef(
+      "token_cooccurrence",
+      // Document-level co-occurrence counts over a BOUNDED vocabulary: the
+      // all-pairs blowup (|tokens|² per doc) is tamed by first restricting
+      // to the corpus-frequent tokens (> 2%, the same exact heavy-hitter
+      // set as agg_heavy_hitters — broadcast as a semi-join filter), so
+      // each doc contributes at most |V_heavy|² ordered pairs. The
+      // self-join keys on doc_id — a co-partitioned shuffle, never a
+      // cross product. Top-20 pairs by document frequency.
+      (s, dir) => {
+        val tokens = s.read.parquet(s"$dir/documents.parquet")
+          .select(explode(split(col("text"), " ")).as("tok"))
+        val heavy = TextOps.heavyHitters(tokens, "tok", denom = 50).select("tok")
+        val docTok = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            explode(array_distinct(split(col("text"), " "))).as("tok"))
+          .join(broadcast(heavy), "tok")
+        docTok.select(col("doc_id"), col("tok").as("tok_a"))
+          .join(docTok.select(col("doc_id"), col("tok").as("tok_b")), "doc_id")
+          .filter(col("tok_a") < col("tok_b"))
+          .groupBy("tok_a", "tok_b")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy(col("n_docs").desc, col("tok_a"), col("tok_b"))
+          .limit(20)
+      },
+      Some("""
+        WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        tot AS (SELECT count(*) AS total FROM t),
+        heavy AS (
+          SELECT tok FROM t, tot GROUP BY tok, total
+          HAVING count(*) * 50 > total),
+        dt AS (
+          SELECT DISTINCT doc_id, tok
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                FROM documents)
+          WHERE tok IN (SELECT tok FROM heavy)),
+        p AS (
+          SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_docs
+          FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.tok < b.tok
+          GROUP BY 1, 2)
+        SELECT tok_a, tok_b, n_docs FROM p
+        ORDER BY n_docs DESC, tok_a, tok_b LIMIT 20""")
+    ),
+    QueryDef(
       "quality_surprise",
       // Bigram-LM rarity score: mean inverse add-one-smoothed conditional
       // probability of each document's bigrams under the corpus model —
