@@ -357,6 +357,79 @@ object AnalyticsQueries {
       Some("SELECT * FROM nation ORDER BY n_nationkey")
     ),
     QueryDef(
+      "sample_hash_k",
+      // Reproducible fixed-size "random" sample: order by a cryptographic
+      // hash of the stable key and take k — unlike rand()/TABLESAMPLE the
+      // selection is identical across runs, engines, partitionings and
+      // retries (a training-data pipeline requirement: the eval split must
+      // not drift between cluster runs). Executes as TakeOrderedAndProject
+      // on the hash — per-partition heaps of k, no global sort. md5 is the
+      // portable hash here; xxhash64 is the cheaper Spark-side choice when
+      // cross-engine replay isn't needed.
+      (s, dir) =>
+        t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"),
+            md5(col("o_orderkey").cast("string")).as("h"))
+          .orderBy("h", "o_orderkey")
+          .limit(1000)
+          .select("o_orderkey", "o_totalprice"),
+      Some("""
+        SELECT o_orderkey, o_totalprice FROM (
+          SELECT o_orderkey, o_totalprice,
+                 md5(CAST(o_orderkey AS VARCHAR)) AS h
+          FROM orders ORDER BY h, o_orderkey LIMIT 1000)
+        ORDER BY o_orderkey""")
+    ),
+    QueryDef(
+      "union_evolve",
+      // Schema-evolution-tolerant append: two generations of the same feed
+      // with different column sets union by NAME with missing columns
+      // null-filled (`unionByName(allowMissingColumns = true)`) — the
+      // positional UNION would mis-align or reject. This is how a lake
+      // ingests a feed across a schema migration without rewriting history.
+      (s, dir) => {
+        val gen1 = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_totalprice"))
+        val gen2 = t(s, dir, "orders")
+          .filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        gen1.unionByName(gen2, allowMissingColumns = true)
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, NULL, o_orderpriority
+        FROM orders WHERE o_orderkey % 2 = 1
+        ORDER BY o_orderkey""")
+    ),
+    QueryDef(
+      "join_hint_shuffle_hash",
+      // Join-strategy hint surface: SHUFFLE_HASH forces a shuffled hash
+      // join where Catalyst's cost model would pick broadcast or SMJ — the
+      // escape hatch when statistics mislead (e.g. a filter the optimizer
+      // can't estimate leaves a "big" side actually small enough to hash).
+      // Semantics are unchanged; only the physical strategy moves, which
+      // PlanShapeSpec asserts.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem").select("l_orderkey", "l_quantity")
+        val o = t(s, dir, "orders").hint("SHUFFLE_HASH")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            Tables.moneySum(col("l_quantity")).as("qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               floor((sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS qty
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+    QueryDef(
       "rfm_segmentation",
       // RFM customer segmentation: per-customer recency/frequency/monetary
       // extremes (map-side-combinable aggregates over orders), then

@@ -118,6 +118,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  test("join_hint_shuffle_hash forces ShuffledHashJoin over the default strategy") {
+    val plan = planOf("join_hint_shuffle_hash")
+    assert(plan.contains("ShuffledHashJoin"), s"expected shuffled hash join in:\n$plan")
+  }
+
+  test("sample_hash_k plans a top-k operator, not a global sort") {
+    val plan = planOf("sample_hash_k")
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
+  }
+
   test("gap_fill broadcasts the calendar spine (no shuffle of the spine join)") {
     val plan = planOf("gap_fill")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
