@@ -213,6 +213,34 @@ object EventQueries {
         GROUP BY q.event_type ORDER BY q.event_type""")
     ),
     QueryDef(
+      "window_forward_fill",
+      // Forward fill (carry last observation forward): last(col,
+      // ignoreNulls) over a running frame — the partner primitive to
+      // gap_fill for sparse time series. One shuffle on the entity key;
+      // the (date, orderkey) compound sort makes the carried value
+      // deterministic under same-day ties. Nulls are derived (every
+      // '5-LOW' hidden) so the fill path is actually exercised.
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            nullif(col("o_orderpriority"), lit("5-LOW")).as("v"))
+          .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+          .drop("o_orderdate")
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey,
+               nullif(o_orderpriority, '5-LOW') AS v,
+               last_value(nullif(o_orderpriority, '5-LOW') IGNORE NULLS) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        FROM orders ORDER BY o_custkey, o_orderkey""")
+    ),
+    QueryDef(
       "agg_histogram",
       // Fixed-width value histogram (10 bins between the observed global
       // min/max) with INTEGER bin assignment over quantized values — a

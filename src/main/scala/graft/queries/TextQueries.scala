@@ -260,6 +260,28 @@ object TextQueries {
         ORDER BY n DESC, tok""")
     ),
     QueryDef(
+      "udtf_explode_outer",
+      // Null-preserving explode: documents whose filtered token list is
+      // EMPTY keep one null row (explode_outer) instead of vanishing — the
+      // left-join semantics every enrichment explode needs when "no
+      // matches" is itself information. DuckDB lacks an outer unnest, so
+      // the oracle pads empty lists with [NULL] first — same contract.
+      (s, dir) =>
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            explode_outer(expr(
+              "filter(split(text, ' '), t -> t like 'q%')")).as("q_token"))
+          .orderBy("doc_id", "q_token"),
+      Some("""
+        WITH l AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, ' '), t -> t LIKE 'q%') AS qs
+          FROM documents)
+        SELECT doc_id,
+               unnest(CASE WHEN len(qs) = 0 THEN [NULL] ELSE qs END) AS q_token
+        FROM l ORDER BY doc_id, q_token""")
+    ),
+    QueryDef(
       "token_cooccurrence",
       // Document-level co-occurrence counts over a BOUNDED vocabulary: the
       // all-pairs blowup (|tokens|² per doc) is tamed by first restricting
