@@ -321,6 +321,80 @@ object EventQueries {
         FROM e JOIN f USING (user_id)
         GROUP BY cohort_day, day_index
         ORDER BY cohort_day, day_index""")
+    ),
+    QueryDef(
+      "events_transitions",
+      // First-order Markov transition counts over per-user event sequences
+      // (the "what happens after X" matrix behind session modeling and
+      // next-event prediction). One shuffle on user_id builds the ordered
+      // sequences; the bigram groupBy partial-aggregates map-side onto a
+      // |types|² matrix — constant size no matter how many events flow in.
+      // Probabilities quantized to 1e-4 (identical IEEE mul/floor per row).
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("p",
+            floor(col("n").cast("double") /
+              sum(col("n")).over(Window.partitionBy(col("from_type")))
+              * 10000 + 0.5) / 10000)
+          .orderBy("from_type", "to_type")
+      },
+      Some("""
+        WITH t AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM events),
+        c AS (
+          SELECT from_type, to_type, count(*) AS n
+          FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        SELECT from_type, to_type, n,
+               floor(CAST(n AS DOUBLE) /
+                 CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT)
+                 * 10000 + 0.5) / 10000 AS p
+        FROM c ORDER BY from_type, to_type""")
+    ),
+    QueryDef(
+      "events_ohlc",
+      // Daily open/high/low/close candles per event type. Open/close via
+      // the associative argmin/argmax struct trick — min(struct(ts, id,
+      // value)) — so the whole candle is ONE map-side-combinable aggregate
+      // pass: no window sort, no per-partition ordering requirement.
+      // event_id breaks same-timestamp ties; values pass through with no
+      // arithmetic, so the doubles are bit-exact across engines.
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("value")))
+              .getField("value").as("open"),
+            max(struct(col("ts"), col("event_id"), col("value")))
+              .getField("value").as("close"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            count(lit(1)).as("n"))
+          .orderBy("day", "event_type"),
+      Some("""
+        WITH b AS (
+          SELECT date_trunc('day', ts) AS day, event_type, value,
+                 first_value(value) OVER (
+                   PARTITION BY date_trunc('day', ts), event_type
+                   ORDER BY ts, event_id) AS open,
+                 last_value(value) OVER (
+                   PARTITION BY date_trunc('day', ts), event_type
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING) AS close
+          FROM events)
+        SELECT day, event_type, min(open) AS open, min(close) AS close,
+               max(value) AS high, min(value) AS low, count(*) AS n
+        FROM b GROUP BY day, event_type ORDER BY day, event_type""")
     )
   )
 }
