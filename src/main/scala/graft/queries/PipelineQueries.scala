@@ -159,7 +159,13 @@ object PipelineQueries {
     ),
     QueryDef(
       "dedup_embedding_lsh",
-      (s, dir) => DedupOps.cosineLshPairs(emb(s, dir), nBits = 8, threshold = 0.3),
+      // 6-bit bands: this corpus's near-dup tail tops out at cosine ≈ 0.46
+      // (p_bit ≈ 0.63), where the default 16-bit bands would find nothing —
+      // see the SrpBands recall formula; coarse bands are the low-threshold
+      // adaptation. Recall vs the exact twin (0.89 here) is asserted in
+      // RecallSpec.
+      (s, dir) => DedupOps.cosineLshPairs(emb(s, dir), bands = 16, bitsPerBand = 6,
+        threshold = 0.3),
       None
     ),
     // -------------------------------------------------------- similarity
