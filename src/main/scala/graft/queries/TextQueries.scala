@@ -286,21 +286,31 @@ object TextQueries {
       // Document-level co-occurrence counts over a BOUNDED vocabulary: the
       // all-pairs blowup (|tokens|² per doc) is tamed by first restricting
       // to the corpus-frequent tokens (> 2%, the same exact heavy-hitter
-      // set as agg_heavy_hitters — broadcast as a semi-join filter), so
-      // each doc contributes at most |V_heavy|² ordered pairs. The
-      // self-join keys on doc_id — a co-partitioned shuffle, never a
-      // cross product. Top-20 pairs by document frequency.
+      // set as agg_heavy_hitters). The heavy vocabulary is sublinear in
+      // corpus size, so it collapses to ONE broadcast array row; each doc
+      // intersects its token set with it locally and emits its ordered
+      // pairs in place (nested transform over the sorted intersection —
+      // i < j gives tok_a < tok_b for free). No self-join, no re-shuffle
+      // of the doc-token table: the only wide exchange on the doc path is
+      // the final pair aggregation, which is map-side combinable. Top-20
+      // pairs by document frequency.
       (s, dir) => {
         val tokens = s.read.parquet(s"$dir/documents.parquet")
           .select(explode(split(col("text"), " ")).as("tok"))
-        val heavy = TextOps.heavyHitters(tokens, "tok", denom = 50).select("tok")
-        val docTok = s.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"),
-            explode(array_distinct(split(col("text"), " "))).as("tok"))
-          .join(broadcast(heavy), "tok")
-        docTok.select(col("doc_id"), col("tok").as("tok_a"))
-          .join(docTok.select(col("doc_id"), col("tok").as("tok_b")), "doc_id")
-          .filter(col("tok_a") < col("tok_b"))
+        val heavyArr = TextOps.heavyHitters(tokens, "tok", denom = 50)
+          .agg(sort_array(collect_list(col("tok"))).as("hv"))
+        s.read.parquet(s"$dir/documents.parquet")
+          .crossJoin(broadcast(heavyArr))
+          .select(array_sort(array_intersect(
+            array_distinct(split(col("text"), " ")), col("hv"))).as("h"))
+          .select(explode(expr(
+            """CASE WHEN size(h) < 2
+                 THEN cast(array() as array<struct<tok_a: string, tok_b: string>>)
+                 ELSE flatten(transform(sequence(1, size(h) - 1),
+                   j -> transform(sequence(0, j - 1),
+                     i -> struct(h[i] AS tok_a, h[j] AS tok_b))))
+               END""")).as("p"))
+          .select(col("p.tok_a").as("tok_a"), col("p.tok_b").as("tok_b"))
           .groupBy("tok_a", "tok_b")
           .agg(count(lit(1)).as("n_docs"))
           .orderBy(col("n_docs").desc, col("tok_a"), col("tok_b"))

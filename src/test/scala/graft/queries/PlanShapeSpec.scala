@@ -111,6 +111,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected bucket-partitioned doc window in:\n$plan")
   }
 
+  test("token_cooccurrence emits pairs in place — no doc-token self-join") {
+    val plan = planOf("token_cooccurrence")
+    // The heavy vocabulary folds to one broadcast array row; pair
+    // generation is a per-doc nested transform, so the only joins allowed
+    // are broadcast (the vocab attach), never a shuffled self-join.
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"expected no shuffled self-join in:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected top-k operator in:\n$plan")
+  }
+
   test("join_skew_salted joins on (key, salt) with the salt range broadcast") {
     val plan = planOf("join_skew_salted")
     assert(plan.contains("__lsalt") || plan.contains("__rsalt"),
