@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Thresholded accuracy grading for every rows-only (no-SQL-oracle) query:
+  * each approximate algorithm is scored against its EXACT twin on the real
+  * testdata corpus, with a fixed numeric floor. All candidate generation is
+  * seeded-hash deterministic, so these scores are exact reproducible
+  * numbers, not flaky statistics — a future regression that degrades
+  * recall fails loudly here.
+  */
+class RecallSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .appName("graft-recall-test")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // 500 docs / 500 vectors — identical corpus shape to the sf0.01 grading
+  // the driver runs, small enough for exact twins in a unit test.
+  private val dir = "/root/testdata/sf0.001"
+
+  private def idPairs(name: String): Set[(Long, Long)] =
+    Catalog.queriesMap(name)(spark, dir)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def topIds(name: String): Set[Long] =
+    Catalog.queriesMap(name)(spark, dir)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("dedup_minhash_lsh recall vs exact jaccard pairs") {
+    val exact = idPairs("dedup_ngram_jaccard") // exact J >= 0.8
+    val lsh = idPairs("dedup_minhash_lsh") // est_jaccard >= 0.8, 8x8 bands
+    val recall = (lsh & exact).size.toDouble / exact.size
+    info(f"minhash-LSH recall = ${(lsh & exact).size}/${exact.size} = $recall%.3f")
+    assert(recall >= 0.75, f"minhash recall degraded: $recall%.3f") // measured 0.807
+  }
+
+  test("dedup_simhash finds EXACTLY the brute-force hamming<=3 pairs") {
+    // 4x16-bit banding pigeonholes d<=3, so recall must be 1.0 — assert
+    // set equality against the windowless brute-force join (500 docs).
+    val sh = graft.ops.DedupOps.simhash(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("sh_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("sh_b"))
+    val brute = a.join(b, col("id_a") < col("id_b"))
+      .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = idPairs("dedup_simhash")
+    assert(banded == brute,
+      s"simhash banding must equal brute force: banded=${banded.size} brute=${brute.size}")
+  }
+
+  test("dedup_embedding_lsh recall vs exact cosine pairs") {
+    val exact = idPairs("dedup_embedding_cosine") // cos >= 0.4, vec_id < 300
+    val lsh = idPairs("dedup_embedding_lsh")
+      .filter(p => p._1 < 300 && p._2 < 300) // exact twin's id window
+    val recall = (lsh & exact).size.toDouble / exact.size
+    info(f"SRP-LSH recall = ${(lsh & exact).size}/${exact.size} = $recall%.3f")
+    assert(recall >= 0.75, f"embedding-LSH recall degraded: $recall%.3f") // measured 0.792
+  }
+
+  test("similarity_lsh_topk overlap vs exact top-k") {
+    val exact = topIds("similarity_topk")
+    val lsh = topIds("similarity_lsh_topk")
+    val overlap = (lsh & exact).size.toDouble / exact.size
+    info(f"LSH top-k overlap = ${(lsh & exact).size}/${exact.size} = $overlap%.2f")
+    assert(overlap >= 0.45, f"LSH top-k overlap degraded: $overlap%.2f") // measured 0.50
+  }
+
+  test("similarity_ivf_topk overlap vs exact top-k") {
+    val exact = topIds("similarity_topk")
+    val ivf = topIds("similarity_ivf_topk")
+    val overlap = (ivf & exact).size.toDouble / exact.size
+    info(f"IVF top-k overlap = ${(ivf & exact).size}/${exact.size} = $overlap%.2f")
+    assert(overlap >= 0.85, f"IVF top-k overlap degraded: $overlap%.2f") // measured 0.90
+  }
+
+  test("agg_approx_distinct HLL estimates within the configured rsd") {
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+    val exact = li.agg(
+      countDistinct(col("l_partkey")).as("p"),
+      countDistinct(col("l_orderkey")).as("o")).collect()(0)
+    val approx = Catalog.queriesMap("agg_approx_distinct")(spark, dir).collect()(0)
+    val relP = math.abs(approx.getLong(0).toDouble / exact.getLong(0) - 1)
+    val relO = math.abs(approx.getLong(1).toDouble / exact.getLong(1) - 1)
+    info(f"HLL rel error: parts=$relP%.4f orders=$relO%.4f")
+    // configured rsd = 0.01; 5 sigma headroom keeps this deterministic
+    // check meaningful without being fragile to an implementation change
+    assert(relP <= 0.05 && relO <= 0.05, f"HLL error parts=$relP%.4f orders=$relO%.4f")
+  }
+}
