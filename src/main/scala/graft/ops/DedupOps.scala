@@ -126,9 +126,34 @@ object DedupOps {
     * (different τ, clustering, canonicalization) reuses one build — the
     * same way a production pipeline materializes a token index once per
     * corpus snapshot.
+    *
+    * CACHE CONTRACT: the key hashes the logical PLAN, not the data — a
+    * cached artifact assumes its source files are immutable for the life
+    * of the session. After overwriting a source path, call
+    * [[clearCaches]] to unpersist and drop this session's entries.
     */
   private val tokenIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), DataFrame]()
+
+  /** Unpersist and drop every cached mining artifact (token indexes, pair
+    * lists) built on `spark`; see the cache contract above. Also clears
+    * the cluster-label cache in [[graft.ops.GraphOps]], which is keyed the
+    * same way and derives from the same inputs.
+    */
+  def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sid = System.identityHashCode(spark)
+    def drop[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame])(
+        sessionOf: K => Int): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (sessionOf(e.getKey) == sid) { e.getValue.unpersist(); it.remove() }
+      }
+    }
+    drop(tokenIndexCache)(_._1)
+    drop(pairsCache)(_._1)
+    GraphOps.clearLabelCache(sid)
+  }
 
   /** Rarest-first sorted-token index: (doc_id, stoks sorted by ascending
     * document frequency, sz). Document frequency ties break on the token
@@ -144,7 +169,7 @@ object DedupOps {
         // regex tokenization of the whole corpus runs twice
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val docFreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      toks.join(docFreq, "tok")
+      val ix = toks.join(docFreq, "tok")
         .groupBy("doc_id")
         .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
           .as("stoks"))
@@ -153,6 +178,12 @@ object DedupOps {
         // pass; without persistence Spark recomputes the token join +
         // per-doc sort for each consumer (3x the dominant cost)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Materialize the index eagerly so the intermediate exploded-token
+      // cache can be released NOW — otherwise it pins executor storage for
+      // the life of the session (it has no consumers once ix is built).
+      ix.count()
+      toks.unpersist()
+      ix
     })
   }
 
@@ -181,6 +212,20 @@ object DedupOps {
     })
   }
 
+  /** Size-bucket id for the length-compatibility join key: exact integer
+    * buckets up to 32 tokens, quarter-octave (≈19%-wide) log buckets above.
+    * Enumerating every integer partner size explodes the probe side by
+    * `sz·(1/τ − τ)` rows on long documents (~450 copies per prefix token
+    * at τ=0.8, sz=1000); log buckets covering the same `[τ·sz, sz/τ]`
+    * range number O(log(1/τ²)) regardless of document length. The bucket
+    * map is monotone, so enumerating ids `bucket(lo)..bucket(hi)` covers
+    * every compatible partner size; coarser buckets only ADD candidates —
+    * the post-join size filter and the exact verify keep output unchanged.
+    */
+  private def szBucket(s: String): String =
+    s"(CASE WHEN ($s) <= 32 THEN ($s) " +
+      s"ELSE 32 + cast(floor(log2(cast(($s) as double) / 32.0) * 4) as int) END)"
+
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     val sorted = sortedTokenIndex(docs)
     // Prefix tokens WITH their 1-based position in the sorted array — the
@@ -191,17 +236,16 @@ object DedupOps {
         s"slice(stoks, 1, cast(sz - ceil($threshold * sz) + 1 as int))")))
       .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("tok"))
 
-    // Size-compatibility as part of the JOIN KEY, not a post-join filter:
-    // the probe side expands to every partner size allowed by the length
-    // filter (τ·|A| ≤ |B| ≤ |A|/τ — a handful of values at high τ), so the
-    // equi-join is on (token, size) buckets and size-incompatible pairs
-    // are never generated. On a skewed-token corpus this shrinks the
-    // candidate blowup by the size-spread factor before any shuffle.
+    // Size-compatibility as part of the JOIN KEY, not only a post-join
+    // filter: the probe side expands to every size BUCKET allowed by the
+    // length filter (τ·|A| ≤ |B| ≤ |A|/τ), so the equi-join is on
+    // (token, bucket) and grossly size-incompatible pairs are never
+    // generated; the exact size filter runs right after the join.
     val probes = prefixed.select(
       col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"), col("p").as("pa"),
       explode(expr(
-        s"""sequence(cast(ceil($threshold * sz) as int),
-                     cast(floor(sz / $threshold) as int))""")).as("sz_b"))
+        s"""sequence(${szBucket(s"cast(ceil($threshold * sz) as int)")},
+                     ${szBucket(s"cast(floor(sz / $threshold) as int)")})""")).as("szb"))
     // PPJoin positional filter (Xiao et al. §3.2): both token arrays are
     // sorted by ONE global order, so common tokens before positions
     // (pa, pb) number at most min(pa,pb)−1 and common tokens from the
@@ -211,9 +255,13 @@ object DedupOps {
     // filtering rows (then distinct) never drops a true pair — it only
     // stops false candidates from reaching the array_intersect verify.
     val candidates = probes
-      .join(prefixed.select(col("tok"), col("doc_id").as("id_b"), col("sz").as("sz_b"),
-        col("p").as("pb")), Seq("tok", "sz_b"))
+      .join(prefixed.select(col("tok"), expr(szBucket("sz")).as("szb"),
+        col("doc_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb")),
+        Seq("tok", "szb"))
       .filter(col("id_a") < col("id_b"))
+      // exact length compatibility (the join bucket is coarser above 32)
+      .filter(col("sz_b") >= ceil(col("sz_a") * threshold) &&
+        col("sz_b") <= floor(col("sz_a") / threshold))
       .filter(
         least(col("pa"), col("pb")) - 1 + lit(1) +
           least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=
@@ -298,14 +346,18 @@ object DedupOps {
     val probes = prefixed(li).select(
       col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"), col("p").as("pa"),
       explode(expr(
-        s"""sequence(cast(ceil($threshold * sz) as int),
-                     cast(floor(sz / $threshold) as int))""")).as("sz_b"))
-    // Same PPJoin positional filter as the self-join miner (see
-    // [[ngramJaccard]]): a safe per-row overlap ubound from the shared
-    // global token order; drops false candidates before the verify join.
+        s"""sequence(${szBucket(s"cast(ceil($threshold * sz) as int)")},
+                     ${szBucket(s"cast(floor(sz / $threshold) as int)")})""")).as("szb"))
+    // Same PPJoin positional filter + log-bucketed size key as the
+    // self-join miner (see [[ngramJaccard]] / [[szBucket]]): a safe
+    // per-row overlap ubound from the shared global token order; drops
+    // false candidates before the verify join.
     val candidates = probes
-      .join(prefixed(ri).select(col("tok"), col("doc_id").as("id_b"), col("sz").as("sz_b"),
-        col("p").as("pb")), Seq("tok", "sz_b"))
+      .join(prefixed(ri).select(col("tok"), expr(szBucket("sz")).as("szb"),
+        col("doc_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb")),
+        Seq("tok", "szb"))
+      .filter(col("sz_b") >= ceil(col("sz_a") * threshold) &&
+        col("sz_b") <= floor(col("sz_a") / threshold))
       .filter(
         least(col("pa"), col("pb")) - 1 + lit(1) +
           least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=

@@ -25,21 +25,28 @@ object GraphOps {
     * Convergence test: labels only ever decrease, so an unchanged label
     * SUM is a fixpoint proof — one cheap scalar action per round instead
     * of a change-count join.
+    *
+    * Non-convergence within `maxIter` (possible only on graphs whose
+    * compressed diameter exceeds it — not a near-dup workload) returns
+    * the in-progress labels and logs a warning.
     */
   def connectedComponents(
       vertices: DataFrame,
       edges: DataFrame,
       maxIter: Int = 50
   ): DataFrame = {
-    val spark = vertices.sparkSession
-    // Size the per-round shuffles to the VERTEX count, not the session
-    // default: localCheckpoint materializes every shuffle partition
-    // (bypassing AQE's small-partition coalescing), so a fixed 200-partition
-    // default would pay 200 tasks per round regardless of data. ~500k
-    // labels per partition keeps rounds one-task-cheap at test scale and
-    // spreads a 10^9-vertex graph over thousands of tasks.
+    // Size the per-round materializations to the VERTEX count, not the
+    // session default: localCheckpoint materializes every partition of
+    // the round's output, so a fixed 200-partition default would pay 200
+    // tasks per round regardless of data. ~500k labels per partition
+    // keeps rounds one-task-cheap at test scale and spreads a
+    // 10^9-vertex graph over thousands of tasks. The width is applied
+    // with a per-plan coalesce — NOT by mutating the session-global
+    // shuffle-partition conf, which would leak the shrunken value to
+    // concurrent queries on the same session.
     val nVerts = vertices.count()
-    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val defaultParts =
+      vertices.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(1L, math.min(defaultParts.toLong, nVerts / 500000L + 1L)).toInt
     // Both edge directions in ONE pass over the (possibly expensive) edge
     // pipeline — union(edges, edges.swap) would embed and execute that
@@ -53,49 +60,53 @@ object GraphOps {
       .select(col("e.s").as("src"), col("e.d").as("dst"))
       .repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // Materialize under the session's full parallelism BEFORE shrinking
-    // the shuffle width for the label rounds.
     e2.count()
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     var labels = vertices.select(col("id"), col("id").as("label"))
+      .coalesce(parts)
       .localCheckpoint(true)
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
     try {
-    while (!done && iter < maxIter) {
-      val prop = e2.join(labels, e2("src") === labels("id"))
-        .select(e2("dst").as("id"), col("label"))
-      // Pointer jumping (path halving): also feed label(label) candidates
-      // into the min. Labels only decrease and label(y) ≤ y, so the jump
-      // is a pure shortcut — chains compress geometrically and rounds
-      // drop from O(diameter) to O(log diameter). Both the edge
-      // propagation and the jump join against the MATERIALIZED previous
-      // labels (no diamond on this round's plan), and one groupBy folds
-      // all three candidate sets.
-      val l2 = labels.select(col("id").as("lid"), col("label").as("llabel"))
-      val jumped = labels.join(l2, labels("label") === l2("lid"))
-        .select(labels("id"), col("llabel").as("label"))
-      // second application: label(label(label(x))) — still only reads the
-      // materialized previous round, compresses chains 4x per round
-      val l3 = labels.select(col("id").as("jid"), col("label").as("jlabel"))
-      val jumped2 = jumped.join(l3, jumped("label") === l3("jid"))
-        .select(jumped("id"), col("jlabel").as("label"))
-      val next = labels.union(prop).union(jumped2)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true)
-      val cur = next.agg(sum(col("label")).cast("decimal(38,0)").as("s"))
-        .head.getDecimal(0)
-      done = prevSum != null && cur.compareTo(prevSum) == 0
-      prevSum = cur
-      labels = next
-      iter += 1
-    }
+      while (!done && iter < maxIter) {
+        val prop = e2.join(labels, e2("src") === labels("id"))
+          .select(e2("dst").as("id"), col("label"))
+        // Pointer jumping (path halving): also feed label(label) candidates
+        // into the min. Labels only decrease and label(y) ≤ y, so the jump
+        // is a pure shortcut — chains compress geometrically and rounds
+        // drop from O(diameter) to O(log diameter). Both the edge
+        // propagation and the jump join against the MATERIALIZED previous
+        // labels (no diamond on this round's plan), and one groupBy folds
+        // all three candidate sets.
+        val l2 = labels.select(col("id").as("lid"), col("label").as("llabel"))
+        val jumped = labels.join(l2, labels("label") === l2("lid"))
+          .select(labels("id"), col("llabel").as("label"))
+        // second application: label(label(label(x))) — still only reads the
+        // materialized previous round, compresses chains 4x per round
+        val l3 = labels.select(col("id").as("jid"), col("label").as("jlabel"))
+        val jumped2 = jumped.join(l3, jumped("label") === l3("jid"))
+          .select(jumped("id"), col("jlabel").as("label"))
+        val next = labels.union(prop).union(jumped2)
+          .groupBy("id").agg(min("label").as("label"))
+          // narrow merge down to the vertex-sized width before the
+          // checkpoint materializes partitions (no extra shuffle)
+          .coalesce(parts)
+          .localCheckpoint(true)
+        val cur = next.agg(sum(col("label")).cast("decimal(38,0)").as("s"))
+          .head.getDecimal(0)
+        done = prevSum != null && cur.compareTo(prevSum) == 0
+        prevSum = cur
+        labels = next
+        iter += 1
+      }
+      if (!done) {
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"connectedComponents: no fixpoint after $maxIter rounds — " +
+            "returned labels may not be fully converged")
+      }
     } finally {
-      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      e2.unpersist()
     }
-    e2.unpersist()
     labels
   }
 
@@ -108,6 +119,18 @@ object GraphOps {
     */
   private val labelCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Double), DataFrame]()
+
+  /** Drop this session's cached labelings (the checkpointed RDDs are
+    * released by the context cleaner once unreferenced). Invoked by
+    * [[graft.ops.DedupOps.clearCaches]] — same cache contract: keys hash
+    * the plan, so entries are valid only while source files are immutable.
+    */
+  private[ops] def clearLabelCache(sessionId: Int): Unit = {
+    val it = labelCache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1 == sessionId) it.remove()
+    }
+  }
 
   /** Cluster documents by near-duplicate similarity (token Jaccard >=
     * threshold via the exact PPJoin miner) and label each doc with its
@@ -136,26 +159,46 @@ object GraphOps {
     * per-edge would diverge with partition order). Scale shape per round:
     * one equi-join edges⋈ranks on src plus one groupBy(dst) — the same
     * key-partitioned shuffle pair as a connected-components round; the
-    * full algorithm iterates exactly like [[connectedComponents]]
-    * (checkpointing each round once rounds grow deep).
+    * full algorithm iterates exactly like [[connectedComponents]],
+    * checkpointing every `checkpointInterval` rounds so the logical plan
+    * stays bounded at any iteration depth (without it each round embeds
+    * the whole previous tree — re-planning cost grows geometrically).
+    * Checkpoint placement cannot change values: ranks are exact integer
+    * quanta, so a materialize-and-reread round is bit-identical.
     */
-  def pagerankQuantized(pairs: DataFrame, iterations: Int): DataFrame = {
+  def pagerankQuantized(
+      pairs: DataFrame,
+      iterations: Int,
+      checkpointInterval: Int = 5
+  ): DataFrame = {
+    require(checkpointInterval > 0)
     val edges = pairs
       .select(explode(array(
         struct(col("id_a").as("s"), col("id_b").as("d")),
         struct(col("id_b").as("s"), col("id_a").as("d")))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // deg is joined every round — persist, or each round re-aggregates the
+    // edge table (and the final unpersist below would invalidate it).
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
-    (1 to iterations).foreach { _ =>
+    (1 to iterations).foreach { i =>
       val contrib = edges.join(ranks, edges("src") === ranks("id"))
         .join(deg, "src")
         .select(col("dst").as("id"), expr("r div deg").as("c"))
       ranks = contrib.groupBy("id")
         .agg((lit(150000L) + floor(lit(0.85) * sum(col("c")))).cast("long").as("r"))
+      if (i % checkpointInterval == 0 && i < iterations) {
+        ranks = ranks.localCheckpoint(true)
+      }
     }
-    ranks
+    // Materialize the final ranks so the loop-scoped caches can be freed
+    // eagerly instead of pinning executor storage until the caller acts.
+    val out = ranks.localCheckpoint(true)
+    edges.unpersist()
+    deg.unpersist()
+    out
   }
 
   /** Keep-best representative per near-dup cluster: longest text wins,

@@ -152,9 +152,11 @@ object SparkOps {
     * shuffles on (key, salt), so one hot key's rows spread over
     * `saltBuckets` reducers instead of hammering one. Result is identical
     * to the plain equi-join: every big row matches exactly the one replica
-    * carrying its salt. At cluster scale, salt only the keys a stats pass
-    * flags as hot — replicating the whole small side multiplies its
-    * shuffle volume by `saltBuckets`.
+    * carrying its salt — rows whose `bigSaltSrc` is NULL land
+    * deterministically on replica 0 (a null salt must still match exactly
+    * one replica, not silently drop the row). At cluster scale, salt only
+    * the keys a stats pass flags as hot — replicating the whole small side
+    * multiplies its shuffle volume by `saltBuckets`.
     */
   def saltedEquiJoin(
       big: DataFrame,
@@ -167,7 +169,7 @@ object SparkOps {
       .select(col("id").cast("int").as("__rsalt"))
     val smallX = small.crossJoin(broadcast(salts))
     val bigS = big.withColumn("__lsalt",
-      pmod(bigSaltSrc, lit(saltBuckets)).cast("int"))
+      coalesce(pmod(bigSaltSrc, lit(saltBuckets)).cast("int"), lit(0)))
     bigS.join(smallX, cond(bigS, smallX) && bigS("__lsalt") === smallX("__rsalt"))
       .drop("__lsalt", "__rsalt")
   }

@@ -20,8 +20,14 @@ object TextOps {
     "zh" -> Seq("的", "是", "不", "了", "在", "人", "有", "我")
   )
 
+  /** SQL IN-list literal with quote/backslash escaping — search terms are
+    * user input and must not be able to break out of the string literal
+    * (`tfidfSearch` splices this into `expr()`).
+    */
   private def inList(words: Seq[String]): String =
-    words.map(w => s"'$w'").mkString("(", ", ", ")")
+    words
+      .map(w => "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'")
+      .mkString("(", ", ", ")")
 
   /** Stopword-hit count per language as expression SQL over `toks`. */
   private def scoreExpr(lang: String): String =

@@ -775,22 +775,28 @@ object AnalyticsQueries {
     QueryDef(
       "bloom_join",
       // Explicit runtime-filter join: build a Bloom filter over the
-      // selective side's keys (df.stat.bloomFilter — a mergeable sketch,
-      // built distributed, only the ~1 MB bitset reaches the driver), push
-      // `mightContain` down the fact scan, then finish with the exact
-      // equi-join that removes the false positives. This is what Spark's
-      // own InjectRuntimeFilter does when stats warrant; stated explicitly
+      // selective side's keys (BloomFilterAggregate — a mergeable sketch,
+      // built distributed, only the ~240 KB bitset reaches the driver),
+      // push a native `BloomFilterMightContain` probe down the fact scan,
+      // then finish with the exact equi-join that removes the false
+      // positives. These are the same expressions Spark's own
+      // InjectRuntimeFilter plants when stats warrant; stated explicitly
       // here because at 100 TB the pre-filter drops ~80% of the fact
-      // shuffle for a 20%-selective dimension predicate. Result is
-      // bit-identical to the plain join — the oracle IS the plain join.
+      // shuffle for a 20%-selective dimension predicate — and the native
+      // probe stays inside the scan's whole-stage codegen (a closure UDF
+      // would evaluate interpreted per fact row). Result is bit-identical
+      // to the plain join — the oracle IS the plain join.
       (s, dir) => {
+        graft.functions.BloomFunctions.registerAgg(s)
         val urgent = t(s, dir, "orders")
           .filter(col("o_orderpriority") === "1-URGENT")
           .select(col("o_orderkey"))
-        val bf = urgent.stat.bloomFilter("o_orderkey", 200000L, 0.01)
-        val mightContain = udf((k: Long) => bf.mightContain(k))
+        val bytes = urgent
+          .agg(expr("graft_bloom_agg(o_orderkey, 200000)").as("bf"))
+          .head.getAs[Array[Byte]]("bf")
+        graft.functions.BloomFunctions.registerProbe(s, "graft_bloom_probe", bytes)
         t(s, dir, "lineitem")
-          .filter(mightContain(col("l_orderkey")))
+          .filter(expr("graft_bloom_probe(l_orderkey)"))
           .join(urgent, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),

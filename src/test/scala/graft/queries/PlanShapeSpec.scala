@@ -83,15 +83,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator in:\n$plan")
   }
 
-  test("bloom_join applies the runtime filter at the fact scan, below the join") {
+  test("bloom_join applies the native runtime filter at the fact scan, below the join") {
     val plan = planOf("bloom_join")
-    // The mightContain UDF must sit in a Filter on the lineitem side
-    // BEFORE the (broadcast) join — pre-shuffle row pruning is the point.
+    // The native BloomFilterMightContain probe must sit in a Filter on the
+    // lineitem side BEFORE the (broadcast) join — pre-shuffle row pruning
+    // is the point — and no interpreted closure UDF may appear anywhere.
     val joinIdx = plan.indexOf("BroadcastHashJoin")
     assert(joinIdx >= 0, s"expected broadcast join in:\n$plan")
     val factSide = plan.substring(joinIdx)
-    assert(factSide.contains("UDF(knownnotnull(l_orderkey"),
-      s"expected bloom UDF filter below the join in:\n$plan")
+    assert(factSide.contains("might_contain") && factSide.contains("l_orderkey"),
+      s"expected native bloom probe filter below the join in:\n$plan")
+    assert(!plan.contains("UDF("), s"closure UDF leaked into bloom_join plan:\n$plan")
   }
 
   test("ngram_counts plans map-side partial aggregation and a top-k operator") {
