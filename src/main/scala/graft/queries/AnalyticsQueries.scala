@@ -794,9 +794,9 @@ object AnalyticsQueries {
         val bytes = urgent
           .agg(expr("graft_bloom_agg(o_orderkey, 200000)").as("bf"))
           .head.getAs[Array[Byte]]("bf")
-        graft.functions.BloomFunctions.registerProbe(s, "graft_bloom_probe", bytes)
+        val probe = graft.functions.BloomFunctions.registerProbeUnique(s, bytes)
         t(s, dir, "lineitem")
-          .filter(expr("graft_bloom_probe(l_orderkey)"))
+          .filter(expr(s"$probe(l_orderkey)"))
           .join(urgent, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_returnflag"))
           .agg(count(lit(1)).as("n"),

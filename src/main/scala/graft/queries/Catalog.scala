@@ -20,7 +20,7 @@ object Catalog {
     Relational.queries ++ AnalyticsQueries.queries ++ TextQueries.queries ++
       VectorQueries.queries ++ EventQueries.queries ++
       PipelineQueries.queries ++ UdfQueries.queries ++
-      TypedQueries.queries ++ StreamingQueries.queries
+      TypedQueries.queries ++ StreamingQueries.queries ++ OpsQueries.queries
 
   def queriesMap: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.core._
+import graft.ops.{SparkEnv, SparkOps}
+import org.apache.spark.sql.functions._
+
+/** Graded queries for the pipeline-shaped §2.2 rows that were previously
+  * spec-only: multi-source extract, fan-out load, and explicit repartition.
+  * Each runs THROUGH the Node/Reader algebra (the reference's composition
+  * motifs — `/root/reference/docs/examples-spark.md:58-62,102-108`,
+  * `/root/reference/README.md:51-54`) and lands on a deterministic,
+  * oracle-checkable aggregate. The algebra wraps plan CONSTRUCTION only:
+  * Catalyst still sees one logical plan per branch, so pushdown/pruning
+  * cross node boundaries.
+  */
+object OpsQueries {
+
+  private def tmp(name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/$name"
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "multi_source_extract",
+      // One extract node yields a Map of named tables (the reference's
+      // multi-source motif); downstream the three relations join
+      // star-style. nation/region are dimension-sized → broadcast, so the
+      // only shuffle at 100 TB is customer's groupBy — and that is
+      // map-side combinable.
+      (s, dir) => {
+        val env = SparkEnv(s, dir)
+        val extract = SparkOps.scanTables("customer", "nation", "region").provide(env)
+        val enrich = Transform[Map[String, org.apache.spark.sql.DataFrame],
+          org.apache.spark.sql.DataFrame] { ts =>
+          ts("customer")
+            .join(broadcast(ts("nation")), col("c_nationkey") === col("n_nationkey"))
+            .join(broadcast(ts("region")), col("n_regionkey") === col("r_regionkey"))
+            .groupBy(col("r_name"))
+            .agg(count(lit(1)).as("n_cust"),
+              Tables.moneySum(col("c_acctbal")).as("total_acctbal"))
+            .orderBy("r_name")
+        }
+        (extract ~> enrich).unsafeRun(())
+      },
+      Some("""
+        SELECT r_name, count(*) AS n_cust,
+               floor((sum(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total_acctbal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name""")
+    ),
+    QueryDef(
+      "fanout_load",
+      // Fan-out load (reference README motif: one transform feeding two
+      // sinks via `&`): split lineitem on quantity, write each branch to
+      // its own parquet sink, then re-read BOTH sinks and aggregate their
+      // union — the oracle over the source table proves the two sinks
+      // partition the input losslessly.
+      (s, dir) => {
+        val hi = tmp("graft_fanout_hi")
+        val lo = tmp("graft_fanout_lo")
+        val env = SparkEnv(s, dir)
+        val extract = SparkOps.scanParquet("lineitem").provide(env)
+        val hiBranch = SparkOps.where(col("l_quantity") > 25) ~> SparkOps.writeParquet(hi)
+        val loBranch = SparkOps.where(col("l_quantity") <= 25) ~> SparkOps.writeParquet(lo)
+        (extract ~> (hiBranch & loBranch)).unsafeRun(())
+        s.read.parquet(hi).unionByName(s.read.parquet(lo))
+          .groupBy(col("l_returnflag"))
+          .agg(count(lit(1)).as("n"),
+            Tables.moneySum(col("l_extendedprice")).as("total"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+               floor((sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
+        FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+    QueryDef(
+      "repartition",
+      // Explicit repartition node ahead of the aggregation: co-locates
+      // rows by the grouping key so the groupBy needs no further exchange
+      // (the agg reuses the hash partitioning). Content is oracle-graded;
+      // OpsQueriesSpec asserts the partition count and the reused
+      // partitioning in the physical plan.
+      (s, dir) => {
+        val env = SparkEnv(s, dir)
+        val pipeline =
+          SparkOps.scanParquet("orders").provide(env) ~>
+            SparkOps.repartitionBy(8, col("o_orderpriority")) ~>
+            SparkOps.groupAgg(
+              Seq(col("o_orderpriority")),
+              Seq(count(lit(1)).as("n"),
+                Tables.moneySum(col("o_totalprice")).as("total")))
+        pipeline.unsafeRun(()).orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               floor((sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
+        FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    )
+  )
+}

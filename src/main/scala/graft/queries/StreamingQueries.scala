@@ -91,6 +91,25 @@ object StreamingQueries {
         ORDER BY n DESC, user_id LIMIT 10""")
     ),
     QueryDef(
+      "stream_late_drop",
+      // Late-data drop policy: clicks replay AFTER the watermark advanced
+      // past their day-windows (two-wave file staging in StreamingOps), so
+      // append mode drops them; observable output = closed windows of the
+      // on-time (non-click) wave. Batch oracle = the same aggregate
+      // filtered at the watermark cutoff (max on-time ts - 1 hour).
+      (s, dir) => StreamingOps.lateDataDrop(s, dir),
+      Some("""
+        WITH base AS (
+          SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, value
+          FROM events WHERE event_type <> 'click'),
+        wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM base)
+        SELECT date_trunc('day', ts) AS window_start, count(*) AS n,
+               floor((sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
+        FROM base
+        WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+        GROUP BY 1 ORDER BY window_start"""),
+    ),
+    QueryDef(
       "stream_dedup",
       (s, dir) => StreamingOps.streamDedup(s, dir),
       Some("""

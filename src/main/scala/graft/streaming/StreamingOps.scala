@@ -237,6 +237,92 @@ object StreamingOps {
       .orderBy(col("n").desc, col("user_id"))
   }
 
+  /** Late-data drop: append-mode windowed aggregation where a final wave
+    * of files arrives AFTER the watermark has advanced past their windows
+    * and the state store has evicted them.
+    *
+    * Staging makes lateness deterministic — three single-file waves
+    * (one micro-batch each via `maxFilesPerTrigger=1`, ordered by file
+    * modification time):
+    *   wave 0: all non-click events except the latest one — its max event
+    *     time advances the watermark to `max(non-click ts) - 1 hour` at
+    *     batch end;
+    *   wave 1: the single latest non-click event — this batch runs WITH
+    *     the advanced watermark, so it finalizes (evicts + emits) every
+    *     closed day-window. The eviction batch matters: a late row merges
+    *     silently into any window still live in the state store; the drop
+    *     policy only bites once the window is evicted (verified against
+    *     this engine build — a 2-wave staging observes no drops at all);
+    *   wave 2: the click events — now late. Each click either targets an
+    *     evicted window (end <= watermark → the row is DROPPED, the policy
+    *     under test; state is NOT resurrected, so no duplicate emission)
+    *     or the still-open final window, which append mode never emits
+    *     because the watermark cannot advance further.
+    * The observable result is therefore exactly the closed windows of the
+    * on-time (non-click) rows — what the batch oracle computes by
+    * filtering at the watermark cutoff.
+    */
+  def lateDataDrop(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watch = stageLateDir(spark, dir)
+    val agg = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(watch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("n"),
+        (floor((sum(floor(col("value") * 10000 + 0.5).cast("long")) + 50) / 100) / 100.0)
+          .as("total"))
+    runToTable(agg, "append")
+      .select(col("window.start").as("window_start"), col("n"), col("total"))
+      .orderBy("window_start")
+  }
+
+  /** Stage events as three single-file waves with controlled modification
+    * times (on-time < trickle < late), so the file stream replays them in
+    * that order — see [[lateDataDrop]] for why the trickle wave exists.
+    */
+  private def stageLateDir(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Path, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val hash = Integer.toHexString(dir.hashCode)
+    val watch = Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_late_$hash")
+    val src = Paths.get(s"$dir/events.parquet")
+    val marker = watch.resolve("_staged")
+    val stale = !Files.exists(marker) ||
+      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) < 0
+    if (stale) {
+      if (Files.exists(watch)) {
+        Files.walk(watch).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+      Files.createDirectories(watch)
+      val ev = spark.read.schema(eventsRawSchema).parquet(src.toString)
+      def writeWave(df: DataFrame, name: String, mtime: Long): Unit = {
+        val scratch = Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_stream_late_${hash}_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = Files.list(scratch).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for wave $name"))
+        val dst = watch.resolve(s"$name.parquet")
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+      }
+      val nonClick = ev.filter(col("event_type") =!= "click")
+      val maxTs = nonClick.agg(max(col("ts"))).head.getLong(0)
+      val t0 = (System.currentTimeMillis() / 1000) * 1000 - 300000
+      writeWave(nonClick.filter(col("ts") < maxTs), "0_ontime", t0)
+      writeWave(nonClick.filter(col("ts") === maxTs), "1_trickle", t0 + 60000)
+      writeWave(ev.filter(col("event_type") === "click"), "2_late", t0 + 120000)
+      Files.write(marker, Array.emptyByteArray)
+    }
+    watch.toString
+  }
+
   /** Stateful streaming dedup on event_id (watermark-scoped state), then a
     * per-type count of the deduplicated stream.
     */
