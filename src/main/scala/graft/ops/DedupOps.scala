@@ -135,6 +135,24 @@ object DedupOps {
   private val tokenIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int), DataFrame]()
 
+  /** Compute-outside-the-lock memoization: `build` runs WITHOUT holding the
+    * map bin lock (it launches full Spark jobs — holding a
+    * `computeIfAbsent` lock for a job's duration would block concurrent
+    * builds that hash to the same bin). On a lost race the loser's copy is
+    * unpersisted and the winner's returned. `build` must return an
+    * already-materialized persisted frame.
+    */
+  private def memoize[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame], key: K)(
+      build: => DataFrame): DataFrame = {
+    val existing = m.get(key)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = m.putIfAbsent(key, built)
+      if (prev != null) { built.unpersist(); prev } else built
+    }
+  }
+
   /** Unpersist and drop every cached mining artifact (token indexes, pair
     * lists) built on `spark`; see the cache contract above. Also clears
     * the cluster-label cache in [[graft.ops.GraphOps]], which is keyed the
@@ -151,6 +169,7 @@ object DedupOps {
       }
     }
     drop(tokenIndexCache)(_._1)
+    drop(prefixCache)(_._1)
     drop(pairsCache)(_._1)
     GraphOps.clearLabelCache(sid)
   }
@@ -162,29 +181,60 @@ object DedupOps {
   def sortedTokenIndex(docs: DataFrame): DataFrame = {
     val key = (System.identityHashCode(docs.sparkSession),
       docs.queryExecution.logical.semanticHash())
-    tokenIndexCache.computeIfAbsent(key, _ => {
+    memoize(tokenIndexCache, key) {
       val toks = tokenSets(docs)
         .select(col("doc_id"), explode(col("toks")).as("tok"))
         // consumed by docFreq AND the sort join below — persist or the
         // regex tokenization of the whole corpus runs twice
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val docFreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      val ix = toks.join(docFreq, "tok")
-        .groupBy("doc_id")
-        .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
-          .as("stoks"))
-        .select(col("doc_id"), col("stoks"), size(col("stoks")).as("sz"))
-        // feeds the prefix index AND both verify joins of every mining
-        // pass; without persistence Spark recomputes the token join +
-        // per-doc sort for each consumer (3x the dominant cost)
+      try {
+        val ix = toks
+          .join(toks.groupBy("tok").agg(count(lit(1)).as("df")), "tok")
+          .groupBy("doc_id")
+          .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
+            .as("stoks"))
+          .select(col("doc_id"), col("stoks"), size(col("stoks")).as("sz"))
+          // feeds the prefix index AND both verify joins of every mining
+          // pass; without persistence Spark recomputes the token join +
+          // per-doc sort for each consumer (3x the dominant cost)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // Materialize the index eagerly so the intermediate exploded-token
+        // cache can be released NOW — otherwise it pins executor storage
+        // for the life of the session (no consumers once ix is built).
+        try { ix.count(); ix }
+        catch { case t: Throwable => ix.unpersist(); throw t }
+      } finally toks.unpersist()
+    }
+  }
+
+  /** Session-scoped cache of the PREFIX projection of the sorted-token
+    * index, keyed by (corpus plan, threshold): `(doc_id, sz, p, tok)` for
+    * each token in the PPJoin prefix `stoks[1 .. sz − ceil(τ·sz) + 1]`.
+    * Both miner shapes (self-join and A×B) probe and index this same
+    * projection, and at a fixed τ it is corpus-pure — materializing it once
+    * removes the per-run re-explode of the index (the second-largest shared
+    * artifact after the index itself).
+    */
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Double), DataFrame]()
+
+  /** Prefix-token projection for PPJoin at threshold τ (cached; see
+    * [[prefixCache]]). Column `p` is the 1-based position of the token in
+    * the rarest-first sorted array — it powers the positional filter.
+    */
+  def prefixTokenIndex(docs: DataFrame, threshold: Double): DataFrame = {
+    val key = (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.logical.semanticHash(), threshold)
+    memoize(prefixCache, key) {
+      val p = sortedTokenIndex(docs).select(
+          col("doc_id"), col("sz"),
+          posexplode(expr(
+            s"slice(stoks, 1, cast(sz - ceil($threshold * sz) + 1 as int))")))
+        .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("tok"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Materialize the index eagerly so the intermediate exploded-token
-      // cache can be released NOW — otherwise it pins executor storage for
-      // the life of the session (it has no consumers once ix is built).
-      ix.count()
-      toks.unpersist()
-      ix
-    })
+      try { p.count(); p }
+      catch { case t: Throwable => p.unpersist(); throw t }
+    }
   }
 
   /** Session-scoped cache of MATERIALIZED near-dup pair lists, keyed by
@@ -199,17 +249,47 @@ object DedupOps {
 
   /** [[ngramJaccard]] through the pair cache: first caller mines and
     * persists, later callers (any consumer of the same corpus+threshold)
-    * reuse the materialized pairs.
+    * reuse the materialized pairs. A request at a TIGHTER threshold than an
+    * already-cached list derives its answer by re-verifying that list
+    * (every pair with J ≥ τ ≥ τ' is in the τ' list) instead of re-mining —
+    * the mine-once/derive-many production pattern.
     */
   def ngramJaccardCached(docs: DataFrame, threshold: Double): DataFrame = {
     val key = (System.identityHashCode(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), threshold)
-    pairsCache.computeIfAbsent(key, _ => {
-      val df = ngramJaccard(docs, threshold)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-      df
-    })
+    memoize(pairsCache, key) {
+      val df = (cachedPairsAtOrBelow(docs, threshold) match {
+        case Some(loose) => deriveAtThreshold(docs, loose, threshold)
+        case None => ngramJaccard(docs, threshold)
+      }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try { df.count(); df }
+      catch { case t: Throwable => df.unpersist(); throw t }
+    }
+  }
+
+  /** Rounding quantum of the emitted `jaccard` column (4 decimals): a
+    * rounded value r satisfies |r − J| ≤ 0.00005, so r ≥ τ + 1e-4 proves
+    * J > τ and r < τ − 1e-4 proves J < τ; only the band between needs
+    * exact re-verification.
+    */
+  private val roundEps = 1e-4
+
+  /** Derive the τ-pair list from a looser-threshold list WITHOUT
+    * re-verifying everything: pairs whose rounded jaccard clears τ by more
+    * than a rounding quantum keep their cached value (bit-identical to
+    * what direct mining would emit — both round the same exact J); only
+    * the ambiguous boundary band goes back to the token index.
+    */
+  private def deriveAtThreshold(
+      docs: DataFrame, loose: DataFrame, threshold: Double): DataFrame = {
+    val definite = loose.filter(col("jaccard") >= threshold + roundEps)
+    val ambiguous = loose.filter(col("jaccard") >= threshold - roundEps &&
+        col("jaccard") < threshold + roundEps)
+      .select(col("id_a"), col("id_b"))
+    val sorted = sortedTokenIndex(docs)
+    definite.select(col("id_a"), col("id_b"), col("jaccard"))
+      .unionAll(verifyPairs(ambiguous, sorted, sorted, threshold))
+      .orderBy("id_a", "id_b")
   }
 
   /** Size-bucket id for the length-compatibility join key: exact integer
@@ -229,12 +309,9 @@ object DedupOps {
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
     val sorted = sortedTokenIndex(docs)
     // Prefix tokens WITH their 1-based position in the sorted array — the
-    // position powers PPJoin's positional filter below.
-    val prefixed = sorted.select(
-      col("doc_id"), col("sz"),
-      posexplode(expr(
-        s"slice(stoks, 1, cast(sz - ceil($threshold * sz) + 1 as int))")))
-      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("tok"))
+    // position powers PPJoin's positional filter below. Cached per
+    // (corpus, τ): every miner shape reads this one materialization.
+    val prefixed = prefixTokenIndex(docs, threshold)
 
     // Size-compatibility as part of the JOIN KEY, not only a post-join
     // filter: the probe side expands to every size BUCKET allowed by the
@@ -269,26 +346,13 @@ object DedupOps {
       .select("id_a", "id_b")
       .distinct()
 
-    candidates
-      .join(sorted.select(col("doc_id").as("id_a"), col("stoks").as("toks_a"),
-        col("sz").as("sz_a")), "id_a")
-      .join(sorted.select(col("doc_id").as("id_b"), col("stoks").as("toks_b"),
-        col("sz").as("sz_b")), "id_b")
-      .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"),
-        // Optimizer barrier: a nondeterministic column blocks
-        // CollapseProject + PushPredicateThroughProject, so the O(|A|+|B|)
-        // intersection above is evaluated ONCE per candidate — without it
-        // the threshold filter is pushed through the projection and the
-        // intersect runs again for every surviving row.
-        monotonically_increasing_id().as("_barrier"))
-      .filter(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")) >= threshold)
-      .select(col("id_a"), col("id_b"),
-        (floor(col("inter").cast("double") /
-          (col("sz_a") + col("sz_b") - col("inter")) * 10000 + 0.5) / 10000)
-          .as("jaccard"))
-      .orderBy("id_a", "id_b")
+    // Optimizer-barrier note (applies inside verifyPairs): the
+    // nondeterministic `_barrier` column blocks CollapseProject +
+    // PushPredicateThroughProject, so the O(|A|+|B|) intersection is
+    // evaluated ONCE per candidate — without it the threshold filter is
+    // pushed through the projection and the intersect runs again for every
+    // surviving row.
+    verifyPairs(candidates, sorted, sorted, threshold).orderBy("id_a", "id_b")
   }
 
   /** A×B (two-corpus) exact Jaccard join: candidates from a prefix-token
@@ -307,43 +371,98 @@ object DedupOps {
     // different rarest-first order and silently destroy recall. Requires
     // disjoint doc_ids across the two sides (true for ingest-vs-corpus
     // and eval-vs-training runs; re-key one side otherwise).
-    val ix = sortedTokenIndex(left.unionByName(right))
-    crossPairs(ix,
-      ix.join(left.select(col("doc_id")), "doc_id"),
-      ix.join(right.select(col("doc_id")), "doc_id"),
-      threshold)
+    val union = left.unionByName(right)
+    crossPairs(union, left.select(col("doc_id")), right.select(col("doc_id")), threshold)
   }
 
   /** A×B Jaccard join where both sides PARTITION one corpus (e.g. incoming
     * vs existing rows of the same table): indexes the corpus once — and
     * shares that (cached) index with every other mining pass over it —
     * instead of re-indexing the reassembled union.
+    *
+    * Mine-once / derive-many: when this session already materialized an
+    * all-pairs list for the SAME corpus at a threshold τ' ≤ τ (via
+    * [[ngramJaccardCached]]), the A×B result is a SUBSET of that list —
+    * every cross-split pair with J ≥ τ ≥ τ' is in it — so this derives the
+    * answer by membership-filtering the cached pairs and re-verifying
+    * exactly, instead of re-mining the corpus. Falls back to the direct
+    * miner when no compatible pair list is cached.
     */
   def ngramJaccardSplit(
       docs: DataFrame,
       leftCond: org.apache.spark.sql.Column,
       rightCond: org.apache.spark.sql.Column,
       threshold: Double
+  ): DataFrame =
+    cachedPairsAtOrBelow(docs, threshold) match {
+      case Some(pairs) =>
+        ngramJaccardSplitVia(docs, pairs,
+          docs.filter(leftCond).select(col("doc_id")),
+          docs.filter(rightCond).select(col("doc_id")), threshold)
+      case None =>
+        crossPairs(docs,
+          docs.filter(leftCond).select(col("doc_id")),
+          docs.filter(rightCond).select(col("doc_id")), threshold)
+    }
+
+  /** Loosest-is-best lookup: the cached pair list for this corpus with the
+    * LARGEST threshold still ≤ τ (fewest extra rows to re-verify).
+    */
+  private def cachedPairsAtOrBelow(docs: DataFrame, threshold: Double): Option[DataFrame] = {
+    val sid = System.identityHashCode(docs.sparkSession)
+    val h = docs.queryExecution.logical.semanticHash()
+    import scala.jdk.CollectionConverters._
+    pairsCache.entrySet().asScala.toSeq
+      .filter(e => e.getKey._1 == sid && e.getKey._2 == h && e.getKey._3 <= threshold)
+      .sortBy(-_.getKey._3)
+      .headOption.map(_.getValue)
+  }
+
+  /** Derive the A×B τ-pairs from an already-mined all-pairs list at a
+    * looser threshold: orient each unordered cached pair both ways,
+    * membership-filter against the two id sets, add identity pairs for ids
+    * in BOTH sides (the direct miner emits (x,x) when the splits overlap).
+    * Pairs whose rounded cached jaccard clears τ by more than a rounding
+    * quantum keep it verbatim (identical to what direct mining emits);
+    * only the boundary band re-verifies against the token index — see
+    * [[roundEps]].
+    */
+  def ngramJaccardSplitVia(
+      docs: DataFrame,
+      pairs: DataFrame,
+      leftIds: DataFrame,
+      rightIds: DataFrame,
+      threshold: Double
   ): DataFrame = {
-    val ix = sortedTokenIndex(docs)
-    crossPairs(ix,
-      ix.join(docs.filter(leftCond).select(col("doc_id")), "doc_id"),
-      ix.join(docs.filter(rightCond).select(col("doc_id")), "doc_id"),
-      threshold)
+    val la = leftIds.select(col("doc_id").as("id_a"))
+    val rb = rightIds.select(col("doc_id").as("id_b"))
+    val oriented = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
+      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("jaccard")))
+      .unionAll(la.join(rb, col("id_a") === col("id_b"), "left_semi")
+        .select(col("id_a"), col("id_a").as("id_b"), lit(1.0).as("jaccard")))
+    val member = oriented.join(la, "id_a").join(rb, "id_b")
+      .filter(col("jaccard") >= threshold - roundEps)
+      .distinct()
+    val definite = member.filter(col("jaccard") >= threshold + roundEps)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    val ambiguous = member.filter(col("jaccard") < threshold + roundEps)
+      .select(col("id_a"), col("id_b"))
+    val sorted = sortedTokenIndex(docs)
+    definite.unionAll(verifyPairs(ambiguous, sorted, sorted, threshold))
+      .orderBy("id_a", "id_b")
   }
 
   private def crossPairs(
-      ix: DataFrame,
-      li: DataFrame,
-      ri: DataFrame,
+      docs: DataFrame,
+      leftIds: DataFrame,
+      rightIds: DataFrame,
       threshold: Double
   ): DataFrame = {
-    def prefixed(ix: DataFrame) = ix.select(
-      col("doc_id"), col("sz"),
-      posexplode(expr(
-        s"slice(stoks, 1, cast(sz - ceil($threshold * sz) + 1 as int))")))
-      .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("tok"))
-    val probes = prefixed(li).select(
+    val sorted = sortedTokenIndex(docs)
+    val prefixed = prefixTokenIndex(docs, threshold)
+    val pl = prefixed.join(leftIds.select(col("doc_id")), "doc_id")
+    val pr = prefixed.join(rightIds.select(col("doc_id")), "doc_id")
+    val probes = pl.select(
       col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"), col("p").as("pa"),
       explode(expr(
         s"""sequence(${szBucket(s"cast(ceil($threshold * sz) as int)")},
@@ -353,7 +472,7 @@ object DedupOps {
     // per-row overlap ubound from the shared global token order; drops
     // false candidates before the verify join.
     val candidates = probes
-      .join(prefixed(ri).select(col("tok"), expr(szBucket("sz")).as("szb"),
+      .join(pr.select(col("tok"), expr(szBucket("sz")).as("szb"),
         col("doc_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb")),
         Seq("tok", "szb"))
       .filter(col("sz_b") >= ceil(col("sz_a") * threshold) &&
@@ -364,6 +483,19 @@ object DedupOps {
           ceil((col("sz_a") + col("sz_b")) * threshold / (1 + threshold) - 1e-9))
       .select("id_a", "id_b")
       .distinct()
+    verifyPairs(candidates, sorted, sorted, threshold).orderBy("id_a", "id_b")
+  }
+
+  /** Exact-Jaccard verification of an id-pair candidate list against the
+    * sorted-token index (shared by the direct miner and the derive-from-
+    * cached-pairs fast path — one code path, bit-identical output).
+    */
+  private def verifyPairs(
+      candidates: DataFrame,
+      li: DataFrame,
+      ri: DataFrame,
+      threshold: Double
+  ): DataFrame =
     candidates
       .join(li.select(col("doc_id").as("id_a"), col("stoks").as("toks_a"),
         col("sz").as("sz_a")), "id_a")
@@ -371,6 +503,7 @@ object DedupOps {
         col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
         size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"),
+        // Optimizer barrier — see [[ngramJaccard]]'s verify stage.
         monotonically_increasing_id().as("_barrier"))
       .filter(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")) >= threshold)
@@ -378,8 +511,6 @@ object DedupOps {
         (floor(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")) * 10000 + 0.5) / 10000)
           .as("jaccard"))
-      .orderBy("id_a", "id_b")
-  }
 
   /** 64-bit SimHash per document: for each bit, sign of the token-weighted
     * sum; packed into one BIGINT with bitwise aggregation. Pure expressions
@@ -459,6 +590,75 @@ object DedupOps {
     * IVF routing ([[graft.ops.SimilarityOps]]) — coarse LSH buckets are
     * population-heavy by construction.
     */
+  /** Derive an SRP band configuration from the data instead of hand-tuning
+    * per corpus.
+    *
+    * `bitsPerBand` controls bucket population: each band hashes the n
+    * vectors into 2^bits buckets, so bits ≈ log2(n / bucketTarget) keeps
+    * candidate generation selective at any corpus size (this is the term
+    * that must GROW as the corpus scales — a fixed band width that works at
+    * 500 vectors floods at 10⁹).
+    *
+    * `bands` comes from the recall identity: a pair whose vectors agree on
+    * a bit with probability p (= 1 − θ/π, θ the angle) matches at least one
+    * of B b-bit bands with probability 1 − (1 − p^b)^B; solving for B at a
+    * target recall needs p̄ for the pairs that MATTER — estimated here from
+    * a deterministic id-hash sample of the corpus (pairwise cosines of
+    * ~`samplePairsTarget` vector pairs, mean agreement among those ≥ τ).
+    * Sparse tails (no sampled pair clears τ) fall back to the theoretical
+    * agreement at τ exactly.
+    *
+    * Driver actions (count + one sampled aggregate) are deliberate: this is
+    * a fit/configure step, like estimating centroids before IVF routing.
+    */
+  def autoBandConfig(
+      emb: DataFrame,
+      threshold: Double,
+      targetRecall: Double = 0.8,
+      bucketTarget: Int = 64,
+      maxBands: Int = 64,
+      samplePairsTarget: Int = 50000
+  ): (Int, Int) = {
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val n = emb.count()
+    val bits = math.max(4, math.min(16,
+      math.ceil(math.log(math.max(n, 2).toDouble / bucketTarget) / math.log(2)).toInt))
+    // sample ~sqrt(2·samplePairsTarget) vectors deterministically by id hash
+    val sampleN = math.max(20, math.ceil(math.sqrt(2.0 * samplePairsTarget)).toInt)
+    val mod = math.max(1, (n / sampleN).toInt)
+    val sample = emb
+      .filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
+      .select(col("vec_id"), col("embedding"))
+    val a = sample.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = sample.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pBarRow = a.join(b, col("ia") < col("ib"))
+      .select(expr("cosine_sim(va, vb)").as("cos"))
+      .filter(col("cos") >= threshold)
+      .agg(avg(lit(1.0) - acos(least(col("cos"), lit(1.0))) / math.Pi).as("p"))
+      .head()
+    val pBar =
+      if (pBarRow.isNullAt(0)) 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
+      else pBarRow.getDouble(0)
+    val perBand = math.pow(pBar, bits)
+    val bands =
+      if (perBand >= 1.0) 1
+      else math.max(1, math.min(maxBands,
+        math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - perBand)).toInt))
+    (bands, bits)
+  }
+
+  /** [[cosineLshPairs]] with the band configuration fit by
+    * [[autoBandConfig]] on the corpus itself.
+    */
+  def cosineLshPairsAuto(
+      emb: DataFrame,
+      threshold: Double,
+      targetRecall: Double = 0.8
+  ): DataFrame = {
+    val (bands, bits) = autoBandConfig(emb, threshold, targetRecall)
+    cosineLshPairs(emb, bands, bits, threshold)
+  }
+
   def cosineLshPairs(
       emb: DataFrame,
       bands: Int = 16,

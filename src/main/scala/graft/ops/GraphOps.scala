@@ -165,6 +165,13 @@ object GraphOps {
     * the whole previous tree — re-planning cost grows geometrically).
     * Checkpoint placement cannot change values: ranks are exact integer
     * quanta, so a materialize-and-reread round is bit-identical.
+    *
+    * EAGER: the final `localCheckpoint(true)` executes the whole iteration
+    * pipeline AT CALL TIME (so the loop-scoped edge/degree caches can be
+    * freed before returning), and the returned plan is a LogicalRDD whose
+    * blocks are executor-local — lost on executor failure, same caveat as
+    * [[connectedComponents]]. Callers that need lazy construction should
+    * wrap the call, not the returned frame.
     */
   def pagerankQuantized(
       pairs: DataFrame,

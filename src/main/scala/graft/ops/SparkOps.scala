@@ -88,6 +88,16 @@ object SparkOps {
   def dedupKeys(keys: String*): Transform[DataFrame, DataFrame] =
     Node(df => if (keys.isEmpty) df.dropDuplicates() else df.dropDuplicates(keys))
 
+  /** Invalidate the session-scoped mining caches (token/prefix indexes,
+    * mined pair lists, cluster labels — see [[DedupOps.clearCaches]]'s
+    * cache contract) and pass the input through unchanged. Slot this into
+    * a pipeline right after a corpus-snapshot overwrite: caches key on the
+    * logical PLAN, so re-reading an overwritten path without clearing
+    * would silently serve the previous snapshot's artifacts.
+    */
+  def clearMiningCaches: Transform[DataFrame, DataFrame] =
+    Node { df => DedupOps.clearCaches(df.sparkSession); df }
+
   // ------------------------------------------------------ binary combine
 
   /** Join the two sides of a fan-out. Broadcast the right side explicitly

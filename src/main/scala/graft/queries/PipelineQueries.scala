@@ -38,7 +38,10 @@ object PipelineQueries {
     // ------------------------------------------------------------- dedup
     QueryDef(
       "dedup_ngram_jaccard",
-      (s, dir) => DedupOps.ngramJaccard(docs(s, dir), threshold = 0.8),
+      // Through the pair cache: this τ=0.8 list is the loosest mined
+      // artifact, so dedup_incremental (τ=0.9 A×B) and the τ=0.95 cluster
+      // family all derive from it instead of re-mining the corpus.
+      (s, dir) => DedupOps.ngramJaccardCached(docs(s, dir), threshold = 0.8),
       Some("""
         WITH toks AS (
           SELECT doc_id, unnest(list_distinct(list_filter(
@@ -108,9 +111,13 @@ object PipelineQueries {
       "dedup_incremental",
       // Incoming batch (odd doc_ids) checked against the existing corpus
       // (even doc_ids): the A×B similarity join every incremental ingest
-      // and eval-decontamination pass runs. Exact Jaccard >= 0.9.
+      // and eval-decontamination pass runs. Exact Jaccard >= 0.9. Priming
+      // the τ=0.8 pair cache first makes this a derive (membership filter
+      // + exact re-verify of the cached list) rather than a re-mine —
+      // whichever of the miner family runs first pays the one mining pass.
       (s, dir) => {
         import org.apache.spark.sql.functions.col
+        DedupOps.ngramJaccardCached(docs(s, dir), threshold = 0.8)
         DedupOps.ngramJaccardSplit(docs(s, dir),
           col("doc_id") % 2 === 1, col("doc_id") % 2 === 0,
           threshold = 0.9)
@@ -159,13 +166,13 @@ object PipelineQueries {
     ),
     QueryDef(
       "dedup_embedding_lsh",
-      // 6-bit bands: this corpus's near-dup tail tops out at cosine ≈ 0.46
-      // (p_bit ≈ 0.63), where the default 16-bit bands would find nothing —
-      // see the SrpBands recall formula; coarse bands are the low-threshold
-      // adaptation. Recall vs the exact twin (0.89 here) is asserted in
-      // RecallSpec.
-      (s, dir) => DedupOps.cosineLshPairs(emb(s, dir), bands = 16, bitsPerBand = 6,
-        threshold = 0.3),
+      // Band configuration fit by DedupOps.autoBandConfig from a sampled
+      // similarity histogram (replaces the hand-picked 16×6 of earlier
+      // rounds): bits from corpus size (bucket-population control), bands
+      // from the SRP recall identity at the sampled mean agreement of
+      // above-threshold pairs. Recall vs the exact twin (0.92 at sf0.001,
+      // 1.00 at sf0.01, up from hand-tuned 0.79) is asserted in RecallSpec.
+      (s, dir) => DedupOps.cosineLshPairsAuto(emb(s, dir), threshold = 0.3),
       None
     ),
     // -------------------------------------------------------- similarity
@@ -415,6 +422,39 @@ object PipelineQueries {
         SELECT doc_id, octet_length(encode(text)) AS n_bytes,
                CAST(list_sum(list_transform(range(1, length(text) + 1),
                  i -> ascii(substr(text, i, 1)))) % 1000000007 AS BIGINT) AS checksum
+        FROM documents ORDER BY doc_id""")
+    ),
+    QueryDef(
+      "multimodal_pipeline",
+      // The full decode→resize→feature chain end-to-end on the opaque
+      // binary column, all stages partition-wise (mapPartitions with
+      // per-partition decoder init): resize normalizes every payload to
+      // 256 bytes (truncate/zero-pad), feature extraction emits
+      // (n_bytes, checksum, feature[4]) per item, and frame sampling runs
+      // over the SAME resized payloads. Every output is byte-deterministic,
+      // so the whole chain gets a SQL oracle (zero-padding contributes 0 to
+      // the checksum; f0 = first byte / 256, exact in float and double).
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val resized = MultimodalOps.resizeStub(
+          MultimodalOps.mediaTable(s, dir), targetBytes = 256)
+        val feats = MultimodalOps.extractFeatures(resized).toDF()
+          .select(col("doc_id"), col("n_bytes"), col("checksum"),
+            element_at(col("feature"), 1).cast("double").as("f0"))
+        val frames = MultimodalOps.frameSample(resized, frameBytes = 64, stride = 32)
+          .toDF().groupBy("doc_id").agg(count(lit(1)).as("n_frames"))
+        feats.join(frames, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_bytes"), col("checksum"), col("f0"),
+            coalesce(col("n_frames"), lit(0L)).as("n_frames"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, 256 AS n_bytes,
+               CAST(coalesce(list_sum(list_transform(
+                 range(1, least(length(text), 256) + 1),
+                 i -> ascii(substr(text, i, 1)))), 0) % 1000000007 AS BIGINT) AS checksum,
+               coalesce(ascii(substr(text, 1, 1)), 0) / 256.0 AS f0,
+               7 AS n_frames
         FROM documents ORDER BY doc_id""")
     ),
     QueryDef(

@@ -1,0 +1,54 @@
+package graft.ops
+
+import graft.core._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The cache contract end-to-end: mining caches key on the logical plan,
+  * so overwriting a corpus path and re-reading WOULD serve stale artifacts
+  * — and the clearMiningCaches node makes stale reads impossible.
+  */
+class CacheInvalidationSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-cache-invalidation-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val snapshot =
+    s"${System.getProperty("java.io.tmpdir")}/graft_cache_inval_corpus"
+
+  private def writeCorpus(texts: Seq[String]): Unit = {
+    val s = spark
+    import s.implicits._
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(snapshot)
+  }
+
+  private def corpus: DataFrame = spark.read.parquet(snapshot)
+
+  test("overwrite without clear serves stale pairs; clearMiningCaches node fixes it") {
+    // Snapshot 1: two identical docs → one pair at J = 1.
+    writeCorpus(Seq("alpha beta gamma", "alpha beta gamma", "unrelated text here"))
+    val first = DedupOps.ngramJaccardCached(corpus, threshold = 0.9).collect()
+    assert(first.length == 1 && first.head.getLong(0) == 0L && first.head.getLong(1) == 1L)
+
+    // Snapshot 2 overwrites the SAME path with three identical docs
+    // (pairs (0,1),(0,2),(1,2)). Same path ⇒ same logical plan ⇒ same
+    // cache key: without invalidation the stale single-pair list returns.
+    writeCorpus(Seq("delta epsilon zeta", "delta epsilon zeta", "delta epsilon zeta"))
+    val stale = DedupOps.ngramJaccardCached(corpus, threshold = 0.9).collect()
+    assert(stale.length == 1, "without clearing, the cached (stale) pair list is served")
+
+    // The pipeline shape: overwrite → clearMiningCaches → re-mine.
+    val pipeline = Node[Unit, DataFrame](_ => corpus) ~>
+      SparkOps.clearMiningCaches ~>
+      Node((df: DataFrame) => DedupOps.ngramJaccardCached(df, threshold = 0.9))
+    val fresh = pipeline.unsafeRun(())
+    assert(fresh.count() == 3, "after clearMiningCaches the new snapshot is mined")
+  }
+}

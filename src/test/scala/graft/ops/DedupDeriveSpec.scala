@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The mine-once/derive-many contract: pair lists derived from a cached
+  * looser-threshold list must be BIT-IDENTICAL to direct mining, and the
+  * cached prefix projection must actually be reused (no re-tokenization on
+  * a second miner invocation).
+  */
+class DedupDeriveSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dedup-derive-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  // A corpus plan distinct from every graded query's (different filter), so
+  // this spec controls exactly what is in the session caches for it.
+  private def corpus = spark.read.parquet(s"$dir/documents.parquet")
+    .filter(col("doc_id") >= 10)
+
+  test("split derive from cached τ=0.8 list ≡ direct A×B mining") {
+    val odd = col("doc_id") % 2 === 1
+    val even = col("doc_id") % 2 === 0
+    // 1) no compatible cache yet → direct path
+    val direct = DedupOps.ngramJaccardSplit(corpus, odd, even, threshold = 0.9)
+      .collect().toSeq
+    // 2) prime the loose list, rerun → derive path
+    DedupOps.ngramJaccardCached(corpus, threshold = 0.8)
+    val derived = DedupOps.ngramJaccardSplit(corpus, odd, even, threshold = 0.9)
+      .collect().toSeq
+    assert(direct.nonEmpty, "fixture must produce pairs")
+    assert(derived == direct, "derived pairs must be bit-identical to direct mining")
+  }
+
+  test("tighter-threshold cached list derives from the looser one, identically") {
+    val direct = DedupOps.ngramJaccard(corpus, threshold = 0.95).collect().toSeq
+    // τ=0.8 was cached by the previous test (specs run in order); τ=0.95
+    // goes through ngramJaccardCached and must take the derive path.
+    val derived = DedupOps.ngramJaccardCached(corpus, threshold = 0.95).collect().toSeq
+    assert(derived == direct, "derived τ=0.95 list must equal direct mining")
+  }
+
+  test("identity pairs appear when the two splits overlap (direct and derived)") {
+    val all = lit(true)
+    val direct = DedupOps.ngramJaccardSplit(corpus, all, col("doc_id") < 20, threshold = 0.9)
+    // overlapping splits: every doc < 20 pairs with itself at J = 1
+    val selfPairs = direct.filter(col("id_a") === col("id_b"))
+    assert(selfPairs.count() == corpus.filter(col("doc_id") < 20).count())
+    assert(selfPairs.filter(col("jaccard") =!= 1.0).count() == 0)
+  }
+
+  test("second miner invocation reuses the cached prefix projection") {
+    val optimized = DedupOps.ngramJaccard(corpus, threshold = 0.8)
+      .queryExecution.optimizedPlan
+    val cachedScans = optimized.collect {
+      case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+    }
+    assert(cachedScans.nonEmpty,
+      s"expected cached index/prefix relations in second-invocation plan:\n$optimized")
+    val retokenizes = optimized.collect {
+      case p if p.expressions.exists(_.toString.contains("ws_distinct_tokens")) => p
+    }
+    assert(retokenizes.isEmpty,
+      "re-tokenization stage must not appear when the prefix projection is cached")
+  }
+}

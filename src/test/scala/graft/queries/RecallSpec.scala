@@ -58,13 +58,29 @@ class RecallSpec extends AnyFunSuite {
       s"simhash banding must equal brute force: banded=${banded.size} brute=${brute.size}")
   }
 
-  test("dedup_embedding_lsh recall vs exact cosine pairs") {
+  test("dedup_embedding_lsh (auto band config) recall vs exact cosine pairs") {
     val exact = idPairs("dedup_embedding_cosine") // cos >= 0.4, vec_id < 300
     val lsh = idPairs("dedup_embedding_lsh")
       .filter(p => p._1 < 300 && p._2 < 300) // exact twin's id window
     val recall = (lsh & exact).size.toDouble / exact.size
     info(f"SRP-LSH recall = ${(lsh & exact).size}/${exact.size} = $recall%.3f")
-    assert(recall >= 0.75, f"embedding-LSH recall degraded: $recall%.3f") // measured 0.792
+    assert(recall >= 0.85, f"embedding-LSH recall degraded: $recall%.3f") // measured 0.917
+  }
+
+  test("auto band config holds the recall floor at sf0.01 too") {
+    val sf01 = "/root/testdata/sf0.01"
+    val exact = graft.ops.DedupOps
+      .cosineNearDupExact(spark.read.parquet(s"$sf01/embeddings.parquet"), 300, 0.4)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val auto = graft.ops.DedupOps
+      .cosineLshPairsAuto(spark.read.parquet(s"$sf01/embeddings.parquet"), threshold = 0.3)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .filter(p => p._1 < 300 && p._2 < 300)
+    val recall = (auto & exact).size.toDouble / exact.size
+    info(f"SRP-LSH auto recall (sf0.01) = ${(auto & exact).size}/${exact.size} = $recall%.3f")
+    assert(recall >= 0.85, f"auto-config recall degraded at sf0.01: $recall%.3f") // measured 1.000
   }
 
   test("similarity_lsh_topk overlap vs exact top-k") {
