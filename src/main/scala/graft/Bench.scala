@@ -19,6 +19,17 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id) s").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
+      // Structured Streaming engine init (micro-batch planner, state store
+      // provider, streaming codegen) is session-global and otherwise lands
+      // on whichever streaming query happens to run first (~8s observed).
+      val sq = spark.readStream.format("rate").load()
+        .groupBy("value").count()
+        .writeStream.format("memory").queryName("graft_bench_warmup")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      sq.awaitTermination(30000)
+      sq.stop()
     } catch { case _: Throwable => () }
     // Optional comma-separated allowlist for local iteration (the driver
     // sets no filter and runs everything).

@@ -253,14 +253,23 @@ object DedupOps {
     * already-cached list derives its answer by re-verifying that list
     * (every pair with J ≥ τ ≥ τ' is in the τ' list) instead of re-mining —
     * the mine-once/derive-many production pattern.
+    *
+    * The CACHED artifact is UNSORTED: its consumers (clustering, PageRank,
+    * canonicalization, split-derives) are order-independent, so the cache
+    * skips the 3M-row range sort; this method sorts on top for its own
+    * callers, a cheap scan of the in-memory relation.
     */
-  def ngramJaccardCached(docs: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccardCached(docs: DataFrame, threshold: Double): DataFrame =
+    ngramJaccardCachedUnsorted(docs, threshold).orderBy("id_a", "id_b")
+
+  /** The cached pair list itself — unsorted; see [[ngramJaccardCached]]. */
+  def ngramJaccardCachedUnsorted(docs: DataFrame, threshold: Double): DataFrame = {
     val key = (System.identityHashCode(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), threshold)
     memoize(pairsCache, key) {
       val df = (cachedPairsAtOrBelow(docs, threshold) match {
         case Some(loose) => deriveAtThreshold(docs, loose, threshold)
-        case None => ngramJaccard(docs, threshold)
+        case None => ngramJaccardUnsorted(docs, threshold)
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try { df.count(); df }
       catch { case t: Throwable => df.unpersist(); throw t }
@@ -289,7 +298,6 @@ object DedupOps {
     val sorted = sortedTokenIndex(docs)
     definite.select(col("id_a"), col("id_b"), col("jaccard"))
       .unionAll(verifyPairs(ambiguous, sorted, sorted, threshold))
-      .orderBy("id_a", "id_b")
   }
 
   /** Size-bucket id for the length-compatibility join key: exact integer
@@ -306,7 +314,10 @@ object DedupOps {
     s"(CASE WHEN ($s) <= 32 THEN ($s) " +
       s"ELSE 32 + cast(floor(log2(cast(($s) as double) / 32.0) * 4) as int) END)"
 
-  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame =
+    ngramJaccardUnsorted(docs, threshold).orderBy("id_a", "id_b")
+
+  private def ngramJaccardUnsorted(docs: DataFrame, threshold: Double): DataFrame = {
     val sorted = sortedTokenIndex(docs)
     // Prefix tokens WITH their 1-based position in the sorted array — the
     // position powers PPJoin's positional filter below. Cached per
@@ -352,7 +363,7 @@ object DedupOps {
     // evaluated ONCE per candidate — without it the threshold filter is
     // pushed through the projection and the intersect runs again for every
     // surviving row.
-    verifyPairs(candidates, sorted, sorted, threshold).orderBy("id_a", "id_b")
+    verifyPairs(candidates, sorted, sorted, threshold)
   }
 
   /** A×B (two-corpus) exact Jaccard join: candidates from a prefix-token

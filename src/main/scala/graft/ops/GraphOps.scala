@@ -140,7 +140,7 @@ object GraphOps {
     val key = (System.identityHashCode(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), threshold)
     val labels = labelCache.computeIfAbsent(key, _ => {
-      val edges = DedupOps.ngramJaccardCached(docs, threshold)
+      val edges = DedupOps.ngramJaccardCachedUnsorted(docs, threshold)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val verts = docs.select(col("doc_id").as("id"))
       connectedComponents(verts, edges)

@@ -117,7 +117,7 @@ object PipelineQueries {
       // whichever of the miner family runs first pays the one mining pass.
       (s, dir) => {
         import org.apache.spark.sql.functions.col
-        DedupOps.ngramJaccardCached(docs(s, dir), threshold = 0.8)
+        DedupOps.ngramJaccardCachedUnsorted(docs(s, dir), threshold = 0.8)
         DedupOps.ngramJaccardSplit(docs(s, dir),
           col("doc_id") % 2 === 1, col("doc_id") % 2 === 0,
           threshold = 0.9)
@@ -390,7 +390,7 @@ object PipelineQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.col
         GraphOps.pagerankQuantized(
-            DedupOps.ngramJaccardCached(docs(s, dir), threshold = 0.95)
+            DedupOps.ngramJaccardCachedUnsorted(docs(s, dir), threshold = 0.95)
               .select("id_a", "id_b"),
             iterations = 2)
           .select(col("id").as("doc_id"), col("r").as("rank_q"))

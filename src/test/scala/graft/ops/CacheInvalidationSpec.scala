@@ -21,12 +21,31 @@ class CacheInvalidationSpec extends AnyFunSuite {
   private val snapshot =
     s"${System.getProperty("java.io.tmpdir")}/graft_cache_inval_corpus"
 
+  /** Overwrite the corpus path OUT-OF-BAND (staging write + file move, the
+    * way an external writer or another session replaces a snapshot).
+    * Same-session `df.write` triggers Spark's own `refreshByPath`
+    * invalidation; an external replacement does not — that is exactly the
+    * stale-read hazard the clearMiningCaches contract exists for.
+    */
   private def writeCorpus(texts: Seq[String]): Unit = {
     val s = spark
     import s.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val staging = snapshot + "_staging"
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
       .toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(snapshot)
+      .coalesce(1)
+      .write.mode("overwrite").parquet(staging)
+    val dst = Paths.get(snapshot)
+    if (Files.exists(dst)) {
+      Files.walk(dst).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    }
+    Files.createDirectories(dst)
+    Files.list(Paths.get(staging)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => Files.move(p, dst.resolve(p.getFileName),
+        StandardCopyOption.REPLACE_EXISTING))
   }
 
   private def corpus: DataFrame = spark.read.parquet(snapshot)
