@@ -91,12 +91,27 @@ object StreamingQueries {
         ORDER BY n DESC, user_id LIMIT 10""")
     ),
     QueryDef(
+      "stream_custom_state",
+      // flatMapGroupsWithState custom per-key state (running totals +
+      // alert), graded: the accumulator is integer cents, so the final
+      // state is arrival-order-independent and the batch oracle is a plain
+      // per-user aggregate.
+      (s, dir) => StreamingOps.statefulUserTotalsGraded(s, dir, alertCents = 330000L),
+      Some("""
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+               count(*) AS n,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) >= 330000 AS alert
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+    ),
+    QueryDef(
       "stream_late_drop",
       // Late-data drop policy: clicks replay AFTER the watermark advanced
-      // past their day-windows (two-wave file staging in StreamingOps), so
-      // append mode drops them; observable output = closed windows of the
-      // on-time (non-click) wave. Batch oracle = the same aggregate
-      // filtered at the watermark cutoff (max on-time ts - 1 hour).
+      // past their day-windows AND an eviction batch finalized them
+      // (three-wave file staging in StreamingOps.lateDataDrop), so append
+      // mode drops them; observable output = closed windows of the on-time
+      // (non-click) wave. Batch oracle = the same aggregate filtered at
+      // the watermark cutoff (max on-time ts - 1 hour).
       (s, dir) => StreamingOps.lateDataDrop(s, dir),
       Some("""
         WITH base AS (
