@@ -147,4 +147,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
       s"expected broadcast spine join in:\n$plan")
   }
+
+  test("multi_source_extract broadcasts both dimension joins — the fact side never shuffles for the join") {
+    val plan = planOf("multi_source_extract")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts == 2, s"expected two broadcast dim joins, got $broadcasts in:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"customer must not shuffle for dimension joins:\n$plan")
+  }
+
+  test("fanout_load re-read aggregates map-side (partial HashAggregate before the exchange)") {
+    val plan = planOf("fanout_load")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregation in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
 }
