@@ -125,6 +125,49 @@ object TextOps {
         .when(col(keyCol) % 100 < valPct + testPct, "test")
         .otherwise("train"))
 
+  /** Fixed-rate stratified downsampling: keep each stratum at its
+    * configured rate (default 1.0), keyed deterministically by
+    * `key mod 100` — the "downsample the dominant language/domain" knob of
+    * a pretraining mixture. Engine-portable keying (production would salt
+    * a hash; the modulo keeps the oracle exact), pure narrow filter — no
+    * shuffle, pushes to the scan.
+    */
+  def stratifiedSample(
+      df: DataFrame,
+      ratesPct: Map[String, Int],
+      stratumCol: String,
+      keyCol: String = "doc_id"
+  ): DataFrame = {
+    val rate = ratesPct.foldLeft(lit(100)) { case (acc, (s, r)) =>
+      when(col(stratumCol) === s, lit(r)).otherwise(acc)
+    }
+    df.filter(col(keyCol) % 100 < rate)
+  }
+
+  /** Uniform-target domain resampling (the reweighting shape of
+    * DoReMi/Pile-style mixtures, at the "equalize sources" point): compute
+    * per-stratum keep thresholds from OBSERVED counts so every stratum
+    * contributes ≈ the size of the smallest one, then filter by
+    * `key mod 10000 < thr`. Integer arithmetic throughout (thr = n_min ×
+    * 10000 div n_s) keeps it bit-reproducible in any engine.
+    *
+    * Scale shape: the count aggregate is stratum-cardinality-sized (tiny),
+    * broadcast back onto the corpus — one narrow filter pass over the
+    * data, no wide shuffle of the corpus itself.
+    */
+  def domainMixUniform(
+      df: DataFrame,
+      stratumCol: String = "source",
+      keyCol: String = "doc_id"
+  ): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_src"))
+    val minN = counts.agg(min(col("n_src")).as("n_min"))
+    val thr = counts.crossJoin(broadcast(minN))
+      .select(col(stratumCol), expr("(n_min * 10000) div n_src").as("thr"))
+    df.join(broadcast(thr), stratumCol)
+      .filter(col(keyCol) % 10000 < col("thr"))
+  }
+
   /** Text normalization for training corpora: lowercase, strip every
     * non-alphanumeric run to a single space, trim. One regexp pass per row
     * — no shuffle, linear scale; the regex is identical under Java and

@@ -300,6 +300,45 @@ object PipelineQueries {
                     ELSE 'train' END AS split, count(*) AS n
         FROM documents GROUP BY 1 ORDER BY split""")
     ),
+    QueryDef(
+      "stratified_sample",
+      // Mixture knob: downsample the dominant language to 30% while other
+      // strata pass at 100% — deterministic mod keying, a pure narrow
+      // filter (no shuffle before the reporting aggregate).
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        TextOps.stratifiedSample(docs(s, dir), Map("en" -> 30), stratumCol = "lang")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+          .orderBy("lang")
+      },
+      Some("""
+        SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS chars
+        FROM documents
+        WHERE doc_id % 100 < (CASE WHEN lang = 'en' THEN 30 ELSE 100 END)
+        GROUP BY lang ORDER BY lang""")
+    ),
+    QueryDef(
+      "domain_mix",
+      // Uniform-target domain resampling: per-source keep thresholds
+      // computed from observed counts (integer arithmetic), broadcast back
+      // onto the corpus — every source contributes ≈ the smallest one.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        TextOps.domainMixUniform(docs(s, dir))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_kept"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH c AS (SELECT source, count(*) AS n_src FROM documents GROUP BY source),
+        m AS (SELECT min(n_src) AS n_min FROM c),
+        t AS (SELECT source, (n_min * 10000) // n_src AS thr FROM c, m)
+        SELECT d.source, count(*) AS n_kept
+        FROM documents d JOIN t USING (source)
+        WHERE d.doc_id % 10000 < t.thr
+        GROUP BY d.source ORDER BY d.source""")
+    ),
     // ------------------------------------------------- composite pipeline
     QueryDef(
       "pipeline_curation",

@@ -161,4 +161,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate"), s"expected hash aggregation in:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
+
+  test("domain_mix broadcasts the per-source thresholds — the corpus never shuffles for the join") {
+    val plan = planOf("domain_mix")
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast threshold join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge for the tiny threshold table:\n$plan")
+  }
 }
