@@ -165,6 +165,46 @@ object PipelineQueries {
         ORDER BY id_a, id_b""")
     ),
     QueryDef(
+      "dedup_semantic_clusters",
+      // Embedding-side canonicalization: exact cosine pairs (the graded
+      // windowed baseline) -> connected components -> per-vector cluster
+      // label. The scale path swaps cosineLshPairsAuto in for the exact
+      // miner; the CC iteration is identical either way.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        val pairs = DedupOps
+          .cosineNearDupExact(emb(s, dir), maxId = 300, threshold = 0.4)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        val verts = emb(s, dir).filter(col("vec_id") < 300)
+          .select(col("vec_id").as("id"))
+        GraphOps.connectedComponents(verts, pairs)
+          .select(col("id").as("vec_id"), col("label").as("component"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        v AS (SELECT vec_id, unnest(embedding) AS vx,
+                     generate_subscripts(embedding, 1) AS i FROM e),
+        n AS (SELECT vec_id, sum(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)) AS n2
+              FROM v GROUP BY vec_id),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     sum(CAST(a.vx AS DOUBLE) * CAST(b.vx AS DOUBLE)) AS dot
+              FROM v a JOIN v b USING (i) WHERE a.vec_id < b.vec_id
+              GROUP BY 1, 2),
+        pairs AS (
+          SELECT id_a, id_b FROM p
+          JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+          WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4),
+        e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+        walk(node, label) AS (
+          SELECT vec_id, vec_id FROM e
+          UNION
+          SELECT e2.b, walk.label FROM walk JOIN e2 ON e2.a = walk.node)
+        SELECT node AS vec_id, min(label) AS component
+        FROM walk GROUP BY node ORDER BY vec_id""")
+    ),
+    QueryDef(
       "dedup_embedding_lsh",
       // Band configuration fit by DedupOps.autoBandConfig from a sampled
       // similarity histogram (replaces the hand-picked 16×6 of earlier
