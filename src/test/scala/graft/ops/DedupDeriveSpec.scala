@@ -56,6 +56,22 @@ class DedupDeriveSpec extends AnyFunSuite {
     assert(selfPairs.filter(col("jaccard") =!= 1.0).count() == 0)
   }
 
+  test("concurrent cache builds race safely to one winning entry") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // A corpus plan unique to this test so nothing is pre-cached.
+    def raceCorpus = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") >= 20)
+    val builds = (1 to 4).map(_ => Future(DedupOps.sortedTokenIndex(raceCorpus)))
+    val results = Await.result(Future.sequence(builds), 2.minutes)
+    // All callers converge on the same cached frame (losers' copies are
+    // unpersisted and replaced by the winner), and it answers correctly.
+    assert(results.forall(_ eq results.head),
+      "every concurrent caller must receive the same cached instance")
+    assert(results.head.count() == raceCorpus.count())
+  }
+
   test("second miner invocation reuses the cached prefix projection") {
     val optimized = DedupOps.ngramJaccard(corpus, threshold = 0.8)
       .queryExecution.optimizedPlan
