@@ -164,4 +164,16 @@ class GraphTextOpsSpec extends AnyFunSuite {
       assert(got == expected, s"parts=$parts")
     }
   }
+
+  test("hashed-shuffle duplicated-substring path equals the string-shuffle graded query") {
+    val dir = "/root/testdata/sf0.001"
+    val hashed = TextOps.duplicatedSubstringsHashed(
+        spark.read.parquet(s"$dir/documents.parquet"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val string = graft.queries.Catalog.queriesMap("dedup_substring")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashed == string,
+      "8-byte digest shuffle must reproduce the raw-gram result exactly")
+    assert(hashed.values.exists(_ > 0), "fixture must contain duplicated substrings")
+  }
 }
