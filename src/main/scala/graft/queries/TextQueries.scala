@@ -242,6 +242,16 @@ object TextQueries {
         ORDER BY d.doc_id""")
     ),
     QueryDef(
+      "dedup_substring_hashed",
+      // The 100 TB shape of dedup_substring: every exchange carries
+      // xxhash64(gram) digests (8 B) instead of raw ~80 B gram strings.
+      // No SQL oracle (DuckDB can't evaluate xxhash64); its exact twin is
+      // dedup_substring and GraphTextOpsSpec pins digest ≡ string.
+      (s, dir) => graft.ops.TextOps.duplicatedSubstringsHashed(
+        s.read.parquet(s"$dir/documents.parquet")),
+      None
+    ),
+    QueryDef(
       "agg_heavy_hitters",
       // Exact corpus-wide frequent tokens (> 2% of all occurrences) via
       // the two-pass Misra–Gries pattern (see TextOps.heavyHitters): the

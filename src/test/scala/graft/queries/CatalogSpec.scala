@@ -26,12 +26,16 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries (no oracle) are exactly the recall-graded set") {
+  test("rows-only queries (no oracle) are exactly the accuracy-graded set") {
     val rowsOnly = Catalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    val recallGraded = Set(
+    // Each entry is graded against an exact twin: the first six in
+    // RecallSpec (thresholded floors), dedup_substring_hashed by the
+    // digest ≡ string equality test in GraphTextOpsSpec.
+    val accuracyGraded = Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
-      "similarity_lsh_topk", "similarity_ivf_topk", "agg_approx_distinct")
-    assert(rowsOnly == recallGraded,
-      s"every no-oracle query needs a RecallSpec twin; unexpected: ${(rowsOnly -- recallGraded).mkString(", ")}; missing: ${(recallGraded -- rowsOnly).mkString(", ")}")
+      "similarity_lsh_topk", "similarity_ivf_topk", "agg_approx_distinct",
+      "dedup_substring_hashed")
+    assert(rowsOnly == accuracyGraded,
+      s"every no-oracle query needs an exact-twin grading spec; unexpected: ${(rowsOnly -- accuracyGraded).mkString(", ")}; missing: ${(accuracyGraded -- rowsOnly).mkString(", ")}")
   }
 }
