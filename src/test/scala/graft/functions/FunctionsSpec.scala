@@ -133,4 +133,30 @@ class FunctionsSpec extends AnyFunSuite {
       .agg(Udfs.geometricMean(col("x"))).collect()(0).getDouble(0)
     assert(math.abs(out - 4.0) < 1e-12) // sqrt(2*8) = 4
   }
+
+  test("graft_bloom_agg validates arity with a named error, not NoSuchElement") {
+    BloomFunctions.registerAgg(spark)
+    val e = intercept[Exception](spark.sql("SELECT graft_bloom_agg()").collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("graft_bloom_agg")),
+      s"error must name the function: $e")
+    assert(!e.isInstanceOf[NoSuchElementException])
+  }
+
+  test("bloom probe rejects wrong arity and unique names don't collide") {
+    val bytes = spark.range(100)
+      .selectExpr("id").createOrReplaceTempView("bloom_src")
+    BloomFunctions.registerAgg(spark)
+    val ser = spark.sql("SELECT graft_bloom_agg(id, 100) AS bf FROM bloom_src")
+      .head.getAs[Array[Byte]]("bf")
+    val n1 = BloomFunctions.registerProbeUnique(spark, ser)
+    val n2 = BloomFunctions.registerProbeUnique(spark, ser)
+    assert(n1 != n2, "each registration must get its own name")
+    assert(spark.sql(s"SELECT $n1(42L) AND $n2(42L)").head.getBoolean(0))
+    val e = intercept[Exception](spark.sql(s"SELECT $n1(1L, 2L)").collect())
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains(n1)))
+  }
 }
