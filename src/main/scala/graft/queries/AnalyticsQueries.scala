@@ -102,6 +102,25 @@ object AnalyticsQueries {
         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
     ),
     QueryDef(
+      "agg_approx_percentile",
+      // The unbounded-cardinality scale path named above: approx_percentile
+      // builds a mergeable quantile sketch per partition (bounded memory at
+      // any group cardinality; map-side combinable). No SQL oracle — the
+      // sketch is engine-specific and its merge depends on partition layout
+      // — so the grade is the rank-error bound vs the exact twin, asserted
+      // in RecallSpec.
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(
+            expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("p25"),
+            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+            expr("approx_percentile(l_extendedprice, 0.75, 1000)").as("p75"),
+            count(lit(1)).as("n"))
+          .orderBy("l_returnflag"),
+      None
+    ),
+    QueryDef(
       "agg_stats",
       (s, dir) =>
         // Second-moment statistics; all are sum-of-products under the hood,

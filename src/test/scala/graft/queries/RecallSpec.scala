@@ -99,6 +99,33 @@ class RecallSpec extends AnyFunSuite {
     assert(overlap >= 0.85, f"IVF top-k overlap degraded: $overlap%.2f") // measured 0.90
   }
 
+  test("agg_approx_percentile stays within the sketch's rank-error bound of exact") {
+    // approx_percentile(accuracy = 1000) guarantees rank error <= n/1000
+    // per group; grade VALUE closeness through the rank domain: for each
+    // group and quantile, the approx value must lie between the exact
+    // values at ranks floor(q*n) -+ n/1000 (+1 slack for interpolation).
+    val li = spark.read.parquet(s"$dir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val approx = Catalog.queriesMap("agg_approx_percentile")(spark, dir).collect()
+    val byGroup = li.collect().groupBy(_.getString(0))
+      .map { case (g, rows) => g -> rows.map(_.getDouble(1)).sorted }
+    approx.foreach { row =>
+      val vals = byGroup(row.getString(0))
+      val n = vals.length
+      // ceil of the rank-error radius plus one index for the 0/1-based
+      // rank convention difference
+      val slack = math.ceil(n.toDouble / 1000).toInt + 1
+      Seq(0.25 -> 1, 0.5 -> 2, 0.75 -> 3).foreach { case (q, i) =>
+        val a = row.getDouble(i)
+        val r = (q * n).toInt
+        val lo = vals(math.max(0, r - slack))
+        val hi = vals(math.min(n - 1, r + slack))
+        assert(a >= lo && a <= hi,
+          f"group ${row.getString(0)} q=$q: approx $a%.2f outside exact rank band [$lo%.2f, $hi%.2f] (n=$n)")
+      }
+    }
+  }
+
   test("agg_approx_distinct HLL estimates within the configured rsd") {
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
     val exact = li.agg(
