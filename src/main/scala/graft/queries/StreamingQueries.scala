@@ -130,6 +130,17 @@ object StreamingQueries {
       Some("""
         SELECT event_type, count(DISTINCT event_id) AS n
         FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+    QueryDef(
+      "stream_dedup_bounded",
+      // dropDuplicatesWithinWatermark: state evicted once the watermark
+      // passes each id's event time + delay — O(lateness window), not
+      // O(all ids). The replay has no duplicates beyond the window, so the
+      // batch oracle is the same distinct count as stream_dedup.
+      (s, dir) => StreamingOps.streamDedupWithinWatermark(s, dir),
+      Some("""
+        SELECT event_type, count(DISTINCT event_id) AS n
+        FROM events GROUP BY event_type ORDER BY event_type""")
     )
   )
 }

@@ -372,4 +372,23 @@ object StreamingOps {
     runToTable(deduped, "complete")
       .orderBy("event_type")
   }
+
+  /** Bounded-state streaming dedup: `dropDuplicatesWithinWatermark` keys
+    * state by event_id but EVICTS each entry once the watermark passes its
+    * event time + delay — the production-safe variant whose state is
+    * O(events inside the lateness window), not O(all ids ever seen)
+    * (plain `dropDuplicates` state grows without bound on an infinite
+    * stream). Semantics differ only for duplicates arriving further apart
+    * than the delay; the replay has none, so the batch oracle is the same
+    * distinct count.
+    */
+  def streamDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val deduped = replayEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToTable(deduped, "complete")
+      .orderBy("event_type")
+  }
 }
