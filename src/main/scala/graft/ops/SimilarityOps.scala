@@ -101,6 +101,11 @@ object SimilarityOps {
   /** Approximate top-k: candidates = vectors whose bucket is within
     * Hamming distance 1 of the query's bucket (multi-probe), re-ranked by
     * exact cosine. Probe expansion happens on the tiny query side.
+    *
+    * Single-table multi-probe is the textbook starting point but recall
+    * decays with corpus/search difficulty (one table, fixed radius) — the
+    * production LSH top-k is [[lshTopKBanded]] (L independent tables),
+    * kept here as the documented baseline.
     */
   def lshTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int = 4): DataFrame = {
     val bucketed = emb.withColumn("bucket", srpBucket(nBits))
@@ -113,6 +118,42 @@ object SimilarityOps {
         .as("bucket"))
     bucketed.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), Seq("bucket"))
+      .select(col("vec_id"),
+        (floor(dotD(col("embedding"), col("q_embedding")) /
+          (normD(col("embedding")) * normD(col("q_embedding"))) * 10000 + 0.5) / 10000)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** Banded (multi-table) SRP top-k — the same L-independent-tables shape
+    * as [[graft.ops.DedupOps.cosineLshPairs]], specialized to one query:
+    * a candidate is any vector agreeing with the query on EVERY bit of at
+    * least one band. The (band, value) equi-join probes L tables at once;
+    * the query side (L rows) broadcasts; candidates re-rank by exact
+    * cosine. Recall follows 1 − (1 − p^b)^L (p = 1 − θ/π), so it is
+    * CONFIGURABLE upward at any corpus size — unlike single-table
+    * multi-probe — and the band config can be fit per corpus with
+    * [[graft.ops.DedupOps.autoBandConfig]].
+    */
+  def lshTopKBanded(
+      emb: DataFrame,
+      queryId: Long,
+      k: Int,
+      bands: Int = 24,
+      bitsPerBand: Int = 4
+  ): DataFrame = {
+    graft.functions.SrpBands.register(emb.sparkSession)
+    val banded = emb
+      .select(col("vec_id"), col("embedding"),
+        posexplode(expr(s"srp_bands(embedding, $bands, $bitsPerBand)")))
+      .select(col("vec_id"), col("embedding"), col("pos").as("band"), col("col").as("v"))
+    val q = banded.filter(col("vec_id") === queryId)
+      .select(col("band"), col("v"), col("embedding").as("q_embedding"))
+    banded.filter(col("vec_id") =!= queryId)
+      .join(broadcast(q), Seq("band", "v"))
+      .select(col("vec_id"), col("embedding"), col("q_embedding"))
+      .distinct()
       .select(col("vec_id"),
         (floor(dotD(col("embedding"), col("q_embedding")) /
           (normD(col("embedding")) * normD(col("q_embedding"))) * 10000 + 0.5) / 10000)

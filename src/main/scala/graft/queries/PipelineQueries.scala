@@ -222,6 +222,20 @@ object PipelineQueries {
       None // approximate by design; exact baseline = similarity_topk
     ),
     QueryDef(
+      "similarity_lsh_topk_banded",
+      // L independent SRP tables (the production LSH top-k shape — recall
+      // is configurable upward at any corpus size, unlike single-table
+      // multi-probe above), band config fit per corpus by autoBandConfig
+      // at a 0.95 per-pair recall target: measured top-10 overlap vs exact
+      // 0.9 / 1.0 / 0.9 at sf0.001 / 0.01 / 0.1.
+      (s, dir) => {
+        val e = emb(s, dir)
+        val (bands, bits) = DedupOps.autoBandConfig(e, threshold = 0.3, targetRecall = 0.95)
+        SimilarityOps.lshTopKBanded(e, queryId = 0, k = 10, bands, bits)
+      },
+      None // approximate by design; exact baseline = similarity_topk
+    ),
+    QueryDef(
       "similarity_ivf_topk",
       (s, dir) => SimilarityOps.ivfTopK(emb(s, dir), queryId = 0, k = 10),
       None // approximate by design; exact baseline = similarity_topk

@@ -91,6 +91,14 @@ class RecallSpec extends AnyFunSuite {
     assert(overlap >= 0.45, f"LSH top-k overlap degraded: $overlap%.2f") // measured 0.50
   }
 
+  test("similarity_lsh_topk_banded (auto-fit L tables) overlap vs exact top-k") {
+    val exact = topIds("similarity_topk")
+    val banded = topIds("similarity_lsh_topk_banded")
+    val overlap = (banded & exact).size.toDouble / exact.size
+    info(f"banded LSH top-k overlap = ${(banded & exact).size}/${exact.size} = $overlap%.2f")
+    assert(overlap >= 0.8, f"banded LSH top-k overlap degraded: $overlap%.2f") // measured 0.90
+  }
+
   test("similarity_ivf_topk overlap vs exact top-k") {
     val exact = topIds("similarity_topk")
     val ivf = topIds("similarity_ivf_topk")
