@@ -1,0 +1,283 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-join warehouse analytics — TPC-H-shaped query plans exercising
+  * Catalyst's join planning end-to-end (star joins with explicit dimension
+  * broadcast, group-then-semi-join HAVING shapes, decorrelated per-group
+  * averages, two-level dimension self-aliasing) plus marketing attribution
+  * over the event stream.
+  *
+  * Scale posture (the reason these queries exist): at 100 TB the fact
+  * tables (`lineitem`, `orders`, `events`) shuffle ONLY on their join keys
+  * (`l_orderkey`/`o_orderkey`, `user_id`), every dimension side is
+  * broadcast, and each aggregation is declared so partial (map-side)
+  * aggregation applies. Money arithmetic uses [[Tables.moneySum]] exact
+  * cent quanta so results are partition-order independent and match the
+  * DuckDB oracle bit-for-bit; threshold predicates are evaluated in exact
+  * integer quanta (never on accumulated doubles) so boundary rows cannot
+  * flip between engines.
+  *
+  * Reference surface: composed Extract→Transform pipelines over Spark
+  * frames (/root/reference/docs/examples-spark.md:30-75); the query
+  * SHAPES are the public TPC-H workload re-expressed on the synthetic
+  * star schema.
+  */
+object WarehouseQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def queries: Seq[QueryDef] = Seq(
+    // ------------------------------------------------- Q3 shipping priority
+    QueryDef(
+      "tpch_q3_top_orders",
+      (s, dir) => {
+        // Unshipped-revenue top-10: the classic fact⋈fact join on the
+        // order key with a broadcast customer filter. lineitem⋈orders
+        // shuffles once on the order key; the segment-filtered customer
+        // dim broadcasts into that stage, so the whole query is ONE
+        // exchange per fact table plus a TakeOrderedAndProject.
+        val cut = lit("1999-06-30").cast("timestamp")
+        val c = broadcast(
+          t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+            .select("c_custkey"))
+        val o = t(s, dir, "orders").filter(col("o_orderdate") < cut)
+          .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+        val l = t(s, dir, "lineitem").filter(col("l_shipdate") > cut)
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(desc("revenue"), col("l_orderkey"))
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1999-06-30'
+          AND l_shipdate  > TIMESTAMP '1999-06-30'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")
+    ),
+    // ------------------------------------------------ Q5 local supplier rev
+    QueryDef(
+      "tpch_q5_local_supplier",
+      (s, dir) => {
+        // Six-table snowflake with the "local supplier" twist: the
+        // customer and the line's supplier must share a nation. All four
+        // dimensions broadcast; the only shuffles are lineitem⋈orders on
+        // the order key and the customer join on o_custkey.
+        val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+        val n = broadcast(t(s, dir, "nation"))
+        val su = broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"))
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .join(c, o("o_custkey") === c("c_custkey") &&
+            c("c_nationkey") === su("s_nationkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("n_name"))
+          .agg(Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(desc("revenue"), col("n_name"))
+      },
+      Some("""
+        SELECT n_name,
+               floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name""")
+    ),
+    // --------------------------------------------------- Q18 large orders
+    QueryDef(
+      "tpch_q18_large_orders",
+      (s, dir) => {
+        // HAVING-over-fact semi-join: aggregate lineitem once, keep only
+        // orders whose total quantity clears the threshold, then enrich.
+        // The heavy side aggregates BEFORE any join (map-side combine on
+        // l_orderkey), so the join input is already order-grain —
+        // quantities are integral doubles, exact under summation to 2^53,
+        // so the >300 boundary cannot flip between engines.
+        val l = t(s, dir, "lineitem")
+        val big = l.groupBy(col("l_orderkey"))
+          .agg(sum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 300)
+        val o = t(s, dir, "orders")
+        val c = broadcast(t(s, dir, "customer").select("c_custkey", "c_name"))
+        o.join(big, o("o_orderkey") === big("l_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            col("o_orderdate"), col("o_totalprice"),
+            round(col("sum_qty"), 2).as("sum_qty"))
+          .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      },
+      Some("""
+        WITH big AS (
+          SELECT l_orderkey, sum(l_quantity) AS sum_qty
+          FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 300)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               round(sum_qty, 2) AS sum_qty
+        FROM orders
+        JOIN big      ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey""")
+    ),
+    // ------------------------------------------- Q17 small-quantity revenue
+    QueryDef(
+      "tpch_q17_small_qty_revenue",
+      (s, dir) => {
+        // Correlated-average shape, decorrelated by hand the way Catalyst
+        // rewrites it: the per-part average joins back to the lines as an
+        // aggregate, never as a per-row subquery. The boundary predicate
+        // `q < 0.2 * avg(q)` is evaluated in exact integer quanta
+        // (qq·cnt·5 < Σqq) — algebraically identical, but immune to the
+        // last-ulp double divergence a literal avg() comparison has.
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_brand") === "Brand#13").select("p_partkey"))
+        val l = t(s, dir, "lineitem")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .select(col("l_partkey"),
+            floor(col("l_quantity") * 100 + 0.5).cast("long").as("qq"),
+            col("l_extendedprice"))
+        val st = l.groupBy(col("l_partkey"))
+          .agg(sum(col("qq")).as("tot"), count(lit(1)).as("cnt"))
+        l.join(st, "l_partkey")
+          .filter(col("qq") * col("cnt") * 5 < col("tot"))
+          .agg(round(Tables.moneySum(col("l_extendedprice")) / 7.0, 2)
+            .as("avg_yearly"))
+      },
+      Some("""
+        WITH lj AS (
+          SELECT l_partkey, CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qq,
+                 l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#13'),
+        st AS (SELECT l_partkey, sum(qq) AS tot, count(*) AS cnt FROM lj GROUP BY l_partkey)
+        SELECT round(floor((sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 / 7.0, 2) AS avg_yearly
+        FROM lj JOIN st USING (l_partkey)
+        WHERE qq * cnt * 5 < tot""")
+    ),
+    // --------------------------------------------------- Q8 market share
+    QueryDef(
+      "tpch_q8_market_share",
+      (s, dir) => {
+        // National market share by year: the nation dimension participates
+        // TWICE (customer's nation restricts the market region; supplier's
+        // nation is the share numerator) — two independent broadcast
+        // aliases of the same dim, the standard snowflake self-alias. The
+        // share is a ratio of exact cent-quanta sums, computed per group
+        // AFTER aggregation — one double division on identical longs.
+        val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+        val nCust = broadcast(t(s, dir, "nation"))
+        val nSupp = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_nationkey"), col("n_name").as("supp_nation")))
+        val su = broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"))
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+        val l = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        val quanta = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
+          .cast("long")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(nCust, c("c_nationkey") === nCust("n_nationkey"))
+          .join(r, nCust("n_regionkey") === r("r_regionkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .join(nSupp, su("s_nationkey") === col("sn_nationkey"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg(
+            sum(when(col("supp_nation") === "NATION_3", quanta).otherwise(lit(0L)))
+              .as("nat_rev"),
+            sum(quanta).as("tot_rev"))
+          .select(col("o_year"),
+            round(col("nat_rev") / col("tot_rev"), 6).as("mkt_share"))
+          .orderBy(col("o_year"))
+      },
+      Some("""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                              ELSE 0 END)
+                     / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)),
+                     6) AS mkt_share
+        FROM lineitem
+        JOIN orders       ON l_orderkey = o_orderkey
+        JOIN customer     ON o_custkey = c_custkey
+        JOIN nation  cn   ON c_nationkey = cn.n_nationkey
+        JOIN region       ON cn.n_regionkey = r_regionkey
+        JOIN supplier     ON l_suppkey = s_suppkey
+        JOIN nation  sn   ON s_nationkey = sn.n_nationkey
+        WHERE r_name = 'ASIA'
+        GROUP BY o_year
+        ORDER BY o_year""")
+    ),
+    // ---------------------------------------------- last-touch attribution
+    QueryDef(
+      "events_attribution",
+      (s, dir) => {
+        // Last-touch marketing attribution: each purchase credits the most
+        // recent preceding click/view by the same user — an as-of lookup
+        // realized as ONE pass with a running `last(..., ignoreNulls)`
+        // window partitioned by user (state is a single value per user;
+        // no join, no per-row scan-back). Event-id breaks same-microsecond
+        // ties so the carried touch is deterministic in both engines.
+        val e = Tables.events(s, dir)
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        e.withColumn("touch",
+            when(col("event_type").isin("click", "view"), col("event_type")))
+          .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          .groupBy(coalesce(col("last_touch"), lit("none")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            Tables.moneySum(col("value")).as("total_value"))
+          .orderBy(col("channel"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, value,
+                 epoch_ns(ts) // 1000 AS ts_us
+          FROM events),
+        tagged AS (
+          SELECT event_type, value,
+                 last_value(CASE WHEN event_type IN ('click', 'view')
+                                 THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_touch
+          FROM e)
+        SELECT coalesce(last_touch, 'none') AS channel,
+               count(*) AS n_purchases,
+               floor((sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total_value
+        FROM tagged
+        WHERE event_type = 'purchase'
+        GROUP BY channel
+        ORDER BY channel""")
+    )
+  )
+}
