@@ -497,6 +497,69 @@ object DedupOps {
     verifyPairs(candidates, sorted, sorted, threshold).orderBy("id_a", "id_b")
   }
 
+  /** Eval-set decontamination by token-set CONTAINMENT C(A,B) = |A∩B|/|A|:
+    * for each eval-side document A, the best-matching train-side document B
+    * (highest intersection, lowest id on ties) where C(A,B) ≥ τ — the
+    * "is this benchmark question inside the training set" operator, which
+    * Jaccard misses when B is much larger than A (J is dragged down by
+    * |B∖A| even at full containment).
+    *
+    * Candidate generation under the containment prefix theorem: overlap
+    * ≥ ⌈τ·|A|⌉ forces a shared token in A's first |A| − ⌈τ·|A|⌉ + 1
+    * rarest tokens — the SAME prefix size as the Jaccard miner, so the
+    * cached per-(corpus, τ) prefix projection serves both. Containment
+    * puts no upper bound on |B|, so the B side probes its FULL positional
+    * inverted index (no prefix to hide behind); skew stays inverted
+    * because only A's rarest tokens ever reach the join — the hot
+    * common-token entries of B's index are never probed. Output is
+    * bounded by |eval side| (argmax per A, never the pair blow-up).
+    */
+  def containmentBest(
+      docs: DataFrame,
+      evalCond: Column,
+      trainCond: Column,
+      threshold: Double
+  ): DataFrame = {
+    val sorted = sortedTokenIndex(docs)
+    val evalIds = docs.filter(evalCond).select(col("doc_id"))
+    val trainIds = docs.filter(trainCond).select(col("doc_id"))
+    val pa = prefixTokenIndex(docs, threshold).join(evalIds, "doc_id")
+      .select(col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"),
+        col("p").as("pa"))
+    val pb = sorted.join(trainIds, "doc_id")
+      .select(col("doc_id"), col("sz"), posexplode(col("stoks")))
+      .select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
+        (col("pos") + 1).as("pb"), col("col").as("tok"))
+    // Positional ubound (same argument as the Jaccard miner's: both sides
+    // share ONE global token order): common tokens strictly before this
+    // shared one ≤ min(pa,pb)−1, from it onward ≤ 1 + min remaining — a
+    // row survives only if that bound can still reach ⌈τ·|A|⌉.
+    val candidates = pa.join(pb, "tok")
+      .filter(col("sz_b") >= ceil(col("sz_a") * threshold))
+      .filter(
+        least(col("pa"), col("pb")) - 1 + lit(1) +
+          least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=
+          ceil(col("sz_a") * threshold - 1e-9))
+      .select("id_a", "id_b")
+      .distinct()
+    candidates
+      .join(sorted.select(col("doc_id").as("id_a"), col("stoks").as("toks_a"),
+        col("sz").as("sz_a")), "id_a")
+      .join(sorted.select(col("doc_id").as("id_b"), col("stoks").as("toks_b")), "id_b")
+      .select(col("id_a"), col("sz_a"), col("id_b"),
+        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"))
+      // argmax by (inter, lowest id_b): |A| is constant within the group,
+      // so max intersection IS max containment — exact integer ordering,
+      // no double enters the tiebreak.
+      .groupBy(col("id_a"), col("sz_a"))
+      .agg(max(struct(col("inter"), (-col("id_b")).as("nb"))).as("best"))
+      .filter(col("best.inter").cast("double") / col("sz_a") >= threshold)
+      .select(col("id_a").as("eval_doc"), (-col("best.nb")).as("matched_doc"),
+        (floor(col("best.inter").cast("double") / col("sz_a") * 10000 + 0.5) / 10000)
+          .as("containment"))
+      .orderBy("eval_doc")
+  }
+
   /** Exact-Jaccard verification of an id-pair candidate list against the
     * sorted-token index (shared by the direct miner and the derive-from-
     * cached-pairs fast path — one code path, bit-identical output).

@@ -108,6 +108,41 @@ object PipelineQueries {
       None // engine-hash-based candidate generation; exact counterpart above
     ),
     QueryDef(
+      "dedup_decontaminate",
+      // Containment-based eval-set decontamination: every 10th doc plays
+      // the benchmark side, the rest the training corpus; emit each
+      // contaminated eval doc's best train match at C(A,B) ≥ 0.9. Jaccard
+      // can't grade this — a question fully embedded in a much larger
+      // train doc has low J but C = 1. Output is argmax-per-eval-doc, so
+      // it stays |eval|-bounded even on this containment-dense corpus
+      // (36% of ordered pairs clear τ=0.9 here).
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        DedupOps.containmentBest(docs(s, dir),
+          col("doc_id") % 10 === 0, col("doc_id") % 10 =!= 0, threshold = 0.9)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(list_filter(
+            string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
+          FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0 GROUP BY 1, 2),
+        ranked AS (
+          SELECT id_a, id_b, inter,
+                 row_number() OVER (PARTITION BY id_a
+                   ORDER BY inter DESC, id_b) AS rn
+          FROM shared)
+        SELECT id_a AS eval_doc, id_b AS matched_doc,
+               floor(CAST(inter AS DOUBLE) / sa.sz * 10000 + 0.5) / 10000 AS containment
+        FROM ranked JOIN sizes sa ON sa.doc_id = id_a
+        WHERE rn = 1 AND CAST(inter AS DOUBLE) / sa.sz >= 0.9
+        ORDER BY eval_doc""")
+    ),
+    QueryDef(
       "dedup_incremental",
       // Incoming batch (odd doc_ids) checked against the existing corpus
       // (even doc_ids): the A×B similarity join every incremental ingest

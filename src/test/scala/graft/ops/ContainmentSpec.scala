@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Containment decontamination semantics: C(A,B) = |A∩B|/|A| must flag a
+  * small document fully embedded in a much larger one — the case Jaccard
+  * structurally misses — and the argmax must be deterministic.
+  */
+class ContainmentSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-containment-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("full containment in a larger doc is found where Jaccard misses it") {
+    import org.apache.spark.sql.functions.col
+    // Doc 1 (eval): 5 tokens, all inside doc 10's 25 tokens → C = 1.0 but
+    // J = 5/25 = 0.2. Doc 2 (eval): disjoint vocabulary → no match.
+    val evalA = "alpha beta gamma delta epsilon"
+    val train = (1 to 20).map(i => s"w$i").mkString(" ") + " " + evalA
+    val corpus = df(Seq(
+      1L -> evalA,
+      2L -> "zeta eta theta",
+      10L -> train,
+      11L -> "iota kappa lambda"))
+    val out = DedupOps.containmentBest(corpus,
+        col("doc_id") < 10, col("doc_id") >= 10, threshold = 0.9)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq ===
+      Seq((1L, 10L, 1.0)))
+    // Jaccard at the same τ finds nothing across the split.
+    val j = DedupOps.ngramJaccardBetween(
+      corpus.filter(col("doc_id") < 10),
+      corpus.filter(col("doc_id") >= 10), threshold = 0.9)
+    assert(j.count() === 0)
+  }
+
+  test("argmax tiebreak: equal intersections resolve to the lowest train id") {
+    import org.apache.spark.sql.functions.col
+    // Both train docs contain ALL of doc 1's tokens (inter = 3, C = 1.0 for
+    // each) → the lower id must win, deterministically.
+    val corpus = df(Seq(
+      1L -> "red green blue",
+      20L -> "red green blue extra1 extra2 extra3",
+      21L -> "red green blue other1 other2"))
+    val out = DedupOps.containmentBest(corpus,
+        col("doc_id") === 1, col("doc_id") >= 20, threshold = 0.9)
+      .collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 20L)))
+  }
+}
