@@ -215,6 +215,67 @@ object SparkOps {
       spark.table(table)
     }
 
+  // -------------------------------------------------------------- layout
+
+  /** Morton spread: distribute the low 16 bits of `c` into the even bit
+    * positions of a 32-bit lane (mask-shift cascade — 5 codegen'd integer
+    * ops, no loop, no UDF).
+    */
+  private def spreadBits16(c: Column): Column = {
+    var x = c.bitwiseAND(lit(0xFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x33333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** Z-value (Morton code) of two 16-bit quantized dimensions: bit
+    * interleave x₀y₀x₁y₁… — points close in BOTH dimensions are close on
+    * the curve, so a curve-ordered file layout bounds every file's
+    * bounding box in every dimension at once (a plain sort bounds only its
+    * leading column). This is the multi-dimensional data-skipping layout
+    * (Delta/Iceberg OPTIMIZE ZORDER; Morton 1966).
+    */
+  def zvalue(xQ: Column, yQ: Column): Column =
+    spreadBits16(xQ).bitwiseOR(shiftleft(spreadBits16(yQ), 1))
+
+  /** Quantize `c` to 0..65535 within observed [lo, hi] bounds (exact
+    * integer output; callers broadcast-join the 1-row bounds first).
+    */
+  def quantize16(c: Column, lo: Column, hi: Column): Column =
+    least(lit(65535L), floor((c - lo) / (hi - lo + 1e-9) * 65536).cast("long"))
+
+  /** Z-order layout write: quantize the two dimensions against their
+    * observed bounds (one tiny agg, broadcast back), range-partition +
+    * sort by the interleaved z-value, write `nFiles` parquet files. Each
+    * output file then covers a compact square-ish region of (x, y) space,
+    * so min/max footer stats prune files for predicates on EITHER
+    * dimension — the layout step a 100 TB table runs at compaction time to
+    * make both `WHERE x BETWEEN …` and `WHERE y BETWEEN …` skip most of
+    * its files. Returns the re-read frame.
+    */
+  def zorderWrite(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      path: String,
+      nFiles: Int
+  ): DataFrame = {
+    val bounds = df.agg(
+      min(col(xCol)).as("__xlo"), max(col(xCol)).as("__xhi"),
+      min(col(yCol)).as("__ylo"), max(col(yCol)).as("__yhi"))
+    val z = df.crossJoin(broadcast(bounds))
+      .withColumn("__z", zvalue(
+        quantize16(col(xCol), col("__xlo"), col("__xhi")),
+        quantize16(col(yCol), col("__ylo"), col("__yhi"))))
+      .drop("__xlo", "__xhi", "__ylo", "__yhi")
+    z.repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
   // ------------------------------------------------------------- quality
 
   /** Data-quality gate: fail the pipeline if any row violates `invariant`.

@@ -97,6 +97,32 @@ object OpsQueries {
         SELECT o_orderpriority, count(*) AS n,
                floor((sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
         FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+    QueryDef(
+      "zorder_layout",
+      // Z-order (Morton-curve) layout: write orders clustered by the
+      // interleaved (o_custkey, o_totalprice) z-value, then answer a
+      // rectangle predicate from the re-read layout. Correctness is graded
+      // here (layout must be a lossless permutation); the data-skipping
+      // property — every file covering a compact box in BOTH dimensions,
+      // so footer min/max stats prune on either — is asserted per-file in
+      // ZOrderSpec. At 100 TB this is the compaction-time layout step that
+      // lets two independent predicate families skip most of the table.
+      (s, dir) => {
+        val laid = SparkOps.zorderWrite(
+          s.read.parquet(s"$dir/orders.parquet"),
+          "o_custkey", "o_totalprice", tmp("graft_zorder_orders"), nFiles = 16)
+        laid.filter(col("o_custkey").between(100, 300) &&
+            col("o_totalprice").between(20000, 60000))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey BETWEEN 100 AND 300
+          AND o_totalprice BETWEEN 20000 AND 60000
+        ORDER BY o_orderkey""")
     )
   )
 }

@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The property that makes Z-order layout worth a compaction pass: every
+  * output file covers a compact range of BOTH dimensions (so min/max footer
+  * stats prune files for predicates on either), where a single-column sort
+  * bounds only its leading column and leaves the other dimension full-width
+  * in every file.
+  */
+class ZOrderSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-zorder-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+  private def tmp(name: String) =
+    s"${System.getProperty("java.io.tmpdir")}/$name"
+
+  /** Mean per-file extent of `c` as a fraction of its global extent. */
+  private def meanFileExtent(laid: DataFrame, c: String): Double = {
+    val per = laid.groupBy(input_file_name())
+      .agg((max(col(c)) - min(col(c))).cast("double").as("ext"))
+      .agg(avg(col("ext"))).head.getDouble(0)
+    val global = laid.agg((max(col(c)) - min(col(c))).cast("double")).head.getDouble(0)
+    per / global
+  }
+
+  test("z-order bounds BOTH dims per file; plain sort leaves one full-width") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+      .withColumn("o_custkey_d", col("o_custkey").cast("double"))
+    val z = SparkOps.zorderWrite(orders, "o_custkey", "o_totalprice",
+      tmp("graft_zorder_spec_z"), nFiles = 16)
+
+    val zCust = meanFileExtent(z, "o_custkey")
+    val zPrice = meanFileExtent(z, "o_totalprice")
+    // 16 files over a 2-D Morton curve ≈ 4×4 grid: each file's box should
+    // span roughly 1/4 of each dimension; allow slack for range-partition
+    // boundary files that straddle curve quadrants.
+    assert(zCust < 0.6, s"z-order o_custkey mean file extent $zCust")
+    assert(zPrice < 0.6, s"z-order o_totalprice mean file extent $zPrice")
+
+    // Baseline: sort by custkey only — price stays ~full-width per file.
+    val sortedPath = tmp("graft_zorder_spec_sorted")
+    orders.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(sortedPath)
+    val s1 = spark.read.parquet(sortedPath)
+    val sPrice = meanFileExtent(s1, "o_totalprice")
+    assert(sPrice > 0.9, s"1-D sort should leave price full-width, got $sPrice")
+    assert(zPrice < sPrice / 2,
+      s"z-order must at least halve the non-sort dim extent ($zPrice vs $sPrice)")
+  }
+
+  test("z-order layout is a lossless permutation") {
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val z = SparkOps.zorderWrite(orders, "o_custkey", "o_totalprice",
+      tmp("graft_zorder_spec_perm"), nFiles = 8)
+    assert(z.count() === orders.count())
+    assert(z.exceptAll(orders).isEmpty && orders.exceptAll(z).isEmpty)
+  }
+}
