@@ -141,6 +141,31 @@ object StreamingQueries {
       Some("""
         SELECT event_type, count(DISTINCT event_id) AS n
         FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+    QueryDef(
+      "stream_upsert_sink",
+      // foreachBatch MERGE-upsert: a 3-slice replay folds per-user deltas
+      // (count + argmax-last-event) into a versioned parquet state table,
+      // one full-outer merge per micro-batch. Both merge components are
+      // associative+commutative, so the final state is independent of the
+      // batch partitioning — the batch oracle computes the same per-user
+      // rollup in one pass. StreamingSpec asserts the replay really was
+      // multi-batch.
+      (s, dir) => StreamingOps.foreachBatchUpsert(s, dir)._1,
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, value
+          FROM events),
+        ranked AS (
+          SELECT user_id, ts_us, value,
+                 row_number() OVER (PARTITION BY user_id
+                   ORDER BY ts_us DESC, event_id DESC) AS rn
+          FROM e),
+        counts AS (SELECT user_id, count(*) AS n_events FROM e GROUP BY user_id)
+        SELECT c.user_id, c.n_events,
+               make_timestamp(r.ts_us) AS last_ts, r.value AS last_value
+        FROM counts c JOIN ranked r ON c.user_id = r.user_id AND r.rn = 1
+        ORDER BY c.user_id""")
     )
   )
 }

@@ -391,4 +391,84 @@ object StreamingOps {
     runToTable(deduped, "complete")
       .orderBy("event_type")
   }
+
+  /** Stage the events replay as `n` time-range parquet slices so a file
+    * stream with `maxFilesPerTrigger=1` processes a genuinely multi-batch
+    * replay (one staged file = one micro-batch). Written once per (dir, n).
+    */
+  private def stageSlices(spark: SparkSession, dir: String, n: Int): String = {
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val hash = Integer.toHexString(dir.hashCode)
+    val target = Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_slices_${hash}_$n")
+    val marker = target.resolve("_STAGED")
+    if (!Files.exists(marker)) {
+      spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+        .repartitionByRange(n, col("ts"))
+        .write.mode("overwrite").parquet(target.toString)
+      Files.createFile(marker)
+    }
+    target.toString
+  }
+
+  /** foreachBatch MERGE-upsert sink: each micro-batch folds its per-user
+    * delta into a versioned parquet state table (full-outer join +
+    * coalesce — the same lowering as the batch `merge_upsert` query; this
+    * is the Delta/Iceberg `MERGE INTO` shape without a table format). The
+    * per-user state is (event count, argmax-by-(ts, event_id) last event)
+    * — both ASSOCIATIVE and COMMUTATIVE merges, so the final state is
+    * identical under any micro-batch partitioning of the replay; that
+    * independence is what makes a foreachBatch sink oracle-checkable and
+    * is the design rule for production upsert sinks (retries/reordering
+    * cannot corrupt state). Versioned writes (v1, v2, …) keep each batch's
+    * output immutable while it is still readable as the next batch's
+    * input — the poor man's snapshot isolation a real table format
+    * provides natively.
+    *
+    * Returns (final state, number of micro-batches processed).
+    */
+  def foreachBatchUpsert(spark: SparkSession, dir: String): (DataFrame, Int) = {
+    val stateRoot = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_upsert_state_${runId.incrementAndGet()}")
+    val slices = stageSlices(spark, dir, n = 3)
+    val stream = spark.readStream
+      .schema(eventsRawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(slices)
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+        col("event_id"), col("value"))
+    @volatile var version = 0
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val delta = batch.groupBy("user_id").agg(
+            count(lit(1)).as("n_events"),
+            max(struct(col("ts_us"), col("event_id"), col("value"))).as("last"))
+          val merged =
+            if (version == 0) delta
+            else spark.read.parquet(s"$stateRoot/v$version")
+              .select(col("user_id"), col("n_events").as("n0"), col("last").as("l0"))
+              .join(delta.select(col("user_id"), col("n_events").as("n1"),
+                col("last").as("l1")), Seq("user_id"), "full_outer")
+              .select(col("user_id"),
+                (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+                  .as("n_events"),
+                greatest(col("l0"), col("l1")).as("last"))
+          merged.write.mode("overwrite").parquet(s"$stateRoot/v${version + 1}")
+          version += 1
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val state = spark.read.parquet(s"$stateRoot/v$version")
+      .select(col("user_id"), col("n_events"),
+        timestamp_micros(col("last.ts_us")).as("last_ts"),
+        col("last.value").as("last_value"))
+      .orderBy("user_id")
+    (state, version)
+  }
 }

@@ -133,4 +133,24 @@ class StreamingSpec extends AnyFunSuite {
     val out = StreamingOps.runToTable(deduped, "complete").collect()
     assert(out(0).getLong(0) == 2L)
   }
+
+  test("foreachBatch upsert merges a genuinely multi-batch replay") {
+    val (state, nBatches) =
+      StreamingOps.foreachBatchUpsert(spark, "/root/testdata/sf0.001")
+    // The 3-slice staging + maxFilesPerTrigger=1 must yield 3 micro-batches
+    // — otherwise the merge path (full-outer + coalesce) never runs.
+    assert(nBatches === 3, s"expected 3 micro-batches, got $nBatches")
+    // Final state must equal the single-pass batch rollup (merge is
+    // associative+commutative, so batching cannot change it).
+    val batch = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("value"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct(col("ts_us"), col("event_id"), col("value"))).as("last"))
+      .select(col("user_id"), col("n_events"),
+        timestamp_micros(col("last.ts_us")).as("last_ts"),
+        col("last.value").as("last_value"))
+    assert(state.exceptAll(batch).isEmpty && batch.exceptAll(state).isEmpty)
+  }
 }
