@@ -356,4 +356,63 @@ object TextOps {
       .select(col0, col("n"))
       .orderBy(col("n").desc, col0)
   }
+
+  /** Distributed BPE tokenizer training (Sennrich et al. 2016): learn the
+    * first `k` merge rules over the corpus and return the merge table —
+    * which IS the tokenizer. Each iteration: (1) count adjacent symbol
+    * pairs over the DISTINCT-WORD vocabulary weighted by word frequency —
+    * per-iteration cost is O(vocab), not O(corpus), the standard BPE
+    * training trick, and the count is one map-side-combinable groupBy;
+    * (2) take the arg-max pair (count desc, then lexicographic — fully
+    * deterministic); (3) apply the merge to every vocab word. The only
+    * driver traffic is ONE row per iteration (the merge rule), same
+    * pattern as broadcast k-means centroids; everything else distributes.
+    *
+    * Words are maximal `[a-z0-9]+` runs, so symbols stay regex-safe by
+    * construction and the merge application is a plain two-pass
+    * `regexp_replace` of ` a b ` → ` ab ` over the space-separated symbol
+    * encoding (pass 2 catches occurrences whose leading space was
+    * consumed by the preceding match — with it the result equals greedy
+    * leftmost merging; both passes are left-to-right non-overlapping in
+    * Spark and the DuckDB oracle alike). The evolving vocab is persisted
+    * per iteration and the previous one released, so the plan stays
+    * bounded at any k.
+    */
+  def bpeTrainMerges(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("ws"),
+        col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    try {
+      for (step <- 1 to k) {
+        val top = vocab
+          .select(col("n"), split(trim(col("ws")), " ").as("l"))
+          .filter(size(col("l")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(0, size(l) - 2), j -> struct(l[j] AS a, l[j + 1] AS b))"))
+            .as("pr"))
+          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+          .agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("a"), col("b"))
+          .limit(1).collect()(0)
+        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+        merges += ((step, a, b, cnt))
+        val (pat, rep) = (s" $a $b ", s" $a$b ")
+        val next = vocab
+          .withColumn("ws",
+            regexp_replace(regexp_replace(col("ws"), pat, rep), pat, rep))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        vocab.unpersist()
+        vocab = next
+      }
+    } finally vocab.unpersist()
+    merges.result().toDF("step", "sym_a", "sym_b", "pair_count").orderBy("step")
+  }
 }

@@ -465,6 +465,85 @@ object TextQueries {
                doc_id, score_e4
         FROM scored
         ORDER BY score_e4 DESC, doc_id LIMIT 20""")
+    ),
+    QueryDef(
+      "bpe_train_merges",
+      // Distributed BPE tokenizer training: the first 6 learned merge
+      // rules (the merge table IS the tokenizer artifact). Pair stats are
+      // counted over the distinct-word vocab weighted by frequency; one
+      // merge rule crosses the driver per iteration. The oracle replays
+      // the identical greedy algorithm as 6 chained materialized CTEs.
+      (s, dir) => TextOps.bpeTrainMerges(
+        s.read.parquet(s"$dir/documents.parquet"), k = 6),
+      Some("""
+        WITH words AS MATERIALIZED (
+          SELECT w AS word, count(*) AS n
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
+          GROUP BY w),
+        w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS ws, n FROM words),
+        p1 AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt
+          FROM (SELECT n, unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
+                FROM (SELECT n, string_split(trim(ws), ' ') AS l FROM w0))
+          GROUP BY 1, 2),
+        m1 AS MATERIALIZED (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
+        w1 AS MATERIALIZED (SELECT regexp_replace(regexp_replace(ws,
+                   ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+                   ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ', 'g'),
+                   ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
+                   ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ', 'g') AS ws, n FROM w0),
+        p2 AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt
+          FROM (SELECT n, unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
+                FROM (SELECT n, string_split(trim(ws), ' ') AS l FROM w1))
+          GROUP BY 1, 2),
+        m2 AS MATERIALIZED (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
+        w2 AS MATERIALIZED (SELECT regexp_replace(regexp_replace(ws,
+                   ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
+                   ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' ', 'g'),
+                   ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
+                   ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' ', 'g') AS ws, n FROM w1),
+        p3 AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt
+          FROM (SELECT n, unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
+                FROM (SELECT n, string_split(trim(ws), ' ') AS l FROM w2))
+          GROUP BY 1, 2),
+        m3 AS MATERIALIZED (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
+        w3 AS MATERIALIZED (SELECT regexp_replace(regexp_replace(ws,
+                   ' ' || (SELECT a FROM m3) || ' ' || (SELECT b FROM m3) || ' ',
+                   ' ' || (SELECT a FROM m3) || (SELECT b FROM m3) || ' ', 'g'),
+                   ' ' || (SELECT a FROM m3) || ' ' || (SELECT b FROM m3) || ' ',
+                   ' ' || (SELECT a FROM m3) || (SELECT b FROM m3) || ' ', 'g') AS ws, n FROM w2),
+        p4 AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt
+          FROM (SELECT n, unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
+                FROM (SELECT n, string_split(trim(ws), ' ') AS l FROM w3))
+          GROUP BY 1, 2),
+        m4 AS MATERIALIZED (SELECT a, b, cnt FROM p4 ORDER BY cnt DESC, a, b LIMIT 1),
+        w4 AS MATERIALIZED (SELECT regexp_replace(regexp_replace(ws,
+                   ' ' || (SELECT a FROM m4) || ' ' || (SELECT b FROM m4) || ' ',
+                   ' ' || (SELECT a FROM m4) || (SELECT b FROM m4) || ' ', 'g'),
+                   ' ' || (SELECT a FROM m4) || ' ' || (SELECT b FROM m4) || ' ',
+                   ' ' || (SELECT a FROM m4) || (SELECT b FROM m4) || ' ', 'g') AS ws, n FROM w3),
+        p5 AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt
+          FROM (SELECT n, unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
+                FROM (SELECT n, string_split(trim(ws), ' ') AS l FROM w4))
+          GROUP BY 1, 2),
+        m5 AS MATERIALIZED (SELECT a, b, cnt FROM p5 ORDER BY cnt DESC, a, b LIMIT 1),
+        w5 AS MATERIALIZED (SELECT regexp_replace(regexp_replace(ws,
+                   ' ' || (SELECT a FROM m5) || ' ' || (SELECT b FROM m5) || ' ',
+                   ' ' || (SELECT a FROM m5) || (SELECT b FROM m5) || ' ', 'g'),
+                   ' ' || (SELECT a FROM m5) || ' ' || (SELECT b FROM m5) || ' ',
+                   ' ' || (SELECT a FROM m5) || (SELECT b FROM m5) || ' ', 'g') AS ws, n FROM w4),
+        p6 AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt
+          FROM (SELECT n, unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
+                FROM (SELECT n, string_split(trim(ws), ' ') AS l FROM w5))
+          GROUP BY 1, 2),
+        m6 AS MATERIALIZED (SELECT a, b, cnt FROM p6 ORDER BY cnt DESC, a, b LIMIT 1)
+        SELECT * FROM (
+          SELECT 1 AS step, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS pair_count FROM m1
+          UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM m2
+          UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM m3
+          UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT) FROM m4
+          UNION ALL SELECT 5, a, b, CAST(cnt AS BIGINT) FROM m5
+          UNION ALL SELECT 6, a, b, CAST(cnt AS BIGINT) FROM m6)
+        ORDER BY step""")
     )
   )
 }

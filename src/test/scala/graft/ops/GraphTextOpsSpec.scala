@@ -176,4 +176,24 @@ class GraphTextOpsSpec extends AnyFunSuite {
       "8-byte digest shuffle must reproduce the raw-gram result exactly")
     assert(hashed.values.exists(_ > 0), "fixture must contain duplicated substrings")
   }
+
+  test("BPE merges are greedy-leftmost incl. the shared-boundary case") {
+    val s = spark
+    import s.implicits._
+    // "abab" -> after rule (a,b): BOTH occurrences must merge (the second
+    // one's leading separator is consumed by the first match — the case
+    // the two-pass replace exists for). Corpus: 'abab' x3, 'cd' x2.
+    val docs = Seq((1L, "abab abab abab cd cd")).toDF("doc_id", "text")
+    val m = TextOps.bpeTrainMerges(docs, k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // step 1: pair (a,b) appears 2x per 'abab' word-occurrence... vocab is
+    // DISTINCT words weighted by count: 'abab' n=3 -> (a,b) cnt 6, (b,a) 3;
+    // 'cd' n=2 -> (c,d) 2.
+    assert(m(0) == ((1, "a", "b", 6L)))
+    // step 2: 'abab' is now 'ab ab' (both merged!) -> (ab,ab) cnt 3 wins
+    // over (c,d) cnt 2.
+    assert(m(1) == ((2, "ab", "ab", 3L)))
+    // step 3: only (c,d) remains.
+    assert(m(2) == ((3, "c", "d", 2L)))
+  }
 }
