@@ -161,4 +161,107 @@ object SimilarityOps {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** Product-quantization top-k (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", PAMI 2011): vectors are L2-normalized
+    * (cosine ranking ≡ L2 ranking on the unit sphere), split into `m`
+    * subspaces, and each subvector replaced by the id of its nearest of
+    * `ksub` per-subspace codebook centroids — m small ints per vector
+    * instead of d floats (16× compression at d=64, m=8, ksub=16). The
+    * query computes one m×ksub distance TABLE against the codebooks
+    * (broadcast as a single row); every database vector's approximate
+    * distance is then m table lookups over its codes — the
+    * asymmetric-distance (ADC) scan that makes 100 TB of vectors fit the
+    * memory/bandwidth budget. The ADC top `rerank·k` candidates re-rank by
+    * exact cosine.
+    *
+    * Codebooks here are the subvectors of the `ksub` lowest-id vectors
+    * (deterministic stand-in for per-subspace k-means training on a
+    * sample — swap the codebook array and nothing else changes; same
+    * convention as [[ivfTopK]]'s centroids). Encoding is a HoF expression
+    * (m·ksub·(d/m) fused multiply-adds per row) evaluated ONCE per vector
+    * — at deployment scale codes are materialized at ingest, and a native
+    * `Expression` would replace the interpreted lambda; the plan shape
+    * (encode scan → broadcast table → ADC TakeOrdered → exact re-rank) is
+    * the production one.
+    */
+  def pqTopK(
+      emb: DataFrame,
+      queryId: Long,
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 8
+  ): DataFrame = {
+    val d = emb.select(size(col("embedding"))).head.getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    // Driver-side codebook (m × ksub × dsub doubles — ~8 KB; the same
+    // footprint class as broadcast k-means centroids).
+    val sample = emb.orderBy("vec_id").limit(ksub)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+    val codebooks: Seq[Seq[Seq[Double]]] =
+      (0 until m).map(s => (0 until ksub).map(c =>
+        (0 until dsub).map(i => sample(c)(s * dsub + i))))
+    val cb = typedLit(codebooks)
+
+    // Normalized embedding as double array.
+    val nemb = {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val n = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+      transform(v, x => x / n)
+    }
+    // L2² between subvector s of the (normalized) row vector and codebook
+    // centroid c of subspace s. element_at is 1-based.
+    def subDist(vec: Column, s: Column, c: Column): Column =
+      aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {
+        val diff = element_at(vec, (s * dsub + i + 1).cast("int")) -
+          element_at(element_at(element_at(cb, (s + 1).cast("int")), (c + 1).cast("int")),
+            (i + 1).cast("int"))
+        acc + diff * diff
+      })
+    // Per-subspace argmin centroid id.
+    val codes = transform(sequence(lit(0), lit(m - 1)), s =>
+      aggregate(sequence(lit(0), lit(ksub - 1)),
+        struct(lit(-1).cast("int").as("c"), lit(Double.MaxValue).as("d")),
+        (acc, c) => {
+          val dist = subDist(col("__nemb"), s, c)
+          when(dist < acc.getField("d"),
+            struct(c.cast("int").as("c"), dist.as("d"))).otherwise(acc)
+        }).getField("c"))
+
+    // Query distance table (1 row, m × ksub) — broadcast to the code scan.
+    val qdt = emb.filter(col("vec_id") === queryId)
+      .withColumn("__nemb", nemb)
+      .select(transform(sequence(lit(0), lit(m - 1)), s =>
+        transform(sequence(lit(0), lit(ksub - 1)), c =>
+          subDist(col("__nemb"), s, c))).as("dt"))
+    val q = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("q_embedding"))
+
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(col("dt"), (s + 1).cast("int")),
+        element_at(col("codes"), (s + 1).cast("int")) + 1))
+
+    val candidates = emb.filter(col("vec_id") =!= queryId)
+      .withColumn("__nemb", nemb)
+      .withColumn("codes", codes)
+      .crossJoin(broadcast(qdt))
+      .select(col("vec_id"), col("embedding"), adc.as("adc"))
+      .orderBy(col("adc"), col("vec_id"))
+      .limit(rerank * k)
+    candidates
+      .join(broadcast(q))
+      .select(col("vec_id"),
+        (floor(dotD(col("embedding"), col("q_embedding")) /
+          (normD(col("embedding")) * normD(col("q_embedding"))) * 10000 + 0.5) / 10000)
+          .as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
 }

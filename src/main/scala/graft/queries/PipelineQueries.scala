@@ -275,6 +275,14 @@ object PipelineQueries {
       (s, dir) => SimilarityOps.ivfTopK(emb(s, dir), queryId = 0, k = 10),
       None // approximate by design; exact baseline = similarity_topk
     ),
+    QueryDef(
+      "similarity_pq_topk",
+      // Product-quantization ADC scan (codes instead of vectors) + exact
+      // re-rank of the top candidates — the memory-bandwidth-bound ANN
+      // shape for corpora whose raw vectors don't fit the scan budget.
+      (s, dir) => SimilarityOps.pqTopK(emb(s, dir), queryId = 0, k = 10),
+      None // approximate by design; exact baseline = similarity_topk
+    ),
     // ------------------------------------------------------ text analysis
     QueryDef(
       "lang_id",

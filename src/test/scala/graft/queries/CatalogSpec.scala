@@ -34,7 +34,7 @@ class CatalogSpec extends AnyFunSuite {
     val accuracyGraded = Set(
       "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
       "similarity_lsh_topk", "similarity_lsh_topk_banded",
-      "similarity_ivf_topk", "agg_approx_distinct",
+      "similarity_ivf_topk", "similarity_pq_topk", "agg_approx_distinct",
       "agg_approx_percentile", "dedup_substring_hashed")
     assert(rowsOnly == accuracyGraded,
       s"every no-oracle query needs an exact-twin grading spec; unexpected: ${(rowsOnly -- accuracyGraded).mkString(", ")}; missing: ${(accuracyGraded -- rowsOnly).mkString(", ")}")

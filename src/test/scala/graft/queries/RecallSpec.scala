@@ -107,6 +107,17 @@ class RecallSpec extends AnyFunSuite {
     assert(overlap >= 0.85, f"IVF top-k overlap degraded: $overlap%.2f") // measured 0.90
   }
 
+  test("similarity_pq_topk overlap vs exact top-k") {
+    val exact = topIds("similarity_topk")
+    val pq = topIds("similarity_pq_topk")
+    val overlap = (pq & exact).size.toDouble / exact.size
+    info(f"PQ top-k overlap = ${(pq & exact).size}/${exact.size} = $overlap%.2f")
+    // measured overlap at rerank budget 2/4/8/16 = 0.5/0.7/0.8/1.0 —
+    // the default budget (8 ⇒ 16% of this corpus scanned exactly) sits at
+    // 0.8; the floor leaves one candidate of slack.
+    assert(overlap >= 0.7, f"PQ top-k overlap degraded: $overlap%.2f")
+  }
+
   test("agg_approx_percentile stays within the sketch's rank-error bound of exact") {
     // approx_percentile(accuracy = 1000) guarantees rank error <= n/1000
     // per group; grade VALUE closeness through the rank domain: for each
