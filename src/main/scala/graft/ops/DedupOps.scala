@@ -526,10 +526,16 @@ object DedupOps {
     val pa = prefixTokenIndex(docs, threshold).join(evalIds, "doc_id")
       .select(col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"),
         col("p").as("pa"))
+    // Only tokens that occur in SOME eval prefix can generate a candidate,
+    // so the train-side index is pruned by a broadcast semi-join on the
+    // (small — rarest-tokens-only) distinct prefix vocabulary BEFORE it
+    // shuffles: the full corpus token explode never leaves its scan stage.
+    val paToks = pa.select("tok").distinct()
     val pb = sorted.join(trainIds, "doc_id")
       .select(col("doc_id"), col("sz"), posexplode(col("stoks")))
       .select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
         (col("pos") + 1).as("pb"), col("col").as("tok"))
+      .join(broadcast(paToks), Seq("tok"), "left_semi")
     // Positional ubound (same argument as the Jaccard miner's: both sides
     // share ONE global token order): common tokens strictly before this
     // shared one ≤ min(pa,pb)−1, from it onward ≤ 1 + min remaining — a

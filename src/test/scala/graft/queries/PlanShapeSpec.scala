@@ -167,4 +167,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast threshold join in:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge for the tiny threshold table:\n$plan")
   }
+
+  test("TPC-H shapes: dims broadcast, no cartesian, Q3 limit becomes TakeOrdered") {
+    val q3 = planOf("tpch_q3_top_orders")
+    assert(q3.contains("TakeOrderedAndProject"),
+      s"top-10 must run as TakeOrderedAndProject, not global sort:\n$q3")
+    Seq("tpch_q3_top_orders", "tpch_q5_local_supplier",
+      "tpch_q8_market_share", "tpch_q18_large_orders").foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q: dimension joins must broadcast")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: no product joins:\n$p")
+    }
+  }
+
+  test("dedup_decontaminate prunes the train index by the eval prefix vocab via broadcast") {
+    val plan = planOf("dedup_decontaminate")
+    assert(plan.toLowerCase.contains("semi"),
+      s"expected the broadcast LeftSemi vocab prune in:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
 }
