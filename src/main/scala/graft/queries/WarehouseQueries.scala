@@ -236,6 +236,78 @@ object WarehouseQueries {
         GROUP BY o_year
         ORDER BY o_year""")
     ),
+    // ------------------------------------------------ Q10 returned items
+    QueryDef(
+      "tpch_q10_returned_items",
+      (s, dir) => {
+        // Top-20 customers by revenue lost to returns in one year: fact
+        // tables shuffle once on the order key; customer is the probe side
+        // of a broadcast of the filtered aggregate? No — customer is
+        // dimension-sized here, so IT broadcasts and the aggregation runs
+        // on the fact grain, finishing in a TakeOrderedAndProject.
+        val c = broadcast(t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"))
+        val n = broadcast(t(s, dir, "nation").select("n_nationkey", "n_name"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+          .select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+          .agg(Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .orderBy(desc("revenue"), col("c_custkey"))
+          .limit(20)
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1998-01-01'
+          AND o_orderdate <  TIMESTAMP '1999-01-01'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20""")
+    ),
+    // -------------------------------------------------- Q14 promo revenue
+    QueryDef(
+      "tpch_q14_promo_share",
+      (s, dir) => {
+        // Conditional-aggregate share: what fraction of a quarter's
+        // revenue came from PROMO parts. One broadcast dim join, one
+        // map-side-combinable aggregate, a ratio of exact cent quanta —
+        // the single-output-row report shape.
+        val p = broadcast(t(s, dir, "part").select("p_partkey", "p_type"))
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+          .select("l_partkey", "l_extendedprice", "l_discount")
+        val quanta = floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
+          .cast("long")
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .agg(
+            sum(when(col("p_type") === "PROMO", quanta).otherwise(lit(0L))).as("promo"),
+            sum(quanta).as("total"))
+          .select(round(lit(100.0) * col("promo") / col("total"), 4).as("promo_pct"))
+      },
+      Some("""
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                       ELSE 0 END)
+                     / sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)),
+                     4) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-04-01'""")
+    ),
     // ---------------------------------------------- last-touch attribution
     QueryDef(
       "events_attribution",

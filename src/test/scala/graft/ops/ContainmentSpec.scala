@@ -44,6 +44,44 @@ class ContainmentSpec extends AnyFunSuite {
     assert(j.count() === 0)
   }
 
+  test("containmentBest equals driver brute force on random corpora") {
+    import org.apache.spark.sql.functions.col
+    val vocabWords = (0 until 40).map(i => s"w$i")
+    var nonEmptyCases = 0
+    for (seed <- Seq(7, 23, 91)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = (0L until 30L).map { id =>
+        val n = 2 + rnd.nextInt(12)
+        id -> Seq.fill(n)(vocabWords(rnd.nextInt(vocabWords.size))).mkString(" ")
+      }
+      val corpus = df(rows)
+      val tau = 0.8
+      val evalSide = rows.filter(_._1 % 3 == 0)
+      val trainSide = rows.filter(_._1 % 3 != 0).map { case (id, t) =>
+        id -> t.split("\\s+").toSet
+      }
+      val expected = evalSide.flatMap { case (ida, ta) =>
+        val sa = ta.split("\\s+").toSet
+        if (sa.isEmpty) None
+        else {
+          // brute-force best: max intersection, lowest id on ties
+          val best = trainSide.map { case (idb, sb) => (idb, (sa & sb).size) }
+            .maxBy { case (idb, inter) => (inter, -idb) }
+          if (best._2.toDouble / sa.size >= tau)
+            Some((ida, best._1,
+              math.floor(best._2.toDouble / sa.size * 10000 + 0.5) / 10000))
+          else None
+        }
+      }.sortBy(_._1)
+      val got = DedupOps.containmentBest(corpus,
+          col("doc_id") % 3 === 0, col("doc_id") % 3 =!= 0, tau)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(got === expected, s"seed $seed")
+      if (expected.nonEmpty) nonEmptyCases += 1
+    }
+    assert(nonEmptyCases > 0, "property vacuous: no seed produced matches")
+  }
+
   test("argmax tiebreak: equal intersections resolve to the lowest train id") {
     import org.apache.spark.sql.functions.col
     // Both train docs contain ALL of doc 1's tokens (inter = 3, C = 1.0 for

@@ -58,6 +58,31 @@ class ZOrderSpec extends AnyFunSuite {
       s"z-order must at least halve the non-sort dim extent ($zPrice vs $sPrice)")
   }
 
+  test("zvalue matches a reference Morton interleave on random 16-bit inputs") {
+    import spark.implicits._
+    def refMorton(x: Long, y: Long): Long = {
+      var z = 0L
+      var i = 0
+      while (i < 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+        i += 1
+      }
+      z
+    }
+    val rnd = new scala.util.Random(42)
+    val pts = Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L)) ++
+      (1 to 200).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), SparkOps.zvalue(col("x"), col("y")).as("z"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    pts.foreach { case (x, y) =>
+      assert(got((x, y)) === refMorton(x, y), s"mismatch at ($x,$y)")
+    }
+    // Interleave is a bijection: distinct inputs → distinct z-values.
+    assert(got.values.toSeq.distinct.size === got.size)
+  }
+
   test("z-order layout is a lossless permutation") {
     val orders = spark.read.parquet(s"$dir/orders.parquet")
     val z = SparkOps.zorderWrite(orders, "o_custkey", "o_totalprice",
