@@ -308,6 +308,77 @@ object WarehouseQueries {
         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
           AND l_shipdate <  TIMESTAMP '1998-04-01'""")
     ),
+    // ------------------------------------------------- 3-step user paths
+    QueryDef(
+      "events_paths_top",
+      (s, dir) => {
+        // Sequence mining one order up from the bigram transition matrix:
+        // the top-10 3-step event paths. Same single user_id shuffle, two
+        // leads over one window pass, a path groupBy that map-side
+        // combines onto |types|³ rows max, and a TakeOrderedAndProject.
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e3").isNotNull)
+          .groupBy(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), col("path"))
+          .limit(10)
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, event_type,
+                 epoch_ns(ts) // 1000 AS ts_us
+          FROM events),
+        seq AS (
+          SELECT event_type AS e1,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+        SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+        FROM seq WHERE e3 IS NOT NULL
+        GROUP BY path
+        ORDER BY n DESC, path
+        LIMIT 10""")
+    ),
+    // ------------------------------------------------- market basket pairs
+    QueryDef(
+      "basket_type_pairs",
+      (s, dir) => {
+        // Co-purchase affinity between part TYPES: distinct types per
+        // order (bounded by |types| = 6, so the per-order pair expansion
+        // is ≤ 15 rows however many lines an order has), exploded to
+        // unordered pairs, counted. The classic market-basket 2-itemset
+        // support, kept scale-safe by pairing CATEGORIES, not items.
+        val p = broadcast(t(s, dir, "part").select("p_partkey", "p_type"))
+        t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_set(col("p_type"))).as("types"))
+          // sequence(0, -1) DESCENDS in Spark — a single-type order must
+          // never reach the pair expansion.
+          .filter(size(col("types")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(sequence(0, size(types) - 2), i ->
+                 transform(sequence(i + 1, size(types) - 1), j ->
+                   struct(types[i] AS t1, types[j] AS t2))))""")).as("pr"))
+          .groupBy(col("pr.t1").as("type_a"), col("pr.t2").as("type_b"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("type_a", "type_b")
+      },
+      Some("""
+        WITH ot AS (
+          SELECT DISTINCT l_orderkey, p_type
+          FROM lineitem JOIN part ON l_partkey = p_partkey)
+        SELECT a.p_type AS type_a, b.p_type AS type_b, count(*) AS n_orders
+        FROM ot a JOIN ot b
+          ON a.l_orderkey = b.l_orderkey AND a.p_type < b.p_type
+        GROUP BY type_a, type_b
+        ORDER BY type_a, type_b""")
+    ),
     // ---------------------------------------------- last-touch attribution
     QueryDef(
       "events_attribution",
