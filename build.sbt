@@ -29,5 +29,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] on an 8g heap is GC-bound once the session accumulates
+  // cached mining artifacts across a 150+-query run (observed as multi-x
+  // bench swings); the box has 128 GiB — give the single-JVM driver a
+  // deployment-shaped slice of it.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

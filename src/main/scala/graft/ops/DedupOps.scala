@@ -79,8 +79,24 @@ object DedupOps {
         "toks", k)
       .select(col("doc_id"), col("sig"))
       // consumed by banding and both signature re-joins - persist or the
-      // k-hash signature computation runs three times
+      // k-hash signature computation runs three times. Scoped to THIS
+      // call: the result is localCheckpoint-materialized below so the
+      // signature cache can be released before returning — an unreleased
+      // per-call persist accumulates across a long session and thrashes
+      // executor storage (observed as multi-x bench swings).
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      minhashLshFrom(sig, threshold, bands, rowsPerBand, k)
+        .localCheckpoint(true)
+    } finally sig.unpersist()
+  }
+
+  /** EAGER (see [[minhashLsh]]): the returned frame is a materialized
+    * LocalRDD of the (small) pair list; blocks are executor-local.
+    */
+  private def minhashLshFrom(
+      sig: DataFrame, threshold: Double, bands: Int, rowsPerBand: Int, k: Int
+  ): DataFrame = {
     val banded = sig.select(
       col("doc_id"),
       posexplode(expr(
