@@ -283,6 +283,49 @@ object TextOps {
       .orderBy("rank")
   }
 
+  /** BM25 retrieval scoring (Robertson–Spärck Jones; the Lucene-variant
+    * IDF, which is always positive): the production successor to TF·IDF —
+    * term-frequency saturation (k1) and document-length normalization (b)
+    * are what make long spammy documents stop winning. Same distributed
+    * shape as [[tfidfSearch]]: per-term postings aggregate map-side, the
+    * (tiny) document-frequency and corpus-stats tables broadcast, and the
+    * final top-k is a TakeOrderedAndProject — never a global window.
+    *
+    * Every float step (idf·tf·2.2/denominator, left-associated) is written
+    * identically in the DuckDB oracle, and the score is floor-quantized to
+    * 1e-4 — the result hashes identically across engines.
+    */
+  def bm25Search(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val termList = inList(terms)
+    val withLen = docs.select(col("doc_id"),
+      expr("size(filter(split(lower(text), '\\\\s+'), t -> t <> ''))").as("dl"),
+      col("text"))
+    val tok = withLen.select(col("doc_id"), col("dl"),
+      explode(expr(s"filter(split(lower(text), '\\\\s+'), t -> t IN $termList)"))
+        .as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dft = tok.groupBy(col("tok")).agg(countDistinct(col("doc_id")).as("df"))
+    val stats = withLen.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val denom = col("tf") + lit(1.2) *
+      (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") * col("n_docs") / col("sum_dl"))
+    val scored = tf
+      .join(broadcast(dft), "tok")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"))
+      .agg(floor(sum(idf * col("tf") * lit(2.2) / denom) * 10000 + 0.5)
+        .cast("long").as("score_e4"))
+    scored
+      .orderBy(col("score_e4").desc, col("doc_id"))
+      .limit(k)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_e4").desc, col("doc_id"))))
+      .select("rank", "doc_id", "score_e4")
+      .orderBy("rank")
+  }
+
   /** Content fingerprint from 8-char polynomial rolling hashes (base 31,
     * mod 1e9+7): per doc the minimum gram hash + distinct gram count —
     * an order-invariant signature comparable across engines (plain integer

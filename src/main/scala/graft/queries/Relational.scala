@@ -283,6 +283,29 @@ object Relational {
       None
     ),
     QueryDef(
+      "agg_hll_merge",
+      // Sketch REAGGREGATION — the property that makes sketches the 100 TB
+      // rollup currency: per-nation HLL sketches of distinct customers
+      // (Datasketches hll_sketch_agg) merge LOSSLESSLY to region grain via
+      // hll_union_agg, with no second scan of the fact data. A production
+      // pipeline materializes the fine-grain sketch table once and serves
+      // every coarser rollup from it. Estimates are algorithm-specific ⇒
+      // rows-only; RecallSpec bounds the relative error against the exact
+      // per-region distinct twin.
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+        val n = broadcast(t(s, dir, "nation"))
+        val perNation = c.join(n, c("c_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_regionkey"), col("n_nationkey"))
+          .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"))
+        perNation
+          .groupBy(col("n_regionkey"))
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_customers"))
+          .orderBy("n_regionkey")
+      },
+      None
+    ),
+    QueryDef(
       "agg_rollup",
       (s, dir) =>
         t(s, dir, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))

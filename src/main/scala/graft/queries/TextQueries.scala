@@ -467,6 +467,44 @@ object TextQueries {
         ORDER BY score_e4 DESC, doc_id LIMIT 20""")
     ),
     QueryDef(
+      "text_bm25_search",
+      // BM25 top-20 for the same query terms as text_tfidf_search — the
+      // tf-saturating, length-normalized production scorer. Identical
+      // float-op order on both sides; score floor-quantized to 1e-4.
+      (s, dir) =>
+        TextOps.bm25Search(
+          s.read.parquet(s"$dir/documents.parquet"),
+          Seq("data", "spark", "dup"), 20),
+      Some("""
+        WITH wl AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(lower(text), '\s+'),
+                   t -> t <> '')) AS dl,
+                 text
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM wl),
+        tok AS (
+          SELECT doc_id, dl, unnest(list_filter(
+            string_split_regex(lower(text), '\s+'),
+            t -> t IN ('data', 'spark', 'dup'))) AS tok
+          FROM wl),
+        tf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+        dft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        scored AS (
+          SELECT tf.doc_id,
+                 CAST(floor(sum(
+                   ln((stats.n_docs - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+                     * tf.tf * 2.2
+                     / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl * stats.n_docs / stats.sum_dl))
+                 ) * 10000 + 0.5) AS BIGINT) AS score_e4
+          FROM tf JOIN dft USING (tok) CROSS JOIN stats
+          GROUP BY tf.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS INTEGER) AS rank,
+               doc_id, score_e4
+        FROM scored
+        ORDER BY score_e4 DESC, doc_id LIMIT 20""")
+    ),
+    QueryDef(
       "bpe_train_merges",
       // Distributed BPE tokenizer training: the first 6 learned merge
       // rules (the merge table IS the tokenizer artifact). Pair stats are

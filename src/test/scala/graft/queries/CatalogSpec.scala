@@ -35,7 +35,7 @@ class CatalogSpec extends AnyFunSuite {
       "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
       "similarity_lsh_topk", "similarity_lsh_topk_banded",
       "similarity_ivf_topk", "similarity_pq_topk", "agg_approx_distinct",
-      "agg_approx_percentile", "dedup_substring_hashed")
+      "agg_approx_percentile", "agg_hll_merge", "dedup_substring_hashed")
     assert(rowsOnly == accuracyGraded,
       s"every no-oracle query needs an exact-twin grading spec; unexpected: ${(rowsOnly -- accuracyGraded).mkString(", ")}; missing: ${(accuracyGraded -- rowsOnly).mkString(", ")}")
   }

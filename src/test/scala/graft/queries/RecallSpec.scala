@@ -118,6 +118,26 @@ class RecallSpec extends AnyFunSuite {
     assert(overlap >= 0.7, f"PQ top-k overlap degraded: $overlap%.2f")
   }
 
+  test("agg_hll_merge region estimates stay within HLL error of exact distinct") {
+    val exact = spark.read.parquet(s"$dir/customer.parquet")
+      .join(spark.read.parquet(s"$dir/nation.parquet"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey"))
+      .agg(countDistinct(col("c_custkey")).as("n"))
+      .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
+    val approx = Catalog.queriesMap("agg_hll_merge")(spark, dir)
+      .collect().map(r => r.get(0).toString -> r.getLong(1).toDouble).toMap
+    assert(approx.keySet == exact.keySet)
+    approx.foreach { case (region, est) =>
+      val n = exact(region).toDouble
+      // lgK=14 ⇒ relative standard error ≈ 1.04/√2^14 ≈ 0.8%; allow 5σ
+      // plus a small-count floor.
+      val tol = math.max(0.04 * n, 3.0)
+      assert(math.abs(est - n) <= tol,
+        f"region $region: est $est%.1f vs exact $n%.0f (tol $tol%.1f)")
+    }
+  }
+
   test("agg_approx_percentile stays within the sketch's rank-error bound of exact") {
     // approx_percentile(accuracy = 1000) guarantees rank error <= n/1000
     // per group; grade VALUE closeness through the rank domain: for each
