@@ -178,12 +178,13 @@ object SimilarityOps {
     * Codebooks here are the subvectors of the `ksub` lowest-id vectors
     * (deterministic stand-in for per-subspace k-means training on a
     * sample — swap the codebook array and nothing else changes; same
-    * convention as [[ivfTopK]]'s centroids). Encoding is a HoF expression
-    * (m·ksub·(d/m) fused multiply-adds per row) evaluated ONCE per vector
-    * — at deployment scale codes are materialized at ingest, and a native
-    * `Expression` would replace the interpreted lambda; the plan shape
+    * convention as [[ivfTopK]]'s centroids). Encoding runs through the
+    * native [[graft.functions.PqEncode]] expression — bit-identical to the
+    * HoF composition (PqEncodeSpec) but a tight JVM loop instead of
+    * m·ksub·(d/m) interpreted lambda evaluations per row. The plan shape
     * (encode scan → broadcast table → ADC TakeOrdered → exact re-rank) is
-    * the production one.
+    * the production one; at deployment scale codes are materialized at
+    * ingest.
     */
   def pqTopK(
       emb: DataFrame,
@@ -193,31 +194,11 @@ object SimilarityOps {
       ksub: Int = 16,
       rerank: Int = 8
   ): DataFrame = {
-    val d = emb.select(size(col("embedding"))).head.getInt(0)
-    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
-    val dsub = d / m
-    // Driver-side codebook (m × ksub × dsub doubles — ~8 KB; the same
-    // footprint class as broadcast k-means centroids).
-    val sample = emb.orderBy("vec_id").limit(ksub)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      .map { v =>
-        val n = math.sqrt(v.map(x => x * x).sum)
-        v.map(_ / n)
-      }
-    val codebooks: Seq[Seq[Seq[Double]]] =
-      (0 until m).map(s => (0 until ksub).map(c =>
-        (0 until dsub).map(i => sample(c)(s * dsub + i))))
+    val codebooks = pqCodebooks(emb, m, ksub)
+    val (mm, kk, dsub) = (codebooks.length, codebooks.head.length,
+      codebooks.head.head.length)
     val cb = typedLit(codebooks)
 
-    // Normalized embedding as double array.
-    val nemb = {
-      val v = transform(col("embedding"), x => x.cast("double"))
-      val n = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
-      transform(v, x => x / n)
-    }
-    // L2² between subvector s of the (normalized) row vector and codebook
-    // centroid c of subspace s. element_at is 1-based.
     def subDist(vec: Column, s: Column, c: Column): Column =
       aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {
         val diff = element_at(vec, (s * dsub + i + 1).cast("int")) -
@@ -225,31 +206,28 @@ object SimilarityOps {
             (i + 1).cast("int"))
         acc + diff * diff
       })
-    // Per-subspace argmin centroid id.
-    val codes = transform(sequence(lit(0), lit(m - 1)), s =>
-      aggregate(sequence(lit(0), lit(ksub - 1)),
-        struct(lit(-1).cast("int").as("c"), lit(Double.MaxValue).as("d")),
-        (acc, c) => {
-          val dist = subDist(col("__nemb"), s, c)
-          when(dist < acc.getField("d"),
-            struct(c.cast("int").as("c"), dist.as("d"))).otherwise(acc)
-        }).getField("c"))
+    val encodeFn = graft.functions.PqEncode.registerUnique(emb.sparkSession, codebooks)
+    val codes = expr(s"$encodeFn(embedding)")
 
     // Query distance table (1 row, m × ksub) — broadcast to the code scan.
+    val nemb = {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val n = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+      transform(v, x => x / n)
+    }
     val qdt = emb.filter(col("vec_id") === queryId)
       .withColumn("__nemb", nemb)
-      .select(transform(sequence(lit(0), lit(m - 1)), s =>
-        transform(sequence(lit(0), lit(ksub - 1)), c =>
+      .select(transform(sequence(lit(0), lit(mm - 1)), s =>
+        transform(sequence(lit(0), lit(kk - 1)), c =>
           subDist(col("__nemb"), s, c))).as("dt"))
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
 
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0), (acc, s) =>
+    val adc = aggregate(sequence(lit(0), lit(mm - 1)), lit(0.0), (acc, s) =>
       acc + element_at(element_at(col("dt"), (s + 1).cast("int")),
         element_at(col("codes"), (s + 1).cast("int")) + 1))
 
     val candidates = emb.filter(col("vec_id") =!= queryId)
-      .withColumn("__nemb", nemb)
       .withColumn("codes", codes)
       .crossJoin(broadcast(qdt))
       .select(col("vec_id"), col("embedding"), adc.as("adc"))
@@ -263,5 +241,50 @@ object SimilarityOps {
           .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Deterministic PQ codebooks: normalized subvectors of the `ksub`
+    * lowest-id vectors (see [[pqTopK]]).
+    */
+  def pqCodebooks(emb: DataFrame, m: Int, ksub: Int): Seq[Seq[Seq[Double]]] = {
+    val d = emb.select(size(col("embedding"))).head.getInt(0)
+    require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
+    val dsub = d / m
+    val sample = emb.orderBy("vec_id").limit(ksub)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map { v =>
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+    (0 until m).map(s => (0 until ksub).map(c =>
+      (0 until dsub).map(i => sample(c)(s * dsub + i))))
+  }
+
+  /** The HoF composition [[graft.functions.PqEncode]] replaced — kept as
+    * the parity oracle for PqEncodeSpec (codes over `embedding`).
+    */
+  private[graft] def pqCodesHof(codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val (m, ksub, dsub) = (codebooks.length, codebooks.head.length,
+      codebooks.head.head.length)
+    val cb = typedLit(codebooks)
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val n = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    val nemb = transform(v, x => x / n)
+    def subDist(s: Column, c: Column): Column =
+      aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {
+        val diff = element_at(nemb, (s * dsub + i + 1).cast("int")) -
+          element_at(element_at(element_at(cb, (s + 1).cast("int")), (c + 1).cast("int")),
+            (i + 1).cast("int"))
+        acc + diff * diff
+      })
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      aggregate(sequence(lit(0), lit(ksub - 1)),
+        struct(lit(-1).cast("int").as("c"), lit(Double.MaxValue).as("d")),
+        (acc, c) => {
+          val dist = subDist(s, c)
+          when(dist < acc.getField("d"),
+            struct(c.cast("int").as("c"), dist.as("d"))).otherwise(acc)
+        }).getField("c"))
   }
 }

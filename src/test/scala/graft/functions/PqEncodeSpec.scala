@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The native PQ encoder must be BIT-IDENTICAL to the higher-order-function
+  * composition it replaced — same normalization fold, same per-dimension
+  * op order, same strict-< argmin — on the real embeddings table.
+  */
+class PqEncodeSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-pqencode-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("native pq_encode codes == HoF composition codes on all vectors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cbs = graft.ops.SimilarityOps.pqCodebooks(emb, m = 8, ksub = 16)
+    val fn = PqEncode.registerUnique(spark, cbs)
+    val both = emb.select(
+      col("vec_id"),
+      expr(s"$fn(embedding)").as("native"),
+      graft.ops.SimilarityOps.pqCodesHof(cbs).as("hof"))
+    val diff = both.filter(not(col("native") <=> col("hof")))
+    assert(diff.isEmpty, s"codes diverge: ${diff.limit(3).collect().mkString(";")}")
+    // sanity: codes are within [0, ksub) and the right arity
+    val bad = both.filter(size(col("native")) =!= 8 ||
+      exists(col("native"), c => c < 0 || c >= 16))
+    assert(bad.isEmpty)
+  }
+
+  test("unique registration: two codebooks do not cross-wire") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cb1 = graft.ops.SimilarityOps.pqCodebooks(emb, m = 8, ksub = 16)
+    // degenerate second codebook: first centroid only → all codes 0
+    val cb2 = cb1.map(s => Seq(s.head))
+    val f1 = PqEncode.registerUnique(spark, cb1)
+    val f2 = PqEncode.registerUnique(spark, cb2)
+    assert(f1 != f2)
+    val out = emb.limit(5).select(
+      expr(s"$f2(embedding)").as("codes2"))
+      .collect()
+    assert(out.forall(_.getSeq[Int](0).forall(_ == 0)))
+  }
+}
