@@ -308,6 +308,97 @@ object WarehouseQueries {
         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
           AND l_shipdate <  TIMESTAMP '1998-04-01'""")
     ),
+    // --------------------------------------------------- Q6 revenue delta
+    QueryDef(
+      "tpch_q6_revenue_delta",
+      (s, dir) => {
+        // Pure scan-side query: every predicate (date range, discount
+        // band, quantity cap) pushes to the parquet scan, and the single
+        // aggregate partial-combines — the "how much would revenue change"
+        // what-if that TPC-H uses to measure raw scan throughput.
+        t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1999-01-01").cast("timestamp") &&
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+          .agg(Tables.moneySum(col("l_extendedprice") * col("l_discount"))
+            .as("revenue"))
+      },
+      Some("""
+        SELECT floor((sum(CAST(floor((l_extendedprice * l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate <  TIMESTAMP '1999-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24""")
+    ),
+    // ---------------------------------------------- Q19 disjunctive join
+    QueryDef(
+      "tpch_q19_disjunctive",
+      (s, dir) => {
+        // OR-of-ANDs across both join sides: each disjunct pairs a brand
+        // with its own size and quantity bands. The join key stays a pure
+        // equi-join (partkey); the disjunction evaluates as a post-join
+        // filter over the broadcast dim — Catalyst keeps the hash join
+        // and pushes what it can (the OR of brands) to the dim scan.
+        val p = broadcast(t(s, dir, "part").select("p_partkey", "p_brand", "p_size"))
+        val l = t(s, dir, "lineitem")
+          .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+        val disj =
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .filter(disj)
+          .agg(Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+      },
+      Some("""
+        SELECT floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)""")
+    ),
+    // ------------------------------------------------ Q22 idle customers
+    QueryDef(
+      "tpch_q22_idle_rich",
+      (s, dir) => {
+        // Above-average-balance customers with no RECENT orders (lapsed
+        // high-value accounts): a scalar aggregate broadcast as a 1-row
+        // join + a left-anti join against the date-filtered orders fact —
+        // the decorrelated NOT EXISTS plan Catalyst produces for Q22. The
+        // date filter prunes the fact BEFORE its anti-join shuffle.
+        val c = t(s, dir, "customer")
+        val avgBal = c.filter(col("c_acctbal") > 0)
+          .agg(avg(col("c_acctbal")).as("avg_bal"))
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select("o_custkey")
+        c.crossJoin(broadcast(avgBal))
+          .filter(col("c_acctbal") > col("avg_bal"))
+          .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_cust"),
+            Tables.moneySum(col("c_acctbal")).as("total_bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_cust,
+               floor((sum(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total_bal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    ),
     // ------------------------------------------------- 3-step user paths
     QueryDef(
       "events_paths_top",
