@@ -60,6 +60,19 @@ object TrainingDataPipeline {
       docs.join(losers, Seq("doc_id"), "left_anti")
     }
 
+    val decontaminate: Transform[DataFrame, DataFrame] = Node { docs =>
+      // hold out every 10th doc as the eval set, then remove (a) the eval
+      // docs themselves and (b) every surviving train doc that CONTAINS an
+      // eval doc's token set (benchmark leakage that Jaccard mining above
+      // misses when the train doc is much larger than the eval doc)
+      val isEval = col("doc_id") % 10 === 0
+      val hits = DedupOps.containmentBest(
+        docs.select("doc_id", "text"), isEval, !isEval, threshold = 0.95)
+      Tel.addCounter("contaminated_train_docs", hits.count())
+      docs.filter(!isEval)
+        .join(hits.select(col("matched_doc").as("doc_id")), Seq("doc_id"), "left_anti")
+    }
+
     val summarize: Transform[DataFrame, DataFrame] = Node { docs =>
       docs.groupBy(col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -76,6 +89,7 @@ object TrainingDataPipeline {
       ~> qualityGate
       ~> dedupExact
       ~> markNearDups
+      ~> decontaminate
       ~> (sink >> summarize))
       .lineageName("curate-corpus")
 
