@@ -58,6 +58,47 @@ object Relational {
       Some("SELECT * FROM nation ORDER BY n_nationkey")
     ),
     QueryDef(
+      "scan_csv_malformed",
+      (s, dir) => {
+        // Robust ingestion: PERMISSIVE mode quarantines unparseable rows
+        // into a corrupt-record column instead of failing the job — at
+        // 100 TB some rows ARE broken, and a pipeline that dies on row
+        // 3 billion is not a pipeline. A crafted file mixes well-formed
+        // rows with type-garbage and arity-garbage; output = clean-row
+        // aggregate + quarantine count.
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_malformed"
+        val f = new java.io.File(tmp)
+        f.mkdirs()
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(tmp, "rows.csv"),
+          Seq("id,amount", "1,10.5", "2,oops", "3,30.25", "not,a,row,at,all",
+            "4,2.25").mkString("\n"))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("amount",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("_bad",
+            org.apache.spark.sql.types.StringType)))
+        val df = s.read.schema(schema)
+          .option("header", "true")
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_bad")
+          .csv(tmp)
+          // cache first: the corrupt-record column cannot be filtered
+          // directly off the scan (Spark requires the full parse result)
+          .cache()
+        df.count()
+        df.agg(
+          count(when(col("_bad").isNull, 1)).as("n_clean"),
+          count(col("_bad")).as("n_quarantined"),
+          Tables.moneySum(when(col("_bad").isNull, col("amount"))).as("clean_total"))
+      },
+      Some("""
+        SELECT CAST(3 AS BIGINT) AS n_clean, CAST(2 AS BIGINT) AS n_quarantined,
+               CAST(43.0 AS DOUBLE) AS clean_total""")
+    ),
+    QueryDef(
       "scan_json",
       (s, dir) => {
         val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_region"

@@ -173,7 +173,8 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(q3.contains("TakeOrderedAndProject"),
       s"top-10 must run as TakeOrderedAndProject, not global sort:\n$q3")
     Seq("tpch_q3_top_orders", "tpch_q5_local_supplier",
-      "tpch_q8_market_share", "tpch_q18_large_orders").foreach { q =>
+      "tpch_q8_market_share", "tpch_q18_large_orders",
+      "tpch_q10_returned_items", "tpch_q19_disjunctive").foreach { q =>
       val p = planOf(q)
       assert(p.contains("BroadcastHashJoin"), s"$q: dimension joins must broadcast")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
