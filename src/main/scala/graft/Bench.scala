@@ -37,9 +37,16 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     // A failed query records an explicit -1 marker (never a plausible
     // duration): a broken query must not masquerade as a fast one.
-    val results = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .map { case (name, fn) =>
+    //
+    // Iterate in CATALOG order (stable insertion sequence), not Map hash
+    // order: hash order reshuffles whenever the registry grows, which
+    // changes WHICH mining query pays each session-cache build (e.g. the
+    // τ=0.9 A×B derive only helps if the τ=0.8 miner ran first) — that
+    // made bench totals incomparable across registry sizes.
+    val results = graft.queries.Catalog.all
+      .filter(q => only.forall(_.contains(q.name)))
+      .map { q =>
+        val (name, fn) = (q.name, q.run)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -53,7 +60,7 @@ object Bench {
     val errors = results.collect { case (k, v) if v < 0 => k }.toSeq
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson}"""

@@ -19,9 +19,12 @@ object Verify {
     // sets no filter and runs everything).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.contains(name))
-    }
+    // Catalog (insertion) order, not Map hash order — keeps the
+    // mine-once/derive-many cache priming deterministic across registry
+    // growth (same reasoning as Bench).
+    val selected = graft.queries.Catalog.all
+      .filter(q => only.forall(_.contains(q.name)))
+      .map(q => q.name -> q.run)
     // A failing query must leave a visible trace, not silently vanish from
     // the correctness report (round 3's broken query lost its row unseen).
     val failures = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
