@@ -143,6 +143,34 @@ object StreamingQueries {
         FROM events GROUP BY event_type ORDER BY event_type""")
     ),
     QueryDef(
+      "stream_session_timeout",
+      // The same 30-minute-gap sessions as stream_session, but via
+      // flatMapGroupsWithState + EventTimeTimeout: closed sessions emit
+      // when the next event proves the gap; each user's last open session
+      // emits through the watermark-driven timeout callback (state
+      // eviction = the timeout). Staged three-wave replay forces real
+      // cross-batch session continuation; the batch gaps-and-islands
+      // oracle grades the emitted sessions.
+      (s, dir) => StreamingOps.sessionTimeoutAgg(s, dir),
+      Some("""
+        WITH e AS (
+          SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")
+    ),
+    QueryDef(
       "stream_upsert_sink",
       // foreachBatch MERGE-upsert: a 3-slice replay folds per-user deltas
       // (count + argmax-last-event) into a versioned parquet state table,

@@ -21,6 +21,20 @@ import org.apache.spark.sql.types._
 /** Typed event for custom-state operators. */
 final case class UserEvent(user_id: Long, value: Double)
 
+/** Typed event for the timeout-driven sessionizer: `ts` carries the
+  * watermark (EventTimeTimeout requires the watermarked column to survive
+  * into the grouped Dataset); `ts_us` is the same instant as a long for
+  * exact state arithmetic.
+  */
+final case class SessEvent(
+    user_id: Long, ts: java.sql.Timestamp, ts_us: Long, event_id: Long)
+
+/** Open-session state carried across micro-batches (micros). */
+final case class SessState(start_us: Long, last_us: Long, n: Long)
+
+/** Closed session emitted by [[StreamingOps.sessionTimeoutAgg]]. */
+final case class SessOut(user_id: Long, session_start_us: Long, n_events: Long)
+
 /** Per-key state carried across micro-batches. */
 final case class RunningTotal(total: Double, n: Long)
 
@@ -410,6 +424,138 @@ object StreamingOps {
       Files.createFile(marker)
     }
     target.toString
+  }
+
+  /** Session windows as CUSTOM STATE with event-time TIMEOUTS: the same
+    * 30-minute-gap sessions as `session_window`/`sessionize_batch`, but
+    * realized with `flatMapGroupsWithState` + `GroupStateTimeout
+    * .EventTimeTimeout` — the mechanism for session semantics the built-in
+    * window can't express (per-session aggregates beyond count, early
+    * alerts, custom merge rules). State per user is ONE open session
+    * (start, last, n); closed sessions emit as soon as the next event
+    * proves the gap, and the LAST open session emits through the timeout
+    * callback when the watermark passes `last + gap` — which is exactly
+    * how state is evicted (bounded by active users, not history).
+    *
+    * The replay stages three waves with ascending mtimes (early half /
+    * late half / a far-future watermark-advancer event) so sessions
+    * genuinely continue across micro-batches and every real session
+    * provably times out by end of replay. In-batch events fold in
+    * (ts, event_id) order and the split is time-based, so emitted
+    * sessions are batching-independent — the batch gaps-and-islands
+    * oracle grades the result.
+    */
+  def sessionTimeoutAgg(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val watch = stageSessionDir(spark, dir)
+    val gapUs = 30L * 60 * 1000 * 1000
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val stream = spark.readStream
+        .schema(eventsRawSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(watch)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+        .select(col("user_id"), col("ts"),
+          unix_micros(col("ts")).as("ts_us"), col("event_id"))
+      import spark.implicits._
+      val sessions = stream.as[SessEvent]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[SessState, SessOut](
+          OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+          (uid: Long, it: Iterator[SessEvent], state: GroupState[SessState]) =>
+            if (state.hasTimedOut) {
+              // watermark passed last + gap: the open session is final
+              val s = state.get
+              state.remove()
+              Iterator.single(SessOut(uid, s.start_us, s.n))
+            } else {
+              val evs = it.toArray.sortBy(e => (e.ts_us, e.event_id))
+              val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+              var cur = state.getOption
+              evs.foreach { e =>
+                cur match {
+                  case Some(s) if e.ts_us < s.last_us + gapUs =>
+                    cur = Some(SessState(s.start_us, e.ts_us, s.n + 1))
+                  case Some(s) =>
+                    out += SessOut(uid, s.start_us, s.n)
+                    cur = Some(SessState(e.ts_us, e.ts_us, 1))
+                  case None =>
+                    cur = Some(SessState(e.ts_us, e.ts_us, 1))
+                }
+              }
+              cur.foreach { s =>
+                state.update(s)
+                // event-time timeout is set in MILLIS; fires once the
+                // watermark passes the session's gap horizon
+                state.setTimeoutTimestamp((s.last_us + gapUs) / 1000)
+              }
+              out.iterator
+            }
+        }
+      runToTable(sessions.toDF(), "append")
+        .filter(col("user_id") >= 0) // drop the synthetic advancer user
+        .select(col("user_id"),
+          timestamp_micros(col("session_start_us")).as("session_start"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  /** Three-wave staging for [[sessionTimeoutAgg]]: early half / late half
+    * split at the median event time (sessions straddle the boundary →
+    * real cross-batch state continuation) plus a far-future single-event
+    * advancer wave (synthetic user −1) that drags the watermark past
+    * every real session's gap horizon.
+    */
+  private def stageSessionDir(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val hash = Integer.toHexString(dir.hashCode)
+    val watch = Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_sess_$hash")
+    val src = Paths.get(s"$dir/events.parquet")
+    val marker = watch.resolve("_staged")
+    val stale = !Files.exists(marker) ||
+      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) < 0
+    if (stale) {
+      if (Files.exists(watch)) {
+        Files.walk(watch).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+      Files.createDirectories(watch)
+      val ev = spark.read.schema(eventsRawSchema).parquet(src.toString)
+      def writeWave(df: DataFrame, name: String, mtime: Long): Unit = {
+        val scratch = Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_stream_sess_${hash}_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = Files.list(scratch).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for wave $name"))
+        val dst = watch.resolve(s"$name.parquet")
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+      }
+      val Array(median) = ev.stat.approxQuantile("ts", Array(0.5), 0.0)
+      val medianNs = median.toLong
+      val maxNs = ev.agg(max(col("ts"))).head.getLong(0)
+      val adv = spark.range(1).select(
+        lit(-1L).as("event_id"),
+        lit(maxNs + 10L * 24 * 3600 * 1000 * 1000 * 1000).as("ts"),
+        lit(-1L).as("user_id"),
+        lit("advance").as("event_type"),
+        lit(0.0).as("value"),
+        lit("{}").as("props"))
+      val t0 = (System.currentTimeMillis() / 1000) * 1000 - 300000
+      writeWave(ev.filter(col("ts") <= medianNs), "0_early", t0)
+      writeWave(ev.filter(col("ts") > medianNs), "1_late", t0 + 60000)
+      writeWave(adv, "2_advance", t0 + 120000)
+      Files.write(marker, Array.emptyByteArray)
+    }
+    watch.toString
   }
 
   /** foreachBatch MERGE-upsert sink: each micro-batch folds its per-user
