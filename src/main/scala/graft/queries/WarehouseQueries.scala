@@ -308,6 +308,40 @@ object WarehouseQueries {
         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
           AND l_shipdate <  TIMESTAMP '1998-04-01'""")
     ),
+    // -------------------------------------------------- Q4 late shipments
+    QueryDef(
+      "tpch_q4_priority_lateness",
+      (s, dir) => {
+        // EXISTS-shaped fact-fact correlation: count orders per priority
+        // that had at least one line shipped > 90 days after the order
+        // date. The subquery decorrelates to a LEFT SEMI join on the
+        // order key — one shuffle each side, no per-order probe — and the
+        // lateness predicate evaluates BEFORE the join, shrinking the
+        // semi-join's build input to just the late lines.
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        val l = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+        val late = l.join(o.select("o_orderkey", "o_orderdate"),
+            l("l_orderkey") === col("o_orderkey"))
+          .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+          .select(col("l_orderkey"))
+        o.join(late, o("o_orderkey") === late("l_orderkey"), "left_semi")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority""")
+    ),
     // --------------------------------------------------- Q6 revenue delta
     QueryDef(
       "tpch_q6_revenue_delta",
