@@ -308,6 +308,45 @@ object WarehouseQueries {
         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
           AND l_shipdate <  TIMESTAMP '1998-04-01'""")
     ),
+    // --------------------------------------------------- Q15 top supplier
+    QueryDef(
+      "tpch_q15_top_supplier",
+      (s, dir) => {
+        // Argmax over an aggregate: quarterly revenue per supplier, keep
+        // the supplier(s) achieving the maximum. The max rides back as a
+        // broadcast 1-row join against the (already supplier-grain)
+        // aggregate — no second scan of lineitem, no window over the
+        // whole aggregate. Revenue compared in exact cent quanta so the
+        // max-equality predicate cannot split across engines.
+        val su = broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name"))
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-04-01").cast("timestamp"))
+        val rev = l.groupBy(col("l_suppkey"))
+          .agg(sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
+            .cast("long")).as("rev_q"))
+        val top = rev.agg(max(col("rev_q")).as("max_q"))
+        rev.crossJoin(broadcast(top))
+          .filter(col("rev_q") === col("max_q"))
+          .join(su, col("l_suppkey") === su("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            (floor((col("rev_q") + 50) / 100) / 100.0).as("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS rev_q
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-04-01'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name,
+               floor((rev_q + 50) / 100) / 100.0 AS total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_q = (SELECT max(rev_q) FROM rev)
+        ORDER BY s_suppkey""")
+    ),
     // -------------------------------------------------- Q4 late shipments
     QueryDef(
       "tpch_q4_priority_lateness",
