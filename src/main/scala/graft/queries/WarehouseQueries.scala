@@ -308,6 +308,84 @@ object WarehouseQueries {
         WHERE l_shipdate >= TIMESTAMP '1998-01-01'
           AND l_shipdate <  TIMESTAMP '1998-04-01'""")
     ),
+    // ------------------------------------------------ Q7 two-nation volume
+    QueryDef(
+      "tpch_q7_nation_volume",
+      (s, dir) => {
+        // Bilateral trade volume: supplier nation × customer nation
+        // restricted to one unordered country pair, by year. The nation
+        // dim joins twice under different roles (the Q8 self-alias again,
+        // but with the pair predicate ACROSS the two aliases); facts
+        // shuffle once each, dims broadcast.
+        val nSupp = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation")))
+        val nCust = broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation")))
+        val su = broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"))
+        val c = t(s, dir, "customer").select("c_custkey", "c_nationkey")
+        val o = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+        val l = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .join(nSupp, su("s_nationkey") === col("sn_key"))
+          .join(nCust, c("c_nationkey") === col("cn_key"))
+          .filter(
+            (col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+            (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
+          .groupBy(col("supp_nation"), col("cust_nation"),
+            year(col("l_shipdate")).as("l_year"))
+          .agg(Tables.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("revenue"))
+          .orderBy("supp_nation", "cust_nation", "l_year")
+      },
+      Some("""
+        SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               floor((sum(CAST(floor((l_extendedprice * (1 - l_discount)) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders    ON l_orderkey = o_orderkey
+        JOIN customer  ON o_custkey = c_custkey
+        JOIN supplier  ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        WHERE (sn.n_name = 'NATION_18' AND cn.n_name = 'NATION_19')
+           OR (sn.n_name = 'NATION_19' AND cn.n_name = 'NATION_18')
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year""")
+    ),
+    // ------------------------------------------- Q13 order-count histogram
+    QueryDef(
+      "tpch_q13_order_histogram",
+      (s, dir) => {
+        // Customer distribution by order count INCLUDING zero-order
+        // customers: a left outer join whose count must count ORDERS, not
+        // rows (count(o_orderkey), null-aware), then a second aggregation
+        // over the counts — the double-grouping shape. A priority filter
+        // stands in for TPC-H's comment NOT LIKE.
+        val c = t(s, dir, "customer").select("c_custkey")
+        val o = t(s, dir, "orders")
+          .filter(col("o_orderpriority") =!= "5-LOW")
+          .select("o_orderkey", "o_custkey")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(desc("custdist"), desc("c_count"))
+      },
+      Some("""
+        WITH cc AS (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer
+          LEFT OUTER JOIN orders
+            ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+          GROUP BY c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM cc GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC""")
+    ),
     // --------------------------------------------------- Q15 top supplier
     QueryDef(
       "tpch_q15_top_supplier",
