@@ -108,6 +108,85 @@ object EventQueries {
         ORDER BY stage""")
     ),
     QueryDef(
+      "gap_fill_interpolate",
+      // Linear interpolation over the calendar spine: the sparse daily
+      // mean (one event type for one user, so gaps actually exist — 10
+      // observed days over a ~29-day span) joins the full day
+      // spine; missing days take prev + (next − prev)·frac between their
+      // bracketing observed days, boundary gaps clamp to the nearest
+      // observation. Neighbor lookup is two windows over the SPINE
+      // (last/first ignoreNulls) — tiny, day-grain — never a self-join;
+      // the math runs on exact cent quanta cast to double with identical
+      // IEEE op order in the oracle, rounded to cents at the end.
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .filter(col("event_type") === "error" && col("user_id") === 3)
+        val daily = e.groupBy(to_date(col("ts")).as("d"))
+          .agg((sum(floor(col("value") * 10000 + 0.5).cast("long"))
+            .cast("double") / 10000.0 / count(lit(1))).as("v"))
+        val days = e
+          .agg(min(to_date(col("ts"))).as("lo"), max(to_date(col("ts"))).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("d"))
+        val w = Window.orderBy(col("d"))
+        val before = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val after = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        val joined = days.join(daily, Seq("d"), "left")
+          .withColumn("pv", last(col("v"), ignoreNulls = true).over(before))
+          .withColumn("pd", last(when(col("v").isNotNull, col("d")), ignoreNulls = true)
+            .over(before))
+          .withColumn("nv", first(col("v"), ignoreNulls = true).over(after))
+          .withColumn("nd", first(when(col("v").isNotNull, col("d")), ignoreNulls = true)
+            .over(after))
+        joined.select(col("d"),
+          (floor(when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (datediff(col("d"), col("pd")).cast("double") /
+                datediff(col("nd"), col("pd")).cast("double"))) * 100 + 0.5) / 100)
+            .as("value"),
+          when(col("v").isNotNull, lit("observed"))
+            .when(col("pv").isNull || col("nv").isNull, lit("edge"))
+            .otherwise(lit("interpolated")).as("src"))
+          .orderBy("d")
+      },
+      Some("""
+        WITH e AS (
+          SELECT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS d, value
+          FROM events WHERE event_type = 'error' AND user_id = 3),
+        daily AS (
+          SELECT d,
+                 CAST(sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 / count(*) AS v
+          FROM e GROUP BY d),
+        b AS (SELECT min(d) AS lo, max(d) AS hi FROM e),
+        days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d FROM b),
+        sp AS (
+          SELECT days.d, daily.v,
+                 last_value(daily.v IGNORE NULLS) OVER (ORDER BY days.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                 last_value(CASE WHEN daily.v IS NOT NULL THEN days.d END IGNORE NULLS)
+                   OVER (ORDER BY days.d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                 first_value(daily.v IGNORE NULLS) OVER (ORDER BY days.d
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+                 first_value(CASE WHEN daily.v IS NOT NULL THEN days.d END IGNORE NULLS)
+                   OVER (ORDER BY days.d
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+          FROM days LEFT JOIN daily USING (d))
+        SELECT d,
+               floor((CASE WHEN v IS NOT NULL THEN v
+                           WHEN pv IS NULL THEN nv
+                           WHEN nv IS NULL THEN pv
+                           ELSE pv + (nv - pv) *
+                             (CAST(d - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+                      END) * 100 + 0.5) / 100 AS value,
+               CASE WHEN v IS NOT NULL THEN 'observed'
+                    WHEN pv IS NULL OR nv IS NULL THEN 'edge'
+                    ELSE 'interpolated' END AS src
+        FROM sp ORDER BY d""")
+    ),
+    QueryDef(
       "gap_fill",
       // Time-series gap filling: the calendar spine is generated
       // DISTRIBUTED (sequence() over the min/max bounds — a one-row
