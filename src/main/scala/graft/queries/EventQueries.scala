@@ -250,6 +250,75 @@ object EventQueries {
         ORDER BY o_custkey, version""")
     ),
     QueryDef(
+      "join_point_in_time",
+      // The CONSUMPTION side of SCD-2: enrich each lineitem with the
+      // customer attribute that was effective AT ITS SHIP DATE (not at
+      // order time — late-shipping lines see newer versions). Realized as
+      // the as-of argmax shape: fact ⋈ dim-versions on the customer key
+      // (expansion bounded by versions-per-customer), keep the latest
+      // valid_from ≤ ship date via one associative max(struct) — no
+      // interval banding, no window over the fact table. The struct's
+      // (valid_from, version) prefix is unique per customer, so the
+      // argmax is total and engine-stable. The synthetic lineitem table
+      // has duplicate (orderkey, linenumber) pairs, so fact lines
+      // pre-aggregate to (composite, multiplicity) and the final rollup
+      // weights by multiplicity — line identity never depends on a
+      // nondeterministic row id.
+      (s, dir) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+        val dim = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_custkey").as("d_custkey"),
+            row_number().over(w).as("version"),
+            col("o_orderdate").as("valid_from"),
+            col("o_orderpriority").as("eff_priority"))
+        val fact = s.read.parquet(s"$dir/lineitem.parquet")
+          .join(s.read.parquet(s"$dir/orders.parquet")
+            .select(col("o_orderkey"), col("o_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("l_orderkey"), col("o_custkey"), col("l_shipdate"),
+            floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
+              .cast("long").as("rev_q"))
+          .agg(count(lit(1)).as("mult"))
+        fact.join(dim, col("o_custkey") === col("d_custkey") &&
+            col("valid_from") <= col("l_shipdate"))
+          .groupBy(col("l_orderkey"), col("o_custkey"), col("l_shipdate"),
+            col("rev_q"), col("mult"))
+          .agg(max(struct(col("valid_from"), col("version"), col("eff_priority")))
+            .getField("eff_priority").as("effective_priority"))
+          .groupBy(col("effective_priority"))
+          .agg(sum(col("mult")).as("n_lines"),
+            (floor((sum(col("rev_q") * col("mult")) + 50) / 100) / 100.0).as("revenue"))
+          .orderBy("effective_priority")
+      },
+      Some("""
+        WITH dim AS (
+          SELECT o_custkey AS d_custkey,
+                 CAST(row_number() OVER w AS INTEGER) AS version,
+                 o_orderdate AS valid_from, o_orderpriority AS eff_priority
+          FROM orders
+          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+        fact AS (
+          SELECT l.l_orderkey, o.o_custkey, l.l_shipdate,
+                 CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5) AS BIGINT) AS rev_q,
+                 count(*) AS mult
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2, 3, 4),
+        pit AS (
+          SELECT f.rev_q, f.mult, d.eff_priority,
+                 row_number() OVER (PARTITION BY f.l_orderkey, f.o_custkey,
+                     f.l_shipdate, f.rev_q, f.mult
+                   ORDER BY d.valid_from DESC, d.version DESC) AS rn
+          FROM fact f JOIN dim d
+            ON f.o_custkey = d.d_custkey AND d.valid_from <= f.l_shipdate)
+        SELECT eff_priority AS effective_priority,
+               CAST(sum(mult) AS BIGINT) AS n_lines,
+               floor((sum(rev_q * mult) + 50) / 100) / 100.0 AS revenue
+        FROM pit WHERE rn = 1
+        GROUP BY effective_priority
+        ORDER BY effective_priority""")
+    ),
+    QueryDef(
       "anomaly_zscore",
       // Per-type z-score outlier counts with an EXACT integer decision:
       // |v−μ| > 2.5σ  ⇔  4·(n·v−S)² > 25·(n·Q−S²)  over long-quantized
