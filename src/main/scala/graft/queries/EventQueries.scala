@@ -250,6 +250,57 @@ object EventQueries {
         ORDER BY o_custkey, version""")
     ),
     QueryDef(
+      "window_ewma",
+      // Bounded exponentially-weighted moving average per user (α = 1/2
+      // over the last ≤10 observations). α = 1/2 makes every weight a
+      // power of two, so the whole computation is EXACT integer
+      // arithmetic over cent-quanta values — num = Σ xᵢ·2^(10−n+i),
+      // den = Σ 2^(10−n+i), ewma = (num + den>>1) div den — and no float
+      // ever enters; both engines produce identical longs (values are
+      // non-negative, so floor and truncating division agree). The frame
+      // is a plain 9-PRECEDING window over one user_id shuffle.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us"), col("event_id"))
+          .rowsBetween(-9, Window.currentRow)
+        Tables.events(s, dir)
+          .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+            col("event_id"),
+            floor(col("value") * 10000 + 0.5).cast("long").as("v"))
+          .withColumn("vals", collect_list(col("v")).over(w))
+          .withColumn("n", size(col("vals")))
+          .withColumn("num", expr(
+            "aggregate(sequence(0, n - 1), 0L, (acc, i) -> acc + element_at(vals, i + 1) * shiftleft(1L, 10 - n + i))"))
+          .withColumn("den", expr(
+            "aggregate(sequence(0, n - 1), 0L, (acc, i) -> acc + shiftleft(1L, 10 - n + i))"))
+          .select(col("user_id"), timestamp_micros(col("ts_us")).as("ts"),
+            col("event_id"),
+            (expr("(num + shiftright(den, 1)) div den") / 10000.0).as("ewma"))
+          .orderBy("user_id", "ts", "event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id,
+                 CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v
+          FROM events),
+        fr AS (
+          SELECT user_id, ts_us, event_id,
+                 list(v) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS vals
+          FROM e),
+        sc AS (
+          SELECT user_id, ts_us, event_id,
+                 list_sum(list_transform(range(1, len(vals) + 1),
+                   i -> vals[i] * (1::BIGINT << (10 - len(vals) + i - 1)))) AS num,
+                 list_sum(list_transform(range(1, len(vals) + 1),
+                   i -> (1::BIGINT << (10 - len(vals) + i - 1)))) AS den
+          FROM fr)
+        SELECT user_id, make_timestamp(ts_us) AS ts, event_id,
+               ((num + (den >> 1)) // den) / 10000.0 AS ewma
+        FROM sc
+        ORDER BY user_id, ts, event_id""")
+    ),
+    QueryDef(
       "join_point_in_time",
       // The CONSUMPTION side of SCD-2: enrich each lineitem with the
       // customer attribute that was effective AT ITS SHIP DATE (not at
