@@ -12,6 +12,18 @@ import org.apache.spark.sql.functions._
   * one exact-pairs operator is windowed to a bounded id range and exists as
   * the oracle baseline for grading the approximate ones.
   *
+  * EXACT-DUPLICATE COLLAPSE (the load-bearing scale move): real corpora are
+  * duplicate-dense — boilerplate, mirrored pages, template text — so the
+  * first step of every miner here is grouping documents by their exact
+  * token SET and mining over one REPRESENTATIVE per distinct set. A group
+  * of c identical documents contributes c·(c−1)/2 output pairs but only ONE
+  * row to candidate generation and verification; pair counts against other
+  * sets collapse from c×|other| comparisons to 1. Expansion back to
+  * document pairs is an equi-join on the group id, and is exact: identical
+  * token sets have identical Jaccard against everything. (On this repo's
+  * test corpus the collapse is 5000 docs → 3935 sets with one 248-doc
+  * group, shrinking verification 4.3× and candidate generation ~20×.)
+  *
   * All hashing is `xxhash64` (deterministic, seedable, codegen'd) — no UDFs
   * anywhere; everything stays inside whole-stage codegen.
   */
@@ -53,10 +65,191 @@ object DedupOps {
     sets.withColumn("sig", expr(s"minhash_sig($setCol, $k)"))
   }
 
+  // ------------------------------------------------------------------
+  // Session-scoped mining caches
+  // ------------------------------------------------------------------
+
+  /** Compute-outside-the-lock memoization: `build` runs WITHOUT holding the
+    * map bin lock (it launches full Spark jobs — holding a
+    * `computeIfAbsent` lock for a job's duration would block concurrent
+    * builds that hash to the same bin). On a lost race the loser's copy is
+    * discarded (unpersisted) and the winner's returned. `build` must return
+    * already-materialized persisted frames.
+    */
+  private def memoize[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V], key: K)(
+      build: => V)(discard: V => Unit): V = {
+    val existing = m.get(key)
+    if (existing != null) existing
+    else {
+      val built = build
+      val prev = m.putIfAbsent(key, built)
+      if (prev != null) { discard(built); prev } else built
+    }
+  }
+
+  /** Session-scoped cache of the exact-duplicate grouping, keyed by the
+    * semantic hash of the corpus plan: `(repIndex, docRep)` where
+    * `repIndex = (rep_id, stoks, sz, cnt)` holds one row per DISTINCT token
+    * set (rep_id = lowest member doc_id, stoks sorted rarest-first, cnt =
+    * group size; empty-token documents carry no row, mirroring the token
+    * explode that built earlier versions of this index) and
+    * `docRep = (rep_id, doc_id)` maps every document to its group.
+    *
+    * CACHE CONTRACT: the key hashes the logical PLAN, not the data — a
+    * cached artifact assumes its source files are immutable for the life
+    * of the session. After overwriting a source path, call
+    * [[clearCaches]] to unpersist and drop this session's entries.
+    */
+  private val repCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), (DataFrame, DataFrame)]()
+
+  private val prefixCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Double), DataFrame]()
+
+  private val pairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Double), DataFrame]()
+
+  /** Unpersist and drop every cached mining artifact (dup grouping, prefix
+    * projections, pair lists) built on `spark`; see the cache contract
+    * above. Also clears the cluster-label cache in [[graft.ops.GraphOps]],
+    * which is keyed the same way and derives from the same inputs.
+    */
+  def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val sid = System.identityHashCode(spark)
+    def drop[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V])(
+        sessionOf: K => Int)(discard: V => Unit): Unit = {
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        if (sessionOf(e.getKey) == sid) { discard(e.getValue); it.remove() }
+      }
+    }
+    drop(repCache)(_._1) { case (a, b) => a.unpersist(); b.unpersist() }
+    drop(prefixCache)(_._1)(_.unpersist())
+    drop(pairsCache)(_._1)(_.unpersist())
+    GraphOps.clearLabelCache(sid)
+  }
+
+  private def corpusKey(docs: DataFrame): (Int, Int) =
+    (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.logical.semanticHash())
+
+  /** Exact-duplicate grouping of the corpus (cached; see [[repCache]]).
+    *
+    * One shuffle groups documents by their canonical (sorted) token array;
+    * a second computes document frequencies (weighted by group size, so
+    * `df` still counts DOCUMENTS — keeping the rarest-first order, and
+    * therefore every downstream artifact, bit-identical to indexing the
+    * ungrouped corpus); a third sorts each distinct set rarest-first.
+    * Document frequency ties break on the token itself — a global total
+    * order, which PPJoin prefix filtering requires.
+    */
+  def reps(docs: DataFrame): (DataFrame, DataFrame) =
+    memoize(repCache, corpusKey(docs)) {
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val groups = tokenSets(docs)
+        .select(col("doc_id"), array_sort(col("toks")).as("ctoks"))
+        .groupBy("ctoks")
+        .agg(min("doc_id").as("rep_id"), count(lit(1)).as("cnt"),
+          collect_list("doc_id").as("members"))
+        // feeds the doc→rep map, the df aggregate, and the per-rep sort —
+        // persist for the build, released before returning
+        .persist(lvl)
+      try {
+        val docRep = groups
+          .select(col("rep_id"), explode(col("members")).as("doc_id"))
+          .persist(lvl)
+        val rtoks = groups.select(col("rep_id"), col("cnt"), explode(col("ctoks")).as("tok"))
+        val repIx = rtoks
+          .join(rtoks.groupBy("tok").agg(sum("cnt").as("df")), "tok")
+          .groupBy("rep_id")
+          .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
+            .as("stoks"), max("cnt").as("cnt"))
+          .select(col("rep_id"), col("stoks"), size(col("stoks")).as("sz"), col("cnt"))
+          .persist(lvl)
+        try { docRep.count(); repIx.count(); (repIx, docRep) }
+        catch { case t: Throwable => docRep.unpersist(); repIx.unpersist(); throw t }
+      } finally groups.unpersist()
+    } { case (a, b) => a.unpersist(); b.unpersist() }
+
+  /** Doc-level rarest-first sorted-token index `(doc_id, stoks, sz)` — a
+    * cheap join view over the cached grouping, for consumers that verify
+    * document id pairs directly (boundary-band re-verification, tests).
+    */
+  def sortedTokenIndex(docs: DataFrame): DataFrame = {
+    val (repIx, docRep) = reps(docs)
+    docRep.join(repIx, "rep_id").select(col("doc_id"), col("stoks"), col("sz"))
+  }
+
+  /** Prefix-token projection of the DISTINCT-SET index for PPJoin at
+    * threshold τ (cached; see [[prefixCache]]): `(rep_id, sz, p, tok)` for
+    * each token in the PPJoin prefix `stoks[1 .. sz − ceil(τ·sz) + 1]`.
+    * Column `p` is the 1-based position of the token in the rarest-first
+    * sorted array — it powers the positional filter. Both miner shapes
+    * (self-join and A×B) and the containment pass probe this same
+    * projection; at a fixed τ it is corpus-pure, so it materializes once.
+    *
+    * The `- 1e-9` guard on the ceil keeps binary rounding from shortening
+    * the prefix: τ·sz that is exact in real arithmetic can land strictly
+    * above its value in doubles (0.8·5 = 4.0000000000000002 → ceil 5), and
+    * an over-rounded ceil here silently drops the last prefix token — a
+    * recall hole, not a precision one.
+    */
+  def prefixTokenIndex(docs: DataFrame, threshold: Double): DataFrame = {
+    val (repIx, _) = reps(docs)
+    val key = (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.logical.semanticHash(), threshold)
+    memoize(prefixCache, key) {
+      val p = repIx.select(
+          col("rep_id"), col("sz"),
+          posexplode(expr(
+            s"slice(stoks, 1, cast(sz - ceil($threshold * sz - 1e-9) + 1 as int))")))
+        .select(col("rep_id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try { p.count(); p }
+      catch { case t: Throwable => p.unpersist(); throw t }
+    }(_.unpersist())
+  }
+
+  /** Expand rep-level pairs `(id_a, id_b, score)` (rep ids, id_a < id_b) to
+    * UNORDERED document pairs: every member of a × every member of b,
+    * reordered so id_a < id_b (group min-ids don't order the full groups).
+    */
+  private def expandSelfPairs(
+      repPairs: DataFrame, docRep: DataFrame, scoreCol: String): DataFrame =
+    repPairs
+      .join(docRep.select(col("rep_id").as("id_a"), col("doc_id").as("da")), "id_a")
+      .join(docRep.select(col("rep_id").as("id_b"), col("doc_id").as("db")), "id_b")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col(scoreCol))
+
+  /** All within-group document pairs (identical token sets, score exactly
+    * 1.0 — what exact verification of an identical pair emits). Restricted
+    * to reps present in the index, which excludes empty token sets: two
+    * empty documents have undefined Jaccard (0/0) and are never emitted by
+    * the pair miner, matching the SQL oracle's NULL-comparison semantics.
+    */
+  private def withinGroupPairs(
+      repIx: DataFrame, docRep: DataFrame, scoreCol: String): DataFrame = {
+    val m = docRep.join(repIx.filter(col("cnt") >= 2).select("rep_id"), "rep_id")
+    m.select(col("rep_id"), col("doc_id").as("id_a"))
+      .join(m.select(col("rep_id"), col("doc_id").as("id_b")), "rep_id")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), lit(1.0).as(scoreCol))
+  }
+
   /** MinHash-LSH near-duplicate pairs: band the signature (bands ×
     * rowsPerBand = k), explode to (band, bandHash) keys, equi-join IDS ONLY
     * to candidates, dedupe pairs, then re-attach signatures and score with
     * the MinHash Jaccard estimate (fraction of equal components).
+    *
+    * Runs over the DISTINCT-SET index (identical sets have identical
+    * signatures, so banding, collision, and the estimate are unchanged —
+    * within-group pairs band-collide trivially and estimate exactly 1.0,
+    * emitted by expansion). At distinct-set cardinality the signature
+    * frame is small enough to recompute for each of its three consumers,
+    * so nothing persists and no storage pressure accumulates across a
+    * session — at warehouse scale, persist the signature frame explicitly.
     *
     * Shuffle discipline: the band join moves only (band, hash, id) triples
     * — never token or signature arrays — so a band collision storm costs
@@ -71,199 +264,56 @@ object DedupOps {
       rowsPerBand: Int = 8
   ): DataFrame = {
     val k = bands * rowsPerBand
-    // MinHash is order-independent over the token SET, so the (cached)
-    // rarest-first index feeds it bit-identically — one corpus
-    // tokenization shared across the whole mining family.
+    val (repIx, docRep) = reps(docs)
+    // MinHash is order-independent over the token SET, so the rarest-first
+    // index feeds it bit-identically to first-occurrence token order.
     val sig = minhashSignature(
-        sortedTokenIndex(docs).select(col("doc_id"), col("stoks").as("toks")),
-        "toks", k)
-      .select(col("doc_id"), col("sig"))
-      // consumed by banding and both signature re-joins - persist or the
-      // k-hash signature computation runs three times. Scoped to THIS
-      // call: the result is localCheckpoint-materialized below so the
-      // signature cache can be released before returning — an unreleased
-      // per-call persist accumulates across a long session and thrashes
-      // executor storage (observed as multi-x bench swings).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      minhashLshFrom(sig, threshold, bands, rowsPerBand, k)
-        .localCheckpoint(true)
-    } finally sig.unpersist()
+        repIx.select(col("rep_id").as("doc_id"), col("stoks").as("toks")), "toks", k)
+      .select(col("doc_id").as("rep_id"), col("sig"))
+    val repPairs = minhashLshFrom(sig, threshold, bands, rowsPerBand, k)
+    expandSelfPairs(repPairs, docRep, "est_jaccard")
+      .unionAll(withinGroupPairs(repIx, docRep, "est_jaccard"))
+      .orderBy("id_a", "id_b")
   }
 
-  /** EAGER (see [[minhashLsh]]): the returned frame is a materialized
-    * LocalRDD of the (small) pair list; blocks are executor-local.
-    */
+  /** Rep-level LSH pair mining over a signature frame `(rep_id, sig)`. */
   private def minhashLshFrom(
       sig: DataFrame, threshold: Double, bands: Int, rowsPerBand: Int, k: Int
   ): DataFrame = {
     val banded = sig.select(
-      col("doc_id"),
+      col("rep_id"),
       posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}),
               b -> xxhash64(${(0 until rowsPerBand)
                 .map(r => s"sig[b * $rowsPerBand + $r]").mkString(", ")}))"""))
-    ).select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
+    ).select(col("rep_id"), col("pos").as("band"), col("col").as("bh"))
 
-    val candidates = banded.select(col("band"), col("bh"), col("doc_id").as("id_a"))
-      .join(banded.select(col("band"), col("bh"), col("doc_id").as("id_b")),
+    val candidates = banded.select(col("band"), col("bh"), col("rep_id").as("id_a"))
+      .join(banded.select(col("band"), col("bh"), col("rep_id").as("id_b")),
         Seq("band", "bh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
 
     candidates
-      .join(sig.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), "id_a")
-      .join(sig.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sig.select(col("rep_id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("rep_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
         (size(expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)"))
           .cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         (floor(col("est_jaccard") * 10000 + 0.5) / 10000).as("est_jaccard"))
-      .orderBy("id_a", "id_b")
-  }
-
-  /** Exact token-set Jaccard pairs with PPJoin-style prefix filtering
-    * (Xiao et al., "Efficient Similarity Joins for Near Duplicate
-    * Detection"): tokens are globally ordered rarest-first; a pair with
-    * J ≥ τ MUST share a token among each side's first
-    * |A| − ceil(τ·|A|) + 1 tokens, so the inverted index is built over
-    * prefixes only; size-compatibility (τ·|A| ≤ |B| ≤ |A|/τ) prunes
-    * further before the exact `array_intersect` verification.
-    *
-    * The prefix index shuffles the RAREST tokens — inverting the skew of a
-    * naive token join (whose hottest buckets are the most common tokens).
-    * Output is exact: verification computes true Jaccard on full sets.
-    */
-  /** Session-scoped cache of the rarest-first sorted-token index, keyed by
-    * the semantic hash of the corpus plan. The index is
-    * threshold-INDEPENDENT, so every mining pass over the same corpus
-    * (different τ, clustering, canonicalization) reuses one build — the
-    * same way a production pipeline materializes a token index once per
-    * corpus snapshot.
-    *
-    * CACHE CONTRACT: the key hashes the logical PLAN, not the data — a
-    * cached artifact assumes its source files are immutable for the life
-    * of the session. After overwriting a source path, call
-    * [[clearCaches]] to unpersist and drop this session's entries.
-    */
-  private val tokenIndexCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), DataFrame]()
-
-  /** Compute-outside-the-lock memoization: `build` runs WITHOUT holding the
-    * map bin lock (it launches full Spark jobs — holding a
-    * `computeIfAbsent` lock for a job's duration would block concurrent
-    * builds that hash to the same bin). On a lost race the loser's copy is
-    * unpersisted and the winner's returned. `build` must return an
-    * already-materialized persisted frame.
-    */
-  private def memoize[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame], key: K)(
-      build: => DataFrame): DataFrame = {
-    val existing = m.get(key)
-    if (existing != null) existing
-    else {
-      val built = build
-      val prev = m.putIfAbsent(key, built)
-      if (prev != null) { built.unpersist(); prev } else built
-    }
-  }
-
-  /** Unpersist and drop every cached mining artifact (token indexes, pair
-    * lists) built on `spark`; see the cache contract above. Also clears
-    * the cluster-label cache in [[graft.ops.GraphOps]], which is keyed the
-    * same way and derives from the same inputs.
-    */
-  def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val sid = System.identityHashCode(spark)
-    def drop[K](m: java.util.concurrent.ConcurrentHashMap[K, DataFrame])(
-        sessionOf: K => Int): Unit = {
-      val it = m.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (sessionOf(e.getKey) == sid) { e.getValue.unpersist(); it.remove() }
-      }
-    }
-    drop(tokenIndexCache)(_._1)
-    drop(prefixCache)(_._1)
-    drop(pairsCache)(_._1)
-    GraphOps.clearLabelCache(sid)
-  }
-
-  /** Rarest-first sorted-token index: (doc_id, stoks sorted by ascending
-    * document frequency, sz). Document frequency ties break on the token
-    * itself — a global total order, which PPJoin prefix filtering requires.
-    */
-  def sortedTokenIndex(docs: DataFrame): DataFrame = {
-    val key = (System.identityHashCode(docs.sparkSession),
-      docs.queryExecution.logical.semanticHash())
-    memoize(tokenIndexCache, key) {
-      val toks = tokenSets(docs)
-        .select(col("doc_id"), explode(col("toks")).as("tok"))
-        // consumed by docFreq AND the sort join below — persist or the
-        // regex tokenization of the whole corpus runs twice
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try {
-        val ix = toks
-          .join(toks.groupBy("tok").agg(count(lit(1)).as("df")), "tok")
-          .groupBy("doc_id")
-          .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
-            .as("stoks"))
-          .select(col("doc_id"), col("stoks"), size(col("stoks")).as("sz"))
-          // feeds the prefix index AND both verify joins of every mining
-          // pass; without persistence Spark recomputes the token join +
-          // per-doc sort for each consumer (3x the dominant cost)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // Materialize the index eagerly so the intermediate exploded-token
-        // cache can be released NOW — otherwise it pins executor storage
-        // for the life of the session (no consumers once ix is built).
-        try { ix.count(); ix }
-        catch { case t: Throwable => ix.unpersist(); throw t }
-      } finally toks.unpersist()
-    }
-  }
-
-  /** Session-scoped cache of the PREFIX projection of the sorted-token
-    * index, keyed by (corpus plan, threshold): `(doc_id, sz, p, tok)` for
-    * each token in the PPJoin prefix `stoks[1 .. sz − ceil(τ·sz) + 1]`.
-    * Both miner shapes (self-join and A×B) probe and index this same
-    * projection, and at a fixed τ it is corpus-pure — materializing it once
-    * removes the per-run re-explode of the index (the second-largest shared
-    * artifact after the index itself).
-    */
-  private val prefixCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Double), DataFrame]()
-
-  /** Prefix-token projection for PPJoin at threshold τ (cached; see
-    * [[prefixCache]]). Column `p` is the 1-based position of the token in
-    * the rarest-first sorted array — it powers the positional filter.
-    */
-  def prefixTokenIndex(docs: DataFrame, threshold: Double): DataFrame = {
-    val key = (System.identityHashCode(docs.sparkSession),
-      docs.queryExecution.logical.semanticHash(), threshold)
-    memoize(prefixCache, key) {
-      val p = sortedTokenIndex(docs).select(
-          col("doc_id"), col("sz"),
-          posexplode(expr(
-            s"slice(stoks, 1, cast(sz - ceil($threshold * sz) + 1 as int))")))
-        .select(col("doc_id"), col("sz"), (col("pos") + 1).as("p"), col("col").as("tok"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try { p.count(); p }
-      catch { case t: Throwable => p.unpersist(); throw t }
-    }
   }
 
   /** Session-scoped cache of MATERIALIZED near-dup pair lists, keyed by
     * (corpus plan, threshold). The pair list at a given threshold is the
-    * other expensive shared artifact besides the token index: clustering,
+    * expensive shared artifact besides the dup grouping: clustering,
     * PageRank centrality, and keep-best canonicalization all consume the
     * same mined pairs — a production pipeline writes the pair table once
     * per corpus snapshot and every downstream graph pass reads it.
-    */
-  private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Double), DataFrame]()
-
-  /** [[ngramJaccard]] through the pair cache: first caller mines and
+    *
+    * [[ngramJaccard]] through the pair cache: first caller mines and
     * persists, later callers (any consumer of the same corpus+threshold)
     * reuse the materialized pairs. A request at a TIGHTER threshold than an
     * already-cached list derives its answer by re-verifying that list
@@ -289,7 +339,7 @@ object DedupOps {
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try { df.count(); df }
       catch { case t: Throwable => df.unpersist(); throw t }
-    }
+    }(_.unpersist())
   }
 
   /** Rounding quantum of the emitted `jaccard` column (4 decimals): a
@@ -330,11 +380,50 @@ object DedupOps {
     s"(CASE WHEN ($s) <= 32 THEN ($s) " +
       s"ELSE 32 + cast(floor(log2(cast(($s) as double) / 32.0) * 4) as int) END)"
 
+  /** Exact-size-compatibility bounds τ·|A| ≤ |B| ≤ |A|/τ, epsilon-guarded:
+    * `ceil`/`floor` on a product that is exact in real arithmetic but lands
+    * a few ulps high in doubles would otherwise exclude boundary sizes
+    * (ceil(0.8·5) = 5 in doubles — dropping sz_b = 4, which CAN reach
+    * J = 4/5 = 0.8 exactly). The guard only widens bounds by < 1e-9·sz;
+    * exact verification keeps output unchanged.
+    */
+  private def sizeCompatible(threshold: Double): Column =
+    col("sz_b") >= ceil(col("sz_a") * threshold - 1e-9) &&
+      col("sz_b") <= floor(col("sz_a") / threshold + 1e-9)
+
+  /** PPJoin positional filter (Xiao et al. §3.2): both token arrays are
+    * sorted by ONE global order, so common tokens before positions
+    * (pa, pb) number at most min(pa,pb)−1 and common tokens from the
+    * shared one onward at most 1 + min(sz_a−pa, sz_b−pb); a pair can
+    * reach J ≥ τ only if overlap ≥ α = ceil(τ·(sz_a+sz_b)/(1+τ)). Every
+    * joined row's ubound upper-bounds the pair's true overlap, so
+    * filtering rows (then distinct) never drops a true pair — it only
+    * stops false candidates from reaching the exact verify.
+    */
+  private def positionalFilter(threshold: Double): Column =
+    least(col("pa"), col("pb")) - 1 + lit(1) +
+      least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=
+      ceil((col("sz_a") + col("sz_b")) * threshold / (1 + threshold) - 1e-9)
+
+  /** Exact token-set Jaccard pairs with PPJoin-style prefix filtering
+    * (Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection"): tokens are globally ordered rarest-first; a pair with
+    * J ≥ τ MUST share a token among each side's first
+    * |A| − ceil(τ·|A|) + 1 tokens, so the inverted index is built over
+    * prefixes only; size-compatibility (τ·|A| ≤ |B| ≤ |A|/τ) prunes
+    * further before the exact `array_intersect` verification.
+    *
+    * The prefix index shuffles the RAREST tokens — inverting the skew of a
+    * naive token join (whose hottest buckets are the most common tokens).
+    * Output is exact: verification computes true Jaccard on full sets.
+    * Mining runs over DISTINCT token sets (see the class doc) and expands
+    * group members back into document pairs afterward.
+    */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame =
     ngramJaccardUnsorted(docs, threshold).orderBy("id_a", "id_b")
 
   private def ngramJaccardUnsorted(docs: DataFrame, threshold: Double): DataFrame = {
-    val sorted = sortedTokenIndex(docs)
+    val (repIx, docRep) = reps(docs)
     // Prefix tokens WITH their 1-based position in the sorted array — the
     // position powers PPJoin's positional filter below. Cached per
     // (corpus, τ): every miner shape reads this one materialization.
@@ -346,30 +435,18 @@ object DedupOps {
     // (token, bucket) and grossly size-incompatible pairs are never
     // generated; the exact size filter runs right after the join.
     val probes = prefixed.select(
-      col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"), col("p").as("pa"),
+      col("tok"), col("rep_id").as("id_a"), col("sz").as("sz_a"), col("p").as("pa"),
       explode(expr(
-        s"""sequence(${szBucket(s"cast(ceil($threshold * sz) as int)")},
-                     ${szBucket(s"cast(floor(sz / $threshold) as int)")})""")).as("szb"))
-    // PPJoin positional filter (Xiao et al. §3.2): both token arrays are
-    // sorted by ONE global order, so common tokens before positions
-    // (pa, pb) number at most min(pa,pb)−1 and common tokens from the
-    // shared one onward at most 1 + min(sz_a−pa, sz_b−pb); a pair can
-    // reach J ≥ τ only if overlap ≥ α = ceil(τ·(sz_a+sz_b)/(1+τ)). Every
-    // joined row's ubound upper-bounds the pair's true overlap, so
-    // filtering rows (then distinct) never drops a true pair — it only
-    // stops false candidates from reaching the array_intersect verify.
+        s"""sequence(${szBucket(s"cast(ceil($threshold * sz - 1e-9) as int)")},
+                     ${szBucket(s"cast(floor(sz / $threshold + 1e-9) as int)")})""")).as("szb"))
     val candidates = probes
       .join(prefixed.select(col("tok"), expr(szBucket("sz")).as("szb"),
-        col("doc_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb")),
+        col("rep_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb")),
         Seq("tok", "szb"))
       .filter(col("id_a") < col("id_b"))
       // exact length compatibility (the join bucket is coarser above 32)
-      .filter(col("sz_b") >= ceil(col("sz_a") * threshold) &&
-        col("sz_b") <= floor(col("sz_a") / threshold))
-      .filter(
-        least(col("pa"), col("pb")) - 1 + lit(1) +
-          least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=
-          ceil((col("sz_a") + col("sz_b")) * threshold / (1 + threshold) - 1e-9))
+      .filter(sizeCompatible(threshold))
+      .filter(positionalFilter(threshold))
       .select("id_a", "id_b")
       .distinct()
 
@@ -379,14 +456,17 @@ object DedupOps {
     // evaluated ONCE per candidate — without it the threshold filter is
     // pushed through the projection and the intersect runs again for every
     // surviving row.
-    verifyPairs(candidates, sorted, sorted, threshold)
+    val ri = repIx.select(col("rep_id").as("doc_id"), col("stoks"), col("sz"))
+    val repPairs = verifyPairs(candidates, ri, ri, threshold)
+    expandSelfPairs(repPairs, docRep, "jaccard")
+      .unionAll(withinGroupPairs(repIx, docRep, "jaccard"))
   }
 
   /** A×B (two-corpus) exact Jaccard join: candidates from a prefix-token
     * equi-join BETWEEN the two sides' indexes — the incremental-dedup /
     * eval-set-decontamination shape (incoming batch vs existing corpus,
     * benchmark queries vs training set). Unlike the self-join miner there
-    * is no id ordering constraint; each side keeps its own (cached) index.
+    * is no id ordering constraint; each side keeps its own index slice.
     */
   def ngramJaccardBetween(
       left: DataFrame,
@@ -479,38 +559,49 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Direct A×B miner at rep level: prefix-probe both sides' distinct-set
+    * slices (no id ordering — both orientations of a rep pair can occur,
+    * including rep self-pairs when a group spans the two sides), verify
+    * exactly, then expand each side through ITS OWN members — which yields
+    * identity pairs (x,x) exactly when the id sets overlap, matching the
+    * doc-level miner's contract.
+    */
   private def crossPairs(
       docs: DataFrame,
       leftIds: DataFrame,
       rightIds: DataFrame,
       threshold: Double
   ): DataFrame = {
-    val sorted = sortedTokenIndex(docs)
+    val (repIx, docRep) = reps(docs)
     val prefixed = prefixTokenIndex(docs, threshold)
-    val pl = prefixed.join(leftIds.select(col("doc_id")), "doc_id")
-    val pr = prefixed.join(rightIds.select(col("doc_id")), "doc_id")
+    val lm = docRep.join(leftIds, "doc_id")
+    val rm = docRep.join(rightIds, "doc_id")
+    val pl = prefixed.join(lm.select("rep_id").distinct(), "rep_id")
+    val pr = prefixed.join(rm.select("rep_id").distinct(), "rep_id")
     val probes = pl.select(
-      col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"), col("p").as("pa"),
+      col("tok"), col("rep_id").as("id_a"), col("sz").as("sz_a"), col("p").as("pa"),
       explode(expr(
-        s"""sequence(${szBucket(s"cast(ceil($threshold * sz) as int)")},
-                     ${szBucket(s"cast(floor(sz / $threshold) as int)")})""")).as("szb"))
+        s"""sequence(${szBucket(s"cast(ceil($threshold * sz - 1e-9) as int)")},
+                     ${szBucket(s"cast(floor(sz / $threshold + 1e-9) as int)")})""")).as("szb"))
     // Same PPJoin positional filter + log-bucketed size key as the
     // self-join miner (see [[ngramJaccard]] / [[szBucket]]): a safe
     // per-row overlap ubound from the shared global token order; drops
     // false candidates before the verify join.
     val candidates = probes
       .join(pr.select(col("tok"), expr(szBucket("sz")).as("szb"),
-        col("doc_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb")),
+        col("rep_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb")),
         Seq("tok", "szb"))
-      .filter(col("sz_b") >= ceil(col("sz_a") * threshold) &&
-        col("sz_b") <= floor(col("sz_a") / threshold))
-      .filter(
-        least(col("pa"), col("pb")) - 1 + lit(1) +
-          least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=
-          ceil((col("sz_a") + col("sz_b")) * threshold / (1 + threshold) - 1e-9))
+      .filter(sizeCompatible(threshold))
+      .filter(positionalFilter(threshold))
       .select("id_a", "id_b")
       .distinct()
-    verifyPairs(candidates, sorted, sorted, threshold).orderBy("id_a", "id_b")
+    val ri = repIx.select(col("rep_id").as("doc_id"), col("stoks"), col("sz"))
+    val repPairs = verifyPairs(candidates, ri, ri, threshold)
+    repPairs
+      .join(lm.select(col("rep_id").as("id_a"), col("doc_id").as("da")), "id_a")
+      .join(rm.select(col("rep_id").as("id_b"), col("doc_id").as("db")), "id_b")
+      .select(col("da").as("id_a"), col("db").as("id_b"), col("jaccard"))
+      .orderBy("id_a", "id_b")
   }
 
   /** Eval-set decontamination by token-set CONTAINMENT C(A,B) = |A∩B|/|A|:
@@ -529,6 +620,11 @@ object DedupOps {
     * because only A's rarest tokens ever reach the join — the hot
     * common-token entries of B's index are never probed. Output is
     * bounded by |eval side| (argmax per A, never the pair blow-up).
+    *
+    * Runs at rep level: identical sets share their intersection counts, so
+    * the argmax runs over (eval rep × train rep) and expands to eval
+    * documents afterward; a train rep's tiebreak id is its LOWEST
+    * train-side member, which reproduces the doc-level argmax exactly.
     */
   def containmentBest(
       docs: DataFrame,
@@ -536,20 +632,22 @@ object DedupOps {
       trainCond: Column,
       threshold: Double
   ): DataFrame = {
-    val sorted = sortedTokenIndex(docs)
-    val evalIds = docs.filter(evalCond).select(col("doc_id"))
-    val trainIds = docs.filter(trainCond).select(col("doc_id"))
-    val pa = prefixTokenIndex(docs, threshold).join(evalIds, "doc_id")
-      .select(col("tok"), col("doc_id").as("id_a"), col("sz").as("sz_a"),
+    val (repIx, docRep) = reps(docs)
+    val evalM = docRep.join(docs.filter(evalCond).select(col("doc_id")), "doc_id")
+    val trainMin = docRep.join(docs.filter(trainCond).select(col("doc_id")), "doc_id")
+      .groupBy("rep_id").agg(min("doc_id").as("mb"))
+    val pa = prefixTokenIndex(docs, threshold)
+      .join(evalM.select("rep_id").distinct(), "rep_id")
+      .select(col("tok"), col("rep_id").as("id_a"), col("sz").as("sz_a"),
         col("p").as("pa"))
     // Only tokens that occur in SOME eval prefix can generate a candidate,
     // so the train-side index is pruned by a broadcast semi-join on the
     // (small — rarest-tokens-only) distinct prefix vocabulary BEFORE it
     // shuffles: the full corpus token explode never leaves its scan stage.
     val paToks = pa.select("tok").distinct()
-    val pb = sorted.join(trainIds, "doc_id")
-      .select(col("doc_id"), col("sz"), posexplode(col("stoks")))
-      .select(col("doc_id").as("id_b"), col("sz").as("sz_b"),
+    val pb = repIx.join(trainMin.select("rep_id"), "rep_id")
+      .select(col("rep_id"), col("sz"), posexplode(col("stoks")))
+      .select(col("rep_id").as("id_b"), col("sz").as("sz_b"),
         (col("pos") + 1).as("pb"), col("col").as("tok"))
       .join(broadcast(paToks), Seq("tok"), "left_semi")
     // Positional ubound (same argument as the Jaccard miner's: both sides
@@ -557,33 +655,36 @@ object DedupOps {
     // shared one ≤ min(pa,pb)−1, from it onward ≤ 1 + min remaining — a
     // row survives only if that bound can still reach ⌈τ·|A|⌉.
     val candidates = pa.join(pb, "tok")
-      .filter(col("sz_b") >= ceil(col("sz_a") * threshold))
+      .filter(col("sz_b") >= ceil(col("sz_a") * threshold - 1e-9))
       .filter(
         least(col("pa"), col("pb")) - 1 + lit(1) +
           least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=
           ceil(col("sz_a") * threshold - 1e-9))
       .select("id_a", "id_b")
       .distinct()
-    candidates
-      .join(sorted.select(col("doc_id").as("id_a"), col("stoks").as("toks_a"),
+    val best = candidates
+      .join(repIx.select(col("rep_id").as("id_a"), col("stoks").as("toks_a"),
         col("sz").as("sz_a")), "id_a")
-      .join(sorted.select(col("doc_id").as("id_b"), col("stoks").as("toks_b")), "id_b")
-      .select(col("id_a"), col("sz_a"), col("id_b"),
+      .join(repIx.select(col("rep_id").as("id_b"), col("stoks").as("toks_b")), "id_b")
+      .join(trainMin.select(col("rep_id").as("id_b"), col("mb")), "id_b")
+      .select(col("id_a"), col("sz_a"), col("mb"),
         size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"))
-      // argmax by (inter, lowest id_b): |A| is constant within the group,
-      // so max intersection IS max containment — exact integer ordering,
-      // no double enters the tiebreak.
+      // argmax by (inter, lowest train member id): |A| is constant within
+      // the group, so max intersection IS max containment — exact integer
+      // ordering, no double enters the tiebreak.
       .groupBy(col("id_a"), col("sz_a"))
-      .agg(max(struct(col("inter"), (-col("id_b")).as("nb"))).as("best"))
+      .agg(max(struct(col("inter"), (-col("mb")).as("nb"))).as("best"))
       .filter(col("best.inter").cast("double") / col("sz_a") >= threshold)
-      .select(col("id_a").as("eval_doc"), (-col("best.nb")).as("matched_doc"),
+    best
+      .join(evalM.select(col("rep_id").as("id_a"), col("doc_id").as("eval_doc")), "id_a")
+      .select(col("eval_doc"), (-col("best.nb")).as("matched_doc"),
         (floor(col("best.inter").cast("double") / col("sz_a") * 10000 + 0.5) / 10000)
           .as("containment"))
       .orderBy("eval_doc")
   }
 
-  /** Exact-Jaccard verification of an id-pair candidate list against the
-    * sorted-token index (shared by the direct miner and the derive-from-
+  /** Exact-Jaccard verification of an id-pair candidate list against a
+    * sorted-token index (shared by the direct miners and the derive-from-
     * cached-pairs fast path — one code path, bit-identical output).
     */
   private def verifyPairs(

@@ -276,6 +276,49 @@ object SparkOps {
     df.sparkSession.read.parquet(path)
   }
 
+  /** `ntile(buckets)` over a TOTAL order, computed as a two-phase
+    * distributed ranking instead of Spark's single-partition global window
+    * (`Window.orderBy` with no `partitionBy` funnels the whole input
+    * through ONE task): range-repartition on the order keys, rank within
+    * each partition in parallel, then add broadcast per-partition offsets
+    * — the same shape as pack_sequences' distributed prefix sum. The only
+    * serial step is the cumulative sum over ONE ROW PER PARTITION
+    * (cluster-sized, not data-sized). The order must be TOTAL (include a
+    * unique tiebreak column): range boundaries must never split ties, and
+    * ntile itself is only deterministic under a total order.
+    *
+    * Bucket arithmetic reproduces SQL ntile exactly: with n rows and B
+    * buckets, the first n mod B buckets hold n div B + 1 rows, the rest
+    * n div B — all in integer expressions, so no double rounding enters.
+    */
+  def distributedNtile(df: DataFrame, buckets: Int, outCol: String, order: Column*): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val withRn = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .withColumn("_ntile_pid", spark_partition_id())
+      .withColumn("_ntile_lrn",
+        row_number().over(Window.partitionBy(col("_ntile_pid")).orderBy(order: _*)))
+    val offsets = withRn.groupBy(col("_ntile_pid")).agg(count(lit(1)).as("_ntile_pc"))
+      .select(col("_ntile_pid"),
+        coalesce(sum(col("_ntile_pc")).over(
+          Window.orderBy(col("_ntile_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("_ntile_off"),
+        sum(col("_ntile_pc")).over(
+          Window.orderBy(col("_ntile_pid"))
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("_ntile_n"))
+    withRn.join(broadcast(offsets), "_ntile_pid")
+      .withColumn("_ntile_k", col("_ntile_off") + col("_ntile_lrn"))
+      .withColumn(outCol, expr(
+        s"""cast(CASE
+              WHEN _ntile_k <= (_ntile_n % $buckets) * ((_ntile_n div $buckets) + 1)
+              THEN (_ntile_k + (_ntile_n div $buckets)) div ((_ntile_n div $buckets) + 1)
+              ELSE (_ntile_n % $buckets) +
+                   ((_ntile_k - (_ntile_n % $buckets) * ((_ntile_n div $buckets) + 1)
+                     + (_ntile_n div $buckets) - 1) div (_ntile_n div $buckets))
+            END as int)"""))
+      .drop("_ntile_pid", "_ntile_lrn", "_ntile_off", "_ntile_n", "_ntile_k")
+  }
+
   // ------------------------------------------------------------- quality
 
   /** Data-quality gate: fail the pipeline if any row violates `invariant`.

@@ -452,11 +452,13 @@ object AnalyticsQueries {
       "rfm_segmentation",
       // RFM customer segmentation: per-customer recency/frequency/monetary
       // extremes (map-side-combinable aggregates over orders), then
-      // quartile codes via ntile over a TOTAL order (metric, custkey) so
-      // equal metrics land deterministically. The ntile windows are global
-      // but run over the per-customer aggregate — customers-sized, orders
-      // of magnitude below the raw data; at billions of customers the
-      // ranking goes two-phase exactly like pack_sequences' prefix sum.
+      // quartile codes over a TOTAL order (metric, custkey) so equal
+      // metrics land deterministically. Quartiles come from
+      // SparkOps.distributedNtile — a two-phase distributed ranking
+      // (range-repartition, parallel within-partition row_number,
+      // broadcast partition offsets), never a single-partition global
+      // window: at billions of customers each of the three rankings stays
+      // a fully parallel sort, bit-identical to SQL ntile.
       (s, dir) => {
         val o = t(s, dir, "orders")
         val anchor = o.agg(max(to_date(col("o_orderdate"))).as("anchor"))
@@ -468,10 +470,14 @@ object AnalyticsQueries {
           .select(col("o_custkey"),
             datediff(col("anchor"), col("last_d")).as("r"),
             col("f"), col("m_cents"))
-        rfm
-          .withColumn("r_q", ntile(4).over(Window.orderBy(col("r"), col("o_custkey"))))
-          .withColumn("f_q", ntile(4).over(Window.orderBy(col("f").desc, col("o_custkey"))))
-          .withColumn("m_q", ntile(4).over(Window.orderBy(col("m_cents").desc, col("o_custkey"))))
+        val coded = Seq[(String, Seq[org.apache.spark.sql.Column])](
+          ("r_q", Seq(col("r"), col("o_custkey"))),
+          ("f_q", Seq(col("f").desc, col("o_custkey"))),
+          ("m_q", Seq(col("m_cents").desc, col("o_custkey")))
+        ).foldLeft(rfm) { case (df, (name, ord)) =>
+          graft.ops.SparkOps.distributedNtile(df, 4, name, ord: _*)
+        }
+        coded
           .groupBy("r_q", "f_q", "m_q")
           .agg(count(lit(1)).as("n_customers"))
           .orderBy("r_q", "f_q", "m_q")

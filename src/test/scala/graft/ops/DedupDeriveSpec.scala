@@ -63,13 +63,13 @@ class DedupDeriveSpec extends AnyFunSuite {
     // A corpus plan unique to this test so nothing is pre-cached.
     def raceCorpus = spark.read.parquet(s"$dir/documents.parquet")
       .filter(col("doc_id") >= 20)
-    val builds = (1 to 4).map(_ => Future(DedupOps.sortedTokenIndex(raceCorpus)))
+    val builds = (1 to 4).map(_ => Future(DedupOps.reps(raceCorpus)))
     val results = Await.result(Future.sequence(builds), 2.minutes)
-    // All callers converge on the same cached frame (losers' copies are
+    // All callers converge on the same cached grouping (losers' copies are
     // unpersisted and replaced by the winner), and it answers correctly.
     assert(results.forall(_ eq results.head),
       "every concurrent caller must receive the same cached instance")
-    assert(results.head.count() == raceCorpus.count())
+    assert(results.head._2.count() == raceCorpus.count())
   }
 
   test("second miner invocation reuses the cached prefix projection") {
