@@ -9,6 +9,12 @@ trait GraftTelemetry {
   def addCounter(name: String, value: Long): Unit
   def setGauge(name: String, value: Double): Unit
   def recordHistogram(name: String, value: Double): Unit
+
+  /** Point-in-time event on the current span (reference parity:
+    * `etl4s/src-2/Etl4s.scala:1831`). Concrete no-op default so existing
+    * providers keep compiling.
+    */
+  def addEvent(name: String, attributes: (String, Any)*): Unit = ()
 }
 
 /** Default provider: everything is a no-op; `withSpan` just runs the block. */
@@ -37,10 +43,19 @@ final case class ConsoleTelemetry(prefix: String = "[graft]") extends GraftTelem
   def addCounter(name: String, value: Long): Unit = println(s"$prefix counter $name += $value")
   def setGauge(name: String, value: Double): Unit = println(s"$prefix gauge $name = $value")
   def recordHistogram(name: String, value: Double): Unit = println(s"$prefix histogram $name << $value")
+  override def addEvent(name: String, attributes: (String, Any)*): Unit =
+    println(s"$prefix event $name ${attributes.toMap}")
 }
 
 /** Thrown by `ensure` when one or more validation checks fail. */
 final class ValidationException(message: String) extends RuntimeException(message)
+
+/** A point-in-time event recorded on a span via `Tel.addEvent`. */
+final case class TelSpanEvent(
+    name: String,
+    attributes: Map[String, Any],
+    timestampNanos: Long
+)
 
 /** A completed span (OTLP-style identifiers). */
 final case class TelSpan(
@@ -52,7 +67,8 @@ final case class TelSpan(
     endTimeNanos: Long,
     durationNanos: Long,
     attributes: Map[String, Any] = Map.empty,
-    status: String = "ok"
+    status: String = "ok",
+    events: List[TelSpanEvent] = Nil
 )
 
 final case class TelCounter(name: String, value: Long, timestampNanos: Long)
@@ -111,12 +127,19 @@ private[core] object OtlpJson {
     m.map { case (k, v) => s"""{"key":${jstr(k)},"value":${anyValue(v)}}""" }
       .mkString("[", ",", "]")
 
+  private def eventJson(e: TelSpanEvent): String =
+    s"""{"timeUnixNano":"${e.timestampNanos}","name":${jstr(e.name)},""" +
+      s""""attributes":${attrs(e.attributes)}}"""
+
   private def spanJson(s: TelSpan): String = {
     val parent = s.parentSpanId.map(p => s""","parentSpanId":${jstr(p)}""").getOrElse("")
+    val events =
+      if (s.events.isEmpty) ""
+      else s""","events":${s.events.map(eventJson).mkString("[", ",", "]")}"""
     s"""{"traceId":${jstr(s.traceId)},"spanId":${jstr(s.spanId)}$parent,""" +
       s""""name":${jstr(s.name)},"startTimeUnixNano":"${s.startTimeNanos}",""" +
       s""""endTimeUnixNano":"${s.endTimeNanos}","attributes":${attrs(s.attributes)},""" +
-      s""""status":{"code":${jstr(if (s.status == "ok") "STATUS_CODE_OK" else "STATUS_CODE_ERROR")}}}"""
+      s""""status":{"code":${jstr(if (s.status == "ok") "STATUS_CODE_OK" else "STATUS_CODE_ERROR")}}$events}"""
   }
 
   private def counterJson(name: String, total: Long): String =

@@ -45,6 +45,9 @@ object Trace {
     val counters = ListBuffer.empty[TelCounter]
     val gauges = ListBuffer.empty[TelGauge]
     val histograms = ListBuffer.empty[TelHistogram]
+    // events for spans still open, tagged with the spanId they fired under;
+    // withSpan drains its own tag when the span closes
+    val pendingEvents = ListBuffer.empty[(String, TelSpanEvent)]
     var currentSpanId: Option[String] = None
 
     def telemetry: TelemetryData =
@@ -89,6 +92,19 @@ object Trace {
 
   private[core] def recordSpan(span: TelSpan): Unit =
     active.get().foreach(_.spans += span)
+  private[core] def recordEvent(event: TelSpanEvent): Unit =
+    active.get().foreach { c =>
+      c.currentSpanId.foreach(sid => c.pendingEvents += sid -> event)
+    }
+  private[core] def drainEvents(spanId: String): List[TelSpanEvent] =
+    active.get() match {
+      case Some(c) =>
+        val (mine, rest) = c.pendingEvents.toList.partition(_._1 == spanId)
+        c.pendingEvents.clear()
+        c.pendingEvents ++= rest
+        mine.map(_._2)
+      case None => Nil
+    }
   private[core] def recordCounter(name: String, value: Long): Unit =
     active.get().foreach(_.counters += TelCounter(name, value, System.nanoTime()))
   private[core] def recordGauge(name: String, value: Double): Unit =
@@ -148,10 +164,21 @@ object Tel {
     } finally {
       val t1 = System.nanoTime()
       Trace.recordSpan(
-        TelSpan(name, traceId, spanId, parent, t0, t1, t1 - t0, attributes.toMap, status)
+        TelSpan(name, traceId, spanId, parent, t0, t1, t1 - t0, attributes.toMap, status,
+          Trace.drainEvents(spanId))
       )
       Trace.setCurrentSpanId(parent)
     }
+  }
+
+  /** Record a point-in-time event on the innermost open span (reference
+    * parity: `etl4s/src-2/Etl4s.scala:1831`). Attaches to that span's OTLP
+    * `events` when it closes; no-op on the trace outside a span (still
+    * forwarded to the provider either way).
+    */
+  def addEvent(name: String, attributes: (String, Any)*): Unit = {
+    Trace.recordEvent(TelSpanEvent(name, attributes.toMap, System.nanoTime()))
+    provider.get().foreach(_.addEvent(name, attributes: _*))
   }
 
   def addCounter(name: String, value: Long): Unit = {

@@ -66,8 +66,12 @@ object TrainingDataPipeline {
       // eval doc's token set (benchmark leakage that Jaccard mining above
       // misses when the train doc is much larger than the eval doc)
       val isEval = col("doc_id") % 10 === 0
+      // materialize once: the telemetry count and the anti-join below would
+      // otherwise each re-run the containment mining (the pipeline's most
+      // expensive stage)
       val hits = DedupOps.containmentBest(
         docs.select("doc_id", "text"), isEval, !isEval, threshold = 0.95)
+        .localCheckpoint(true)
       Tel.addCounter("contaminated_train_docs", hits.count())
       docs.filter(!isEval)
         .join(hits.select(col("matched_doc").as("doc_id")), Seq("doc_id"), "left_anti")

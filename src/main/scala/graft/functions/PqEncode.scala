@@ -70,11 +70,15 @@ case class PqEncode(child: Expression, codebooks: Seq[Seq[Seq[Double]]])
       v(i) = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
       i += 1
     }
-    // same fold order as the HoF form: ascending-index sum of squares
+    // same fold order as the HoF form: ascending-index sum of squares.
+    // Zero-norm guard (shared convention with pqCodesHof/pqTopK): clamp to
+    // the smallest positive double so an all-zeros vector normalizes to
+    // all zeros (0/4.9e-324 = 0) instead of NaN — NaN distances would pin
+    // bestC at -1 and crash the downstream 1-based ADC element_at.
     var ss = 0.0
     i = 0
     while (i < d) { ss += v(i) * v(i); i += 1 }
-    val norm = math.sqrt(ss)
+    val norm = math.max(math.sqrt(ss), Double.MinPositiveValue)
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {

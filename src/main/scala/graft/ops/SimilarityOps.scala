@@ -212,7 +212,14 @@ object SimilarityOps {
     // Query distance table (1 row, m × ksub) — broadcast to the code scan.
     val nemb = {
       val v = transform(col("embedding"), x => x.cast("double"))
-      val n = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+      // greatest() not when(): conditionals are excluded from Catalyst
+      // common-subexpression elimination, so a when()-guard re-evaluates
+      // the norm aggregate per element; greatest is branch-free and maps
+      // a zero vector to all-zero output (0/4.9e-324 = 0), matching
+      // PqEncode's native guard.
+      val n = greatest(
+        sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)),
+        lit(Double.MinPositiveValue))
       transform(v, x => x / n)
     }
     val qdt = emb.filter(col("vec_id") === queryId)
@@ -254,7 +261,7 @@ object SimilarityOps {
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
       .map { v =>
-        val n = math.sqrt(v.map(x => x * x).sum)
+        val n = math.max(math.sqrt(v.map(x => x * x).sum), Double.MinPositiveValue)
         v.map(_ / n)
       }
     (0 until m).map(s => (0 until ksub).map(c =>
@@ -269,7 +276,10 @@ object SimilarityOps {
       codebooks.head.head.length)
     val cb = typedLit(codebooks)
     val v = transform(col("embedding"), x => x.cast("double"))
-    val n = sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))
+    // branch-free zero-norm guard, same convention as PqEncode.nullSafeEval
+    val n = greatest(
+      sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)),
+      lit(Double.MinPositiveValue))
     val nemb = transform(v, x => x / n)
     def subDist(s: Column, c: Column): Column =
       aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {

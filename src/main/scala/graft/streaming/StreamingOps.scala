@@ -417,7 +417,11 @@ object StreamingOps {
     val target = Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_stream_slices_${hash}_$n")
     val marker = target.resolve("_STAGED")
-    if (!Files.exists(marker)) {
+    val src = Paths.get(s"$dir/events.parquet")
+    val stale = !Files.exists(marker) ||
+      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) < 0
+    if (stale) {
+      Files.deleteIfExists(marker)
       spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
         .repartitionByRange(n, col("ts"))
         .write.mode("overwrite").parquet(target.toString)

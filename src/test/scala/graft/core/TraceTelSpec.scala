@@ -126,6 +126,40 @@ class TraceTelSpec extends AnyFunSuite {
     assert(json.contains("\"key\":\"k\""))
   }
 
+  test("addEvent attaches to the innermost open span and exports as OTLP events") {
+    val seen = scala.collection.mutable.ListBuffer.empty[String]
+    implicit val tel: GraftTelemetry = new GraftTelemetry {
+      def withSpan[T](name: String, attributes: (String, Any)*)(block: => T): T = block
+      def addCounter(name: String, value: Long): Unit = ()
+      def setGauge(name: String, value: Double): Unit = ()
+      def recordHistogram(name: String, value: Double): Unit = ()
+      override def addEvent(name: String, attributes: (String, Any)*): Unit =
+        seen += s"event:$name"
+    }
+    val n = Node[Unit, Int] { _ =>
+      Tel.addEvent("orphan")                       // outside any span: trace no-op
+      Tel.withSpan("outer") {
+        Tel.addEvent("o1", "k" -> 1)
+        Tel.withSpan("inner") { Tel.addEvent("i1"); 1 } + 1
+      }
+    }
+    val t = n.unsafeRunTrace(())
+    assert(t.result == 2)
+    val outer = t.spans.find(_.name == "outer").get
+    val inner = t.spans.find(_.name == "inner").get
+    assert(outer.events.map(_.name) == List("o1"))
+    assert(outer.events.head.attributes == Map("k" -> 1))
+    assert(inner.events.map(_.name) == List("i1"))
+    assert(inner.events.head.timestampNanos >= inner.startTimeNanos &&
+      inner.events.head.timestampNanos <= inner.endTimeNanos)
+    // provider sees every event, including the orphan
+    assert(seen.toList == List("event:orphan", "event:o1", "event:i1"))
+    val json = t.toOtelJson
+    assert(json.contains("\"events\":[{\"timeUnixNano\""))
+    assert(json.contains("\"name\":\"o1\""))
+    assert(json.contains("\"key\":\"k\""))
+  }
+
   test("&> branches do not see the trace collector (documented reference parity)") {
     import scala.concurrent.ExecutionContext.Implicits.global
     // The ThreadLocal trace state deliberately does NOT propagate into the

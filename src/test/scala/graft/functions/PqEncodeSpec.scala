@@ -33,6 +33,23 @@ class PqEncodeSpec extends AnyFunSuite {
     assert(bad.isEmpty)
   }
 
+  test("zero-norm vector: native == HoF, valid codes, no crash") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cbs = graft.ops.SimilarityOps.pqCodebooks(emb, m = 8, ksub = 16)
+    val fn = PqEncode.registerUnique(spark, cbs)
+    val d = emb.select(size(col("embedding"))).head.getInt(0)
+    val zero = spark.range(1).select(
+      array_repeat(lit(0.0f), d).as("embedding"))
+    val row = zero.select(
+      expr(s"$fn(embedding)").as("native"),
+      graft.ops.SimilarityOps.pqCodesHof(cbs).as("hof")).head
+    val native = row.getSeq[Int](0)
+    val hof = row.getSeq[Int](1)
+    assert(native == hof, s"zero-vector codes diverge: $native vs $hof")
+    assert(native.forall(c => c >= 0 && c < 16),
+      s"zero-vector produced out-of-range code (would crash 1-based ADC lookup): $native")
+  }
+
   test("unique registration: two codebooks do not cross-wire") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val cb1 = graft.ops.SimilarityOps.pqCodebooks(emb, m = 8, ksub = 16)
