@@ -22,6 +22,105 @@ object SimilarityOps {
 
   private[ops] def normD(a: Column): Column = sqrt(dotD(a, a))
 
+  /** Deterministic bounded training sample: top `n` vectors by
+    * xxhash64(vec_id) — an unbiased pseudo-random sample whose plan is ONE
+    * `TakeOrderedAndProject` regardless of corpus size. Codebook/centroid
+    * training reads this, never the full table: at 100 TB the fit cost is
+    * constant while encode+scan (the distributed part) does all the work —
+    * the same split FAISS-style ANN systems use.
+    */
+  private def trainingSample(emb: DataFrame, n: Int): Array[Array[Double]] =
+    emb.select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(n)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+
+  private def l2normalize(v: Array[Double]): Array[Double] = {
+    val n = math.max(math.sqrt(v.map(x => x * x).sum), Double.MinPositiveValue)
+    v.map(_ / n)
+  }
+
+  /** Deterministic Lloyd k-means on a driver-resident sample: squared-L2
+    * assignment with strict-< first-minimum tie-break, exact arithmetic-
+    * mean update, empty cells keep their previous centroid. Two seed
+    * strategies (both RNG-free, bit-reproducible):
+    *   - `spread = true`: farthest-first (maxmin) — the deterministic
+    *     cousin of k-means++; right for a COARSE quantizer, where seeds
+    *     must cover the space (IVF cells).
+    *   - `spread = false`: first k distinct sample points — mass-weighted
+    *     by construction (the sample is hash-uniform); right for PQ
+    *     subquantizers, where maxmin chases subspace outliers and wastes
+    *     codewords on them.
+    */
+  private[ops] def lloyd(
+      points: Array[Array[Double]], k: Int, iters: Int,
+      spread: Boolean = true): Array[Array[Double]] = {
+    require(points.nonEmpty, "k-means fit needs a non-empty sample")
+    val d = points.head.length
+    val init = scala.collection.mutable.ArrayBuffer[Array[Double]](points(0).clone())
+    if (spread) {
+      // each next seed maximizes distance to its nearest chosen seed
+      // (first maximum wins — deterministic)
+      val minD2 = Array.fill(points.length)(Double.MaxValue)
+      while (init.length < k) {
+        var bestI = -1
+        var bestD = -1.0
+        var i = 0
+        while (i < points.length) {
+          var dist = 0.0
+          var j = 0
+          val last = init.last
+          while (j < d) { val df = points(i)(j) - last(j); dist += df * df; j += 1 }
+          if (dist < minD2(i)) minD2(i) = dist
+          if (minD2(i) > bestD) { bestD = minD2(i); bestI = i }
+          i += 1
+        }
+        if (bestD <= 0.0) init += init.head.clone() // < k distinct points
+        else init += points(bestI).clone()
+      }
+    } else {
+      var i = 1
+      while (init.length < k && i < points.length) {
+        if (!init.exists(_.sameElements(points(i)))) init += points(i).clone()
+        i += 1
+      }
+      while (init.length < k) init += init.head.clone()
+    }
+    var cents: Array[Array[Double]] = init.toArray
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Int](k)
+      points.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var dist = 0.0
+          var j = 0
+          while (j < d) { val df = p(j) - cents(c)(j); dist += df * df; j += 1 }
+          if (dist < bestD) { bestD = dist; best = c }
+          c += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else {
+          val v = new Array[Double](d)
+          var j = 0
+          while (j < d) { v(j) = sums(c)(j) / counts(c); j += 1 }
+          v
+        }
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** Exact cosine top-k neighbors of `queryId` (excluded from results). */
   def bruteForceTopK(emb: DataFrame, queryId: Long, k: Int): DataFrame = {
     val q = emb.filter(col("vec_id") === queryId)
@@ -54,34 +153,60 @@ object SimilarityOps {
     * shape: assignment is one broadcast join + per-vector argmax (no
     * all-pairs), search touches nProbe/nCentroids of the data.
     *
-    * Centroid selection here is deterministic (lowest vec_ids) — a stand-in
-    * for k-means|| training on a sample; swap the `centroids` DataFrame and
-    * nothing else changes.
+    * Centroids are spherical-k-means trained on a bounded deterministic
+    * sample ([[trainingSample]] + [[lloyd]] over L2-normalized points, then
+    * re-normalized — L2 on the unit sphere ranks identically to cosine, so
+    * the trained cells match the cosine assignment below). Defaults are
+    * scale-aware: `nCentroids` ~ sqrt(n) (cells of ~sqrt(n) vectors, the
+    * classic IVF sizing), probe a quarter of them, and index every vector
+    * in its `replication` nearest cells — multi-assignment recovers
+    * neighbors sitting just across a Voronoi boundary for r x index size,
+    * without probing more cells.
     */
   def ivfTopK(
       emb: DataFrame,
       queryId: Long,
       k: Int,
-      nCentroids: Int = 16,
-      nProbe: Int = 4
+      nCentroids: Int = 0,
+      nProbe: Int = 0,
+      replication: Int = 3
   ): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val centroids = emb.orderBy("vec_id").limit(nCentroids)
-      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val spark = emb.sparkSession
+    // scale-aware defaults: nc ~ sqrt(n) rounded to a power of two (the
+    // classic IVF sizing — cells of ~sqrt(n) vectors), probe a quarter of
+    // the cells; both overridable per call
+    val nc =
+      if (nCentroids > 0) nCentroids
+      else {
+        val n = math.max(1L, emb.count())
+        math.min(4096, math.max(8,
+          Integer.highestOneBit(math.sqrt(n.toDouble).toInt.max(1))))
+      }
+    val np = if (nProbe > 0) nProbe else math.max(2, nc / 4)
+    val trained = lloyd(
+      trainingSample(emb, 2048).map(l2normalize), nc, iters = 10)
+      .map(l2normalize)
+    val centroids = spark.createDataFrame(
+      trained.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) })
+      .toDF("cid", "cvec")
     val scored = emb.join(broadcast(centroids))
       .select(col("vec_id"), col("embedding"), col("cid"),
         (dotD(col("embedding"), col("cvec")) /
           (normD(col("embedding")) * normD(col("cvec")))).as("c_cos"))
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("c_cos").desc, col("cid"))
+    // multi-assignment (replication): each vector is indexed in its top-r
+    // cells, so a neighbor sitting just across a Voronoi boundary is still
+    // found — r x index size buys recall without probing more cells
     val assigned = scored
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(byVec))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= replication)
       .select(col("vec_id"), col("embedding"), col("cid"))
 
     val probes = scored.filter(col("vec_id") === queryId)
       .orderBy(col("c_cos").desc, col("cid"))
-      .limit(nProbe)
+      .limit(np)
       .select(col("cid"))
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
@@ -89,6 +214,8 @@ object SimilarityOps {
     assigned
       .join(broadcast(probes), "cid")
       .filter(col("vec_id") =!= queryId)
+      // a replicated vector can match several probed cells — one candidate row each
+      .select(col("vec_id"), col("embedding")).dropDuplicates("vec_id")
       .join(broadcast(q))
       .select(col("vec_id"),
         (floor(dotD(col("embedding"), col("q_embedding")) /
@@ -250,22 +377,21 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** Deterministic PQ codebooks: normalized subvectors of the `ksub`
-    * lowest-id vectors (see [[pqTopK]]).
+  /** PQ codebooks: per-subspace Lloyd k-means over the L2-normalized
+    * subvectors of a bounded deterministic sample (see [[trainingSample]]
+    * / [[lloyd]]; Jégou et al. §III trains exactly this way). Fit cost is
+    * constant in corpus size; the fitted codebooks ride to executors in
+    * the [[graft.functions.PqEncode]] registration closure.
     */
   def pqCodebooks(emb: DataFrame, m: Int, ksub: Int): Seq[Seq[Seq[Double]]] = {
     val d = emb.select(size(col("embedding"))).head.getInt(0)
     require(d % m == 0, s"dim $d not divisible by m=$m subspaces")
     val dsub = d / m
-    val sample = emb.orderBy("vec_id").limit(ksub)
-      .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      .map { v =>
-        val n = math.max(math.sqrt(v.map(x => x * x).sum), Double.MinPositiveValue)
-        v.map(_ / n)
-      }
-    (0 until m).map(s => (0 until ksub).map(c =>
-      (0 until dsub).map(i => sample(c)(s * dsub + i))))
+    val sample = trainingSample(emb, 512).map(l2normalize)
+    (0 until m).map { s =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, s * dsub, (s + 1) * dsub))
+      lloyd(sub, ksub, iters = 5, spread = false).map(_.toSeq).toSeq
+    }
   }
 
   /** The HoF composition [[graft.functions.PqEncode]] replaced — kept as
