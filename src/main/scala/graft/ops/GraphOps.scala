@@ -35,32 +35,43 @@ object GraphOps {
       edges: DataFrame,
       maxIter: Int = 50
   ): DataFrame = {
-    // Size the per-round materializations to the VERTEX count, not the
-    // session default: localCheckpoint materializes every partition of
-    // the round's output, so a fixed 200-partition default would pay 200
-    // tasks per round regardless of data. ~500k labels per partition
-    // keeps rounds one-task-cheap at test scale and spreads a
-    // 10^9-vertex graph over thousands of tasks. The width is applied
-    // with a per-plan coalesce — NOT by mutating the session-global
+    // Both edge directions in ONE pass over the (possibly expensive) edge
+    // pipeline — union(edges, edges.swap) would embed and execute that
+    // pipeline twice.
+    val e2raw = edges
+      .select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges2 = e2raw.count()
+    // Size the per-round materializations to the DATA, not the session
+    // default: localCheckpoint materializes every partition of the
+    // round's output, so a fixed 200-partition default would pay 200
+    // tasks per round regardless of data. The per-round join work scales
+    // with the directed EDGE table — in a near-dup graph typically 100×
+    // the vertex count (a 50k-doc dup-dense corpus yields ~6M directed
+    // edges), so sizing by vertices alone would collapse a multi-million-
+    // row join into one task per round. Target ~500k labels or ~1M
+    // directed edges per task, whichever demands more width; a 10^9-edge
+    // graph spreads over thousands of tasks on a real cluster (there the
+    // session default caps at its cluster-sized value). Applied with a
+    // per-plan coalesce — NOT by mutating the session-global
     // shuffle-partition conf, which would leak the shrunken value to
     // concurrent queries on the same session.
     val nVerts = vertices.count()
     val defaultParts =
       vertices.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = math.max(1L, math.min(defaultParts.toLong, nVerts / 500000L + 1L)).toInt
-    // Both edge directions in ONE pass over the (possibly expensive) edge
-    // pipeline — union(edges, edges.swap) would embed and execute that
-    // pipeline twice. Pre-partitioned on the probe key and persisted, so
-    // the cached partitioning is reused by every round's join instead of
+    val parts = math.max(1L, math.min(defaultParts.toLong,
+      math.max(nVerts / 500000L, nEdges2 / 1000000L) + 1L)).toInt
+    // Pre-partitioned on the probe key (off the already-materialized raw
+    // cache, so the doubled pipeline still runs once) and persisted: the
+    // cached partitioning is reused by every round's join instead of
     // re-shuffling the edge table per round.
-    val e2 = edges
-      .select(explode(array(
-        struct(col("src").as("s"), col("dst").as("d")),
-        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
-      .select(col("e.s").as("src"), col("e.d").as("dst"))
-      .repartition(parts, col("src"))
+    val e2 = e2raw.repartition(parts, col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     e2.count()
+    e2raw.unpersist()
     var labels = vertices.select(col("id"), col("id").as("label"))
       .coalesce(parts)
       .localCheckpoint(true)

@@ -182,6 +182,41 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("rfm_segmentation ranks via partitioned windows — no global ntile, no single-partition customer sort") {
+    val plan = planOf("rfm_segmentation")
+    // The three quartile rankings must run as distributedNtile's two-phase
+    // shape: range-repartition + per-partition row_number windows keyed on
+    // the synthetic _ntile_pid — never SQL ntile() over an unpartitioned
+    // window (a single-partition sort of every customer).
+    assert(!plan.contains("ntile("),
+      s"global ntile window leaked into rfm plan:\n$plan")
+    assert("\\], \\[_ntile_pid#\\d+\\], \\[".r.findFirstIn(plan).isDefined,
+      s"expected _ntile_pid-partitioned ranking window in:\n$plan")
+    // The only unpartitioned window allowed is the offsets prefix-sum over
+    // the per-partition counts (≤ shuffle.partitions rows). Any
+    // SinglePartition exchange must therefore sit directly above a
+    // HashAggregate (the partition-count reduction), never above a raw
+    // customer-level Sort/Exchange of the rfm table.
+    val single = "Exchange SinglePartition".r.findAllMatchIn(plan).map(_.start).toList
+    single.foreach { idx =>
+      val below = plan.substring(idx, math.min(plan.length, idx + 400))
+      assert(below.contains("HashAggregate") || below.contains("_ntile_pc"),
+        s"SinglePartition exchange not over the tiny offsets aggregate:\n$below")
+    }
+  }
+
+  test("mined near-dup pairs sort is range-partitioned, never a single-partition stage") {
+    val plan = planOf("dedup_ngram_jaccard")
+    // The τ=0.8 pair list (~3M rows at the dup-dense sf0.1) materializes
+    // through orderBy(id_a, id_b) — which must plan as an Exchange
+    // rangepartitioning + per-partition Sort (each reducer sorts its key
+    // range in parallel), not a SinglePartition collapse.
+    assert(plan.contains("rangepartitioning"),
+      s"expected range-partitioned sort of mined pairs in:\n$plan")
+    assert(!plan.contains("SinglePartition"),
+      s"single-partition stage in mined-pairs plan:\n$plan")
+  }
+
   test("dedup_decontaminate prunes the train index by the eval prefix vocab via broadcast") {
     val plan = planOf("dedup_decontaminate")
     assert(plan.toLowerCase.contains("semi"),
