@@ -541,15 +541,20 @@ object DedupOps {
       rightIds: DataFrame,
       threshold: Double
   ): DataFrame = {
-    val la = leftIds.select(col("doc_id").as("id_a"))
-    val rb = rightIds.select(col("doc_id").as("id_b"))
+    // Dedup the ID SETS (≤|docs| rows), not the oriented pair list: the
+    // three oriented branches are disjoint by construction (mined pairs
+    // have id_a < id_b, their swaps id_a > id_b, identity rows id_a =
+    // id_b), so with unique membership sides the joined member list is
+    // already distinct — a distinct() on it would shuffle the full
+    // |pairs|-sized list (6M rows at sf0.1) to remove nothing.
+    val la = leftIds.select(col("doc_id").as("id_a")).distinct()
+    val rb = rightIds.select(col("doc_id").as("id_b")).distinct()
     val oriented = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
       .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("jaccard")))
       .unionAll(la.join(rb, col("id_a") === col("id_b"), "left_semi")
         .select(col("id_a"), col("id_a").as("id_b"), lit(1.0).as("jaccard")))
     val member = oriented.join(la, "id_a").join(rb, "id_b")
       .filter(col("jaccard") >= threshold - roundEps)
-      .distinct()
     val definite = member.filter(col("jaccard") >= threshold + roundEps)
       .select(col("id_a"), col("id_b"), col("jaccard"))
     val ambiguous = member.filter(col("jaccard") < threshold + roundEps)
