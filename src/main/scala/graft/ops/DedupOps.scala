@@ -160,12 +160,23 @@ object DedupOps {
           .select(col("rep_id"), explode(col("members")).as("doc_id"))
           .persist(lvl)
         val rtoks = groups.select(col("rep_id"), col("cnt"), explode(col("ctoks")).as("tok"))
+        // Persist at the SESSION width, explicitly: AQE sizes the final
+        // exchange by the index's own bytes (a few MB) and would coalesce
+        // the cached layout to one partition — and every map-side
+        // consumer (prefix posexplode, candidate fan-out, the partial
+        // side of a distinct) inherits that single task, serializing work
+        // that is 100× the index's size. An explicit numPartitions is
+        // exempt from AQE coalescing; at corpus scale the index is big
+        // enough that the width is what AQE would pick anyway.
+        val width =
+          docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
         val repIx = rtoks
           .join(rtoks.groupBy("tok").agg(sum("cnt").as("df")), "tok")
           .groupBy("rep_id")
           .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
             .as("stoks"), max("cnt").as("cnt"))
           .select(col("rep_id"), col("stoks"), size(col("stoks")).as("sz"), col("cnt"))
+          .repartition(width, col("rep_id"))
           .persist(lvl)
         try { docRep.count(); repIx.count(); (repIx, docRep) }
         catch { case t: Throwable => docRep.unpersist(); repIx.unpersist(); throw t }
@@ -659,14 +670,35 @@ object DedupOps {
     // share ONE global token order): common tokens strictly before this
     // shared one ≤ min(pa,pb)−1, from it onward ≤ 1 + min remaining — a
     // row survives only if that bound can still reach ⌈τ·|A|⌉.
-    val candidates = pa.join(pb, "tok")
+    //
+    // BROADCAST the eval-side prefix rows: the eval set is a benchmark
+    // suite — bounded at thousands of docs regardless of corpus scale —
+    // so its prefix index is always broadcastable, and the candidate
+    // explosion then lands distributed across the TRAIN side's
+    // partitions (which scale with the corpus). Without the hint the
+    // planner shuffle-joins: AQE sizes the exchange by its tiny INPUT
+    // bytes and coalesces it to one partition, and the 100×-input join
+    // explosion plus the distinct's partial aggregate then run in a
+    // single task (measured 4.9s of a 6.5s query in that one stage).
+    // Candidate dedup through an EXPLICIT exchange on the pair key: the
+    // aggregate reuses it (same clustering), and — because an explicit
+    // numPartitions is exempt from AQE coalescing — the deduped stream
+    // stays at session width. Left to AQE, the distinct's final exchange
+    // coalesces to one partition (906k pairs ≈ 15 MB), and since the rep
+    // index broadcasts, the entire downstream verify (an array-intersect
+    // per candidate — 100× the bytes the estimator sees) runs map-side
+    // in that single task (measured 5.6s of a 7s query in one stage).
+    val width =
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val candidates = pb.join(broadcast(pa), "tok")
       .filter(col("sz_b") >= ceil(col("sz_a") * threshold - 1e-9))
       .filter(
         least(col("pa"), col("pb")) - 1 + lit(1) +
           least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=
           ceil(col("sz_a") * threshold - 1e-9))
       .select("id_a", "id_b")
-      .distinct()
+      .repartition(width, col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
     val best = candidates
       .join(repIx.select(col("rep_id").as("id_a"), col("stoks").as("toks_a"),
         col("sz").as("sz_a")), "id_a")
