@@ -293,7 +293,13 @@ object SparkOps {
     */
   def distributedNtile(df: DataFrame, buckets: Int, outCol: String, order: Column*): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val withRn = df.repartitionByRange(order: _*)
+    // Materialize the input once: this plan reads it THREE times — the
+    // range partitioner's sampling pass, the offsets aggregate, and the
+    // ranked join — and chained ntile calls (one per metric) would
+    // otherwise re-execute the whole upstream multiplicatively per phase.
+    // The checkpoint also keeps each phase planning against a leaf.
+    val base = df.localCheckpoint(true)
+    val withRn = base.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_ntile_pid", spark_partition_id())
       .withColumn("_ntile_lrn",
