@@ -33,7 +33,10 @@ object GraphOps {
   def connectedComponents(
       vertices: DataFrame,
       edges: DataFrame,
-      maxIter: Int = 50
+      maxIter: Int = 50,
+      // Regime cut-over, exposed for tests (forcing 0 exercises the
+      // iterative path on small graphs; the default is the prod value).
+      smallLabelThreshold: Long = 500000L
   ): DataFrame = {
     // TWO REGIMES by |V|. When the LABEL table fits comfortably in one
     // task's memory (≤500k vertices ≈ 8 MB of longs — the same order as
@@ -58,7 +61,7 @@ object GraphOps {
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true
       case _ => false
     }
-    if (nVerts <= 500000L && integralIds) ccViaForest(vertices, edges)
+    if (nVerts <= smallLabelThreshold && integralIds) ccViaForest(vertices, edges)
     else ccIterative(vertices, edges, nVerts, maxIter)
   }
 

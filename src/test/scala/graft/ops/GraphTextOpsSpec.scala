@@ -38,6 +38,30 @@ class GraphTextOpsSpec extends AnyFunSuite {
     assert(got.values.toSet == Set(1L), s"all $n chain vertices collapse to label 1")
   }
 
+  test("forest and iterative CC regimes agree on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 2 + rnd.nextInt(25)
+      val ids = (1L to n.toLong).toVector
+      val edgeList = (1 to rnd.nextInt(2 * n)).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter { case (a, b) => a != b }.distinct
+      val verts = ids.toDF("id")
+      val edges = edgeList.toDF("src", "dst")
+      val forest = GraphOps.connectedComponents(verts, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // smallLabelThreshold = 0 forces the large-|V| iterative path on the
+      // same graph — the two regimes must be bit-identical
+      val iterative = GraphOps.connectedComponents(verts, edges,
+          smallLabelThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(forest == iterative,
+        s"regime divergence on n=$n edges=${edgeList.size}")
+    }
+  }
+
   test("connectedComponents agrees with a union-find reference on random graphs") {
     val s = spark
     import s.implicits._
