@@ -450,6 +450,13 @@ object DedupOps {
       explode(expr(
         s"""sequence(${szBucket(s"cast(ceil($threshold * sz - 1e-9) as int)")},
                      ${szBucket(s"cast(floor(sz / $threshold + 1e-9) as int)")})""")).as("szb"))
+    // Candidate dedup through an explicit session-width exchange — same
+    // rationale as [[containmentBest]]: AQE would size the distinct's
+    // exchange by the narrow pair bytes and shrink the downstream
+    // verify's parallelism, and the rep index broadcasts so the verify
+    // inherits whatever width the deduped stream has.
+    val width =
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val candidates = probes
       .join(prefixed.select(col("tok"), expr(szBucket("sz")).as("szb"),
         col("rep_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb")),
@@ -459,7 +466,8 @@ object DedupOps {
       .filter(sizeCompatible(threshold))
       .filter(positionalFilter(threshold))
       .select("id_a", "id_b")
-      .distinct()
+      .repartition(width, col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
 
     // Optimizer-barrier note (applies inside verifyPairs): the
     // nondeterministic `_barrier` column blocks CollapseProject +
