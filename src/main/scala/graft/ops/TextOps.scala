@@ -424,38 +424,37 @@ object TextOps {
   def bpeTrainMerges(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // localCheckpoint (eager), not persist: a persisted vocab still
+    // carries the growing merge lineage, and every step's two actions
+    // re-analyze/re-optimize it — per-step plans stay leaf-rooted this
+    // way (see the same note in GraphOps.pagerankQuantized).
     var vocab = docs
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("ws"),
         col("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    try {
-      for (step <- 1 to k) {
-        val top = vocab
-          .select(col("n"), split(trim(col("ws")), " ").as("l"))
-          .filter(size(col("l")) >= 2)
-          .select(col("n"), explode(expr(
-            "transform(sequence(0, size(l) - 2), j -> struct(l[j] AS a, l[j + 1] AS b))"))
-            .as("pr"))
-          .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-          .agg(sum(col("n")).as("cnt"))
-          .orderBy(col("cnt").desc, col("a"), col("b"))
-          .limit(1).collect()(0)
-        val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-        merges += ((step, a, b, cnt))
-        val (pat, rep) = (s" $a $b ", s" $a$b ")
-        val next = vocab
-          .withColumn("ws",
-            regexp_replace(regexp_replace(col("ws"), pat, rep), pat, rep))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        vocab.unpersist()
-        vocab = next
-      }
-    } finally vocab.unpersist()
+    for (step <- 1 to k) {
+      val top = vocab
+        .select(col("n"), split(trim(col("ws")), " ").as("l"))
+        .filter(size(col("l")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(l) - 2), j -> struct(l[j] AS a, l[j + 1] AS b))"))
+          .as("pr"))
+        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1).collect()(0)
+      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
+      merges += ((step, a, b, cnt))
+      val (pat, rep) = (s" $a $b ", s" $a$b ")
+      vocab = vocab
+        .withColumn("ws",
+          regexp_replace(regexp_replace(col("ws"), pat, rep), pat, rep))
+        .localCheckpoint(true)
+    }
     merges.result().toDF("step", "sym_a", "sym_b", "pair_count").orderBy("step")
   }
 }
