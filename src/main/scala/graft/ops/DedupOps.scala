@@ -128,6 +128,7 @@ object DedupOps {
     drop(prefixCache)(_._1)(_.unpersist())
     drop(pairsCache)(_._1)(_.unpersist())
     GraphOps.clearLabelCache(sid)
+    SimilarityOps.clearCentroidCache(sid)
   }
 
   private def corpusKey(docs: DataFrame): (Int, Int) =

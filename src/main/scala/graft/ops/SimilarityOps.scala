@@ -163,6 +163,27 @@ object SimilarityOps {
     * neighbors sitting just across a Voronoi boundary for r x index size,
     * without probing more cells.
     */
+  /** Session-scoped cache of trained coarse quantizers keyed by the
+    * corpus plan + sizing params: Lloyd training reads a bounded driver
+    * sample but still costs a scan + collect per call — an IVF index is
+    * built once per corpus and served to every query, and this memo is the
+    * in-session equivalent (same contract as DedupOps.pairsCache: keys
+    * hash the plan, valid while source files are immutable).
+    */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int),
+      (Int, Array[Array[Double]])]()
+
+  /** Drop this session's trained quantizers (driver-memory arrays only —
+    * nothing to unpersist). Invoked by [[DedupOps.clearCaches]].
+    */
+  private[ops] def clearCentroidCache(sessionId: Int): Unit = {
+    val it = centroidCache.entrySet().iterator()
+    while (it.hasNext) {
+      if (it.next().getKey._1 == sessionId) it.remove()
+    }
+  }
+
   def ivfTopK(
       emb: DataFrame,
       queryId: Long,
@@ -171,43 +192,51 @@ object SimilarityOps {
       nProbe: Int = 0,
       replication: Int = 3
   ): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val spark = emb.sparkSession
-    // scale-aware defaults: nc ~ sqrt(n) rounded to a power of two (the
-    // classic IVF sizing — cells of ~sqrt(n) vectors), probe a quarter of
-    // the cells; both overridable per call
-    val nc =
-      if (nCentroids > 0) nCentroids
-      else {
-        val n = math.max(1L, emb.count())
-        math.min(4096, math.max(8,
-          Integer.highestOneBit(math.sqrt(n.toDouble).toInt.max(1))))
-      }
+    val cacheKey = (System.identityHashCode(emb.sparkSession),
+      emb.queryExecution.logical.semanticHash(), nCentroids, replication)
+    val (nc, trained) = centroidCache.computeIfAbsent(cacheKey, _ => {
+      // scale-aware defaults: nc ~ sqrt(n) rounded to a power of two (the
+      // classic IVF sizing — cells of ~sqrt(n) vectors); overridable
+      val n0 =
+        if (nCentroids > 0) nCentroids
+        else {
+          val n = math.max(1L, emb.count())
+          math.min(4096, math.max(8,
+            Integer.highestOneBit(math.sqrt(n.toDouble).toInt.max(1))))
+        }
+      (n0, lloyd(trainingSample(emb, 2048).map(l2normalize), n0, iters = 10)
+        .map(l2normalize))
+    })
     val np = if (nProbe > 0) nProbe else math.max(2, nc / 4)
-    val trained = lloyd(
-      trainingSample(emb, 2048).map(l2normalize), nc, iters = 10)
-      .map(l2normalize)
-    val centroids = spark.createDataFrame(
-      trained.toIndexedSeq.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) })
-      .toDF("cid", "cvec")
-    val scored = emb.join(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cid"),
-        (dotD(col("embedding"), col("cvec")) /
-          (normD(col("embedding")) * normD(col("cvec")))).as("c_cos"))
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_cos").desc, col("cid"))
+    // Cell assignment as ONE per-row expression over the broadcast-literal
+    // codebook: centroids are unit vectors, so ranking cells by raw dot
+    // product IS the cosine ranking (norm(embedding) is constant within a
+    // row). The previous shape — join against a 64-row centroid table +
+    // row_number window — expanded every row 64× THROUGH a full shuffle
+    // carrying the embedding; at 100 TB that is a 64× exchange. This form
+    // never leaves the scan: score nc cells, sort, slice top-r — the only
+    // rows ever emitted are the r (≤3) assignments per vector.
+    val cb = typedLit(trained.map(_.toSeq).toSeq)
+    def topCells(r: Int): Column = {
+      val scoredCells = transform(sequence(lit(0), lit(nc - 1)), c =>
+        struct(
+          (-aggregate(
+            zip_with(col("embedding"), element_at(cb, (c + 1).cast("int")),
+              (x, y) => x.cast("double") * y),
+            lit(0.0), (acc, x) => acc + x)).as("negdot"),
+          c.cast("long").as("cid")))
+      // array_sort on struct: ascending (negdot, cid) = best dot first,
+      // lowest cid on ties — same tiebreak as the window it replaces
+      transform(slice(array_sort(scoredCells), 1, r), s => s.getField("cid"))
+    }
     // multi-assignment (replication): each vector is indexed in its top-r
     // cells, so a neighbor sitting just across a Voronoi boundary is still
     // found — r x index size buys recall without probing more cells
-    val assigned = scored
-      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(byVec))
-      .filter(col("rn") <= replication)
-      .select(col("vec_id"), col("embedding"), col("cid"))
-
-    val probes = scored.filter(col("vec_id") === queryId)
-      .orderBy(col("c_cos").desc, col("cid"))
-      .limit(np)
-      .select(col("cid"))
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(topCells(replication)).as("cid"))
+    val probes = emb.filter(col("vec_id") === queryId)
+      .select(explode(topCells(np)).as("cid"))
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
 

@@ -25,14 +25,26 @@ object Tables {
     floor((sum(quanta) + 50) / 100) / 100.0
   }
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which Spark 4 rejects
-    * outright; read nanos as long and rebuild a (microsecond) timestamp.
-    * Sub-microsecond precision is dropped — irrelevant for window/date
-    * bucketing, and the oracle comparisons never emit a raw `ts`.
+  /** `events.parquet` reader, dtype-aware across testdata generations:
+    * the current generation stores `ts` as parquet `timestamp[us]` without
+    * a timezone (isAdjustedToUTC=false), which Spark 4 reads as
+    * TIMESTAMP_NTZ — with a UTC session timezone the cast to TimestampType
+    * is the identity on the underlying micros, and downstream code
+    * (`unix_micros`, windows, watermarks) expects TimestampType. An older
+    * generation stored TIMESTAMP(NANOS), which Spark 4 only reads as a raw
+    * long (`nanosAsLong`); that long is rebuilt into a micros timestamp.
+    * Branching on the observed dtype means a regeneration flips neither
+    * path into silent misinterpretation (see FixturesSpec).
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.read.parquet(s"$dir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 }

@@ -43,17 +43,29 @@ final case class UserTotal(user_id: Long, total: Double, n: Long, alert: Boolean
 
 object StreamingOps {
 
-  /** Events schema with `ts` as raw nanos (Spark 4 rejects TIMESTAMP(NANOS)
-    * parquet natively; we read the physical long and rebuild micros).
+  /** Schema of the NORMALIZED staged replay files (ts already a proper
+    * micros TimestampType — see [[stageDir]]). File streams need an
+    * explicit schema; staging normalizes once per data generation so the
+    * streaming side never reinterprets raw physical values (the
+    * generation-dependent dtype handling lives solely in
+    * [[graft.queries.Tables.events]]).
     */
-  private val eventsRawSchema = StructType(Seq(
+  private val eventsStagedSchema = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", TimestampType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)
   ))
+
+  /** Batch read of events with `ts` normalized to TimestampType micros,
+    * whatever the parquet generation stores physically.
+    */
+  private def eventsBatch(spark: SparkSession, dir: String): DataFrame =
+    graft.queries.Tables.events(spark, dir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+        col("value"), col("props"))
 
   /** File-stream replay of events with a proper timestamp column. The
     * single-file table is staged into a directory first — file streams
@@ -61,25 +73,30 @@ object StreamingOps {
     * Kafka; the transform chain is identical).
     */
   def replayEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val staged = stageDir(dir)
+    val staged = stageDir(spark, dir)
     spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsStagedSchema)
       .parquet(staged)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
   }
 
-  private def stageDir(dir: String): String = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
+  /** Stage the events table as a normalized parquet directory (ts as
+    * TimestampType micros, UTC). Re-staged whenever the source file is
+    * newer than the staging marker, so a testdata regeneration invalidates
+    * the cache instead of silently replaying stale data.
+    */
+  private def stageDir(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$dir/events.parquet")
     val hash = Integer.toHexString(dir.hashCode)
     val target = Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_events_$hash")
-    Files.createDirectories(target)
-    val dst = target.resolve("events.parquet")
-    if (!Files.exists(dst) ||
-      Files.getLastModifiedTime(dst).compareTo(Files.getLastModifiedTime(src)) < 0) {
-      Files.copy(src, dst, StandardCopyOption.REPLACE_EXISTING)
+      System.getProperty("java.io.tmpdir"), s"graft_stream_events_v2_$hash")
+    val marker = target.resolve("_STAGED")
+    val stale = !Files.exists(marker) ||
+      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) < 0
+    if (stale) {
+      Files.deleteIfExists(marker)
+      eventsBatch(spark, dir).write.mode("overwrite").parquet(target.toString)
+      Files.createFile(marker)
     }
     target.toString
   }
@@ -314,13 +331,11 @@ object StreamingOps {
     * filtering at the watermark cutoff.
     */
   def lateDataDrop(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val watch = stageLateDir(spark, dir)
     val agg = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsStagedSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(watch)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 day"))
       .agg(count(lit(1)).as("n"),
@@ -341,7 +356,7 @@ object StreamingOps {
     import scala.jdk.CollectionConverters._
     val hash = Integer.toHexString(dir.hashCode)
     val watch = Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_late_$hash")
+      System.getProperty("java.io.tmpdir"), s"graft_stream_late_v2_$hash")
     val src = Paths.get(s"$dir/events.parquet")
     val marker = watch.resolve("_staged")
     val stale = !Files.exists(marker) ||
@@ -351,10 +366,10 @@ object StreamingOps {
         Files.walk(watch).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }
       Files.createDirectories(watch)
-      val ev = spark.read.schema(eventsRawSchema).parquet(src.toString)
+      val ev = eventsBatch(spark, dir)
       def writeWave(df: DataFrame, name: String, mtime: Long): Unit = {
         val scratch = Paths.get(
-          System.getProperty("java.io.tmpdir"), s"graft_stream_late_${hash}_$name")
+          System.getProperty("java.io.tmpdir"), s"graft_stream_late_v2_${hash}_$name")
         df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
         val part = Files.list(scratch).iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet"))
@@ -364,10 +379,10 @@ object StreamingOps {
         Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
       }
       val nonClick = ev.filter(col("event_type") =!= "click")
-      val maxTs = nonClick.agg(max(col("ts"))).head.getLong(0)
+      val maxUs = nonClick.agg(max(unix_micros(col("ts")))).head.getLong(0)
       val t0 = (System.currentTimeMillis() / 1000) * 1000 - 300000
-      writeWave(nonClick.filter(col("ts") < maxTs), "0_ontime", t0)
-      writeWave(nonClick.filter(col("ts") === maxTs), "1_trickle", t0 + 60000)
+      writeWave(nonClick.filter(unix_micros(col("ts")) < maxUs), "0_ontime", t0)
+      writeWave(nonClick.filter(unix_micros(col("ts")) === maxUs), "1_trickle", t0 + 60000)
       writeWave(ev.filter(col("event_type") === "click"), "2_late", t0 + 120000)
       Files.write(marker, Array.emptyByteArray)
     }
@@ -412,17 +427,16 @@ object StreamingOps {
     */
   private def stageSlices(spark: SparkSession, dir: String, n: Int): String = {
     import java.nio.file.{Files, Paths}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val hash = Integer.toHexString(dir.hashCode)
     val target = Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_slices_${hash}_$n")
+      System.getProperty("java.io.tmpdir"), s"graft_stream_slices_v2_${hash}_$n")
     val marker = target.resolve("_STAGED")
     val src = Paths.get(s"$dir/events.parquet")
     val stale = !Files.exists(marker) ||
       Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) < 0
     if (stale) {
       Files.deleteIfExists(marker)
-      spark.read.schema(eventsRawSchema).parquet(s"$dir/events.parquet")
+      eventsBatch(spark, dir)
         .repartitionByRange(n, col("ts"))
         .write.mode("overwrite").parquet(target.toString)
       Files.createFile(marker)
@@ -451,17 +465,15 @@ object StreamingOps {
     */
   def sessionTimeoutAgg(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val watch = stageSessionDir(spark, dir)
     val gapUs = 30L * 60 * 1000 * 1000
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val stream = spark.readStream
-        .schema(eventsRawSchema)
+        .schema(eventsStagedSchema)
         .option("maxFilesPerTrigger", 1)
         .parquet(watch)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .withWatermark("ts", "1 hour")
         .select(col("user_id"), col("ts"),
           unix_micros(col("ts")).as("ts_us"), col("event_id"))
@@ -521,7 +533,7 @@ object StreamingOps {
     import scala.jdk.CollectionConverters._
     val hash = Integer.toHexString(dir.hashCode)
     val watch = Paths.get(
-      System.getProperty("java.io.tmpdir"), s"graft_stream_sess_$hash")
+      System.getProperty("java.io.tmpdir"), s"graft_stream_sess_v2_$hash")
     val src = Paths.get(s"$dir/events.parquet")
     val marker = watch.resolve("_staged")
     val stale = !Files.exists(marker) ||
@@ -531,11 +543,12 @@ object StreamingOps {
         Files.walk(watch).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }
       Files.createDirectories(watch)
-      val ev = spark.read.schema(eventsRawSchema).parquet(src.toString)
+      val ev = eventsBatch(spark, dir)
+        .withColumn("ts_us", unix_micros(col("ts")))
       def writeWave(df: DataFrame, name: String, mtime: Long): Unit = {
         val scratch = Paths.get(
-          System.getProperty("java.io.tmpdir"), s"graft_stream_sess_${hash}_$name")
-        df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+          System.getProperty("java.io.tmpdir"), s"graft_stream_sess_v2_${hash}_$name")
+        df.drop("ts_us").coalesce(1).write.mode("overwrite").parquet(scratch.toString)
         val part = Files.list(scratch).iterator().asScala
           .find(_.getFileName.toString.endsWith(".parquet"))
           .getOrElse(sys.error(s"no parquet part written for wave $name"))
@@ -543,20 +556,20 @@ object StreamingOps {
         Files.copy(part, dst)
         Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
       }
-      val Array(median) = ev.stat.approxQuantile("ts", Array(0.5), 0.0)
-      val medianNs = median.toLong
-      val maxNs = ev.agg(max(col("ts"))).head.getLong(0)
+      val Array(median) = ev.stat.approxQuantile("ts_us", Array(0.5), 0.0)
+      val medianUs = median.toLong
+      val maxUs = ev.agg(max(col("ts_us"))).head.getLong(0)
       val adv = spark.range(1).select(
         lit(-1L).as("event_id"),
-        lit(maxNs + 10L * 24 * 3600 * 1000 * 1000 * 1000).as("ts"),
+        timestamp_micros(lit(maxUs + 10L * 24 * 3600 * 1000 * 1000)).as("ts"),
         lit(-1L).as("user_id"),
         lit("advance").as("event_type"),
         lit(0.0).as("value"),
         lit("{}").as("props"))
       val t0 = (System.currentTimeMillis() / 1000) * 1000 - 300000
-      writeWave(ev.filter(col("ts") <= medianNs), "0_early", t0)
-      writeWave(ev.filter(col("ts") > medianNs), "1_late", t0 + 60000)
-      writeWave(adv, "2_advance", t0 + 120000)
+      writeWave(ev.filter(col("ts_us") <= medianUs), "0_early", t0)
+      writeWave(ev.filter(col("ts_us") > medianUs), "1_late", t0 + 60000)
+      writeWave(adv.withColumn("ts_us", unix_micros(col("ts"))), "2_advance", t0 + 120000)
       Files.write(marker, Array.emptyByteArray)
     }
     watch.toString
@@ -584,10 +597,10 @@ object StreamingOps {
       s"graft_upsert_state_${runId.incrementAndGet()}")
     val slices = stageSlices(spark, dir, n = 3)
     val stream = spark.readStream
-      .schema(eventsRawSchema)
+      .schema(eventsStagedSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(slices)
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"),
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("value"))
     @volatile var version = 0
     val prev = spark.conf.get("spark.sql.shuffle.partitions")

@@ -44,18 +44,20 @@ class ContainmentSpec extends AnyFunSuite {
     assert(j.count() === 0)
   }
 
-  test("containmentBest equals driver brute force on random corpora") {
+  test("containmentBest equals driver brute force on random corpora at adversarial τ") {
     import org.apache.spark.sql.functions.col
     val vocabWords = (0 until 40).map(i => s"w$i")
     var nonEmptyCases = 0
-    for (seed <- Seq(7, 23, 91)) {
+    // τ = 0.07 exercises the ceil/floor epsilon guards far from the shipped
+    // thresholds (τ·sz land NEAR integers for many sz, and the size/prefix
+    // bounds get extreme); 0.25 hits exact-integer products (0.25·8 = 2).
+    for (seed <- Seq(7, 23, 91); tau <- Seq(0.07, 0.25, 0.8)) {
       val rnd = new scala.util.Random(seed)
       val rows = (0L until 30L).map { id =>
         val n = 2 + rnd.nextInt(12)
         id -> Seq.fill(n)(vocabWords(rnd.nextInt(vocabWords.size))).mkString(" ")
       }
       val corpus = df(rows)
-      val tau = 0.8
       val evalSide = rows.filter(_._1 % 3 == 0)
       val trainSide = rows.filter(_._1 % 3 != 0).map { case (id, t) =>
         id -> t.split("\\s+").toSet
@@ -76,7 +78,7 @@ class ContainmentSpec extends AnyFunSuite {
       val got = DedupOps.containmentBest(corpus,
           col("doc_id") % 3 === 0, col("doc_id") % 3 =!= 0, tau)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-      assert(got === expected, s"seed $seed")
+      assert(got === expected, s"seed $seed tau $tau")
       if (expected.nonEmpty) nonEmptyCases += 1
     }
     assert(nonEmptyCases > 0, "property vacuous: no seed produced matches")

@@ -113,6 +113,32 @@ class GraphTextOpsSpec extends AnyFunSuite {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("ngramJaccard equals driver brute force at adversarial τ (bound guards)") {
+    val s = spark
+    import s.implicits._
+    // τ = 0.07 / 0.25 stress the epsilon-guarded ceil/floor prefix & size
+    // bounds far from shipped thresholds (exact-integer products, extreme
+    // size windows); exact verification means any miss is a BOUND bug.
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("a1", "b2", "c3", "d4", "e5", "f6", "g7", "h8", "i9", "j0")
+    val docs = (1L to 25L).map { i =>
+      (i, (1 to (2 + rnd.nextInt(10))).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    def toks(t: String) = t.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase).toSet
+    val all = docs.collect().map(r => r.getLong(0) -> toks(r.getString(1)))
+    for (tau <- Seq(0.07, 0.25, 0.5)) {
+      val got = DedupOps.ngramJaccard(docs, tau)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expected = (for {
+        (ia, ta) <- all; (ib, tb) <- all if ia < ib
+        j = ta.intersect(tb).size.toDouble / ta.union(tb).size
+        if j >= tau
+      } yield (ia, ib)).toSet
+      assert(got == expected,
+        s"tau $tau missing=${expected -- got} extra=${got -- expected}")
+    }
+  }
+
   test("ngramJaccardSplit equals ngramJaccardBetween on a partitioned corpus") {
     val s = spark
     import s.implicits._
