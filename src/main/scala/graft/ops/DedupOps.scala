@@ -171,12 +171,27 @@ object DedupOps {
         // enough that the width is what AQE would pick anyway.
         val width =
           docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+        // Global token RANK (dense 1..V over the (df, tok) rarity order):
+        // `rks` carries each set as a SORTED INT array so exact
+        // verification is an allocation-free merge count
+        // ([[graft.functions.SortedIntersectCount]]) instead of string
+        // hashing — same bijection, identical intersection sizes. The
+        // rank window runs over the token DICTIONARY (vocabulary-sized,
+        // orders of magnitude below the corpus; at 10^9-doc scale swap
+        // the single-partition window for a zipWithIndex-style two-pass
+        // rank — the order, and therefore every artifact, is unchanged).
+        val dict = rtoks.groupBy("tok").agg(sum("cnt").as("df"))
+          .withColumn("rk", row_number().over(
+            org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("tok"))))
         val repIx = rtoks
-          .join(rtoks.groupBy("tok").agg(sum("cnt").as("df")), "tok")
+          .join(dict, "tok")
           .groupBy("rep_id")
           .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
-            .as("stoks"), max("cnt").as("cnt"))
-          .select(col("rep_id"), col("stoks"), size(col("stoks")).as("sz"), col("cnt"))
+            .as("stoks"),
+            sort_array(collect_list(col("rk"))).as("rks"),
+            max("cnt").as("cnt"))
+          .select(col("rep_id"), col("stoks"), col("rks"),
+            size(col("stoks")).as("sz"), col("cnt"))
           .repartition(width, col("rep_id"))
           .persist(lvl)
         try { docRep.count(); repIx.count(); (repIx, docRep) }
@@ -190,7 +205,8 @@ object DedupOps {
     */
   def sortedTokenIndex(docs: DataFrame): DataFrame = {
     val (repIx, docRep) = reps(docs)
-    docRep.join(repIx, "rep_id").select(col("doc_id"), col("stoks"), col("sz"))
+    docRep.join(repIx, "rep_id")
+      .select(col("doc_id"), col("stoks"), col("rks"), col("sz"))
   }
 
   /** Prefix-token projection of the DISTINCT-SET index for PPJoin at
@@ -476,7 +492,7 @@ object DedupOps {
     // evaluated ONCE per candidate — without it the threshold filter is
     // pushed through the projection and the intersect runs again for every
     // surviving row.
-    val ri = repIx.select(col("rep_id").as("doc_id"), col("stoks"), col("sz"))
+    val ri = repIx.select(col("rep_id").as("doc_id"), col("rks"), col("sz"))
     val repPairs = verifyPairs(candidates, ri, ri, threshold)
     expandSelfPairs(repPairs, docRep, "jaccard")
       .unionAll(withinGroupPairs(repIx, docRep, "jaccard"))
@@ -620,7 +636,7 @@ object DedupOps {
       .filter(positionalFilter(threshold))
       .select("id_a", "id_b")
       .distinct()
-    val ri = repIx.select(col("rep_id").as("doc_id"), col("stoks"), col("sz"))
+    val ri = repIx.select(col("rep_id").as("doc_id"), col("rks"), col("sz"))
     val repPairs = verifyPairs(candidates, ri, ri, threshold)
     repPairs
       .join(lm.select(col("rep_id").as("id_a"), col("doc_id").as("da")), "id_a")
@@ -708,13 +724,16 @@ object DedupOps {
       .select("id_a", "id_b")
       .repartition(width, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
     val best = candidates
-      .join(repIx.select(col("rep_id").as("id_a"), col("stoks").as("toks_a"),
+      .join(repIx.select(col("rep_id").as("id_a"), col("rks").as("rks_a"),
         col("sz").as("sz_a")), "id_a")
-      .join(repIx.select(col("rep_id").as("id_b"), col("stoks").as("toks_b")), "id_b")
+      .join(repIx.select(col("rep_id").as("id_b"), col("rks").as("rks_b")), "id_b")
       .join(trainMin.select(col("rep_id").as("id_b"), col("mb")), "id_b")
+      // native sorted-rank merge count — same bijection argument as
+      // [[verifyPairs]]: identical counts, a fraction of the CPU
       .select(col("id_a"), col("sz_a"), col("mb"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"))
+        expr("sorted_intersect_count(rks_a, rks_b)").as("inter"))
       // argmax by (inter, lowest train member id): |A| is constant within
       // the group, so max intersection IS max containment — exact integer
       // ordering, no double enters the tiebreak.
@@ -732,20 +751,26 @@ object DedupOps {
   /** Exact-Jaccard verification of an id-pair candidate list against a
     * sorted-token index (shared by the direct miners and the derive-from-
     * cached-pairs fast path — one code path, bit-identical output).
+    * Intersections count through the native sorted-rank merge
+    * ([[graft.functions.SortedIntersectCount]] over the index's `rks`
+    * arrays): the rank is a bijection on tokens, so the count — and every
+    * emitted jaccard — is identical to intersecting the string arrays,
+    * at a fraction of the CPU (this stage dominates the miner's cost).
     */
   private def verifyPairs(
       candidates: DataFrame,
       li: DataFrame,
       ri: DataFrame,
       threshold: Double
-  ): DataFrame =
+  ): DataFrame = {
+    graft.functions.SortedIntersectCount.register(candidates.sparkSession)
     candidates
-      .join(li.select(col("doc_id").as("id_a"), col("stoks").as("toks_a"),
+      .join(li.select(col("doc_id").as("id_a"), col("rks").as("rks_a"),
         col("sz").as("sz_a")), "id_a")
-      .join(ri.select(col("doc_id").as("id_b"), col("stoks").as("toks_b"),
+      .join(ri.select(col("doc_id").as("id_b"), col("rks").as("rks_b"),
         col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
-        size(array_intersect(col("toks_a"), col("toks_b"))).as("inter"),
+        expr("sorted_intersect_count(rks_a, rks_b)").as("inter"),
         // Optimizer barrier — see [[ngramJaccard]]'s verify stage.
         monotonically_increasing_id().as("_barrier"))
       .filter(col("inter").cast("double") /
@@ -754,6 +779,7 @@ object DedupOps {
         (floor(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")) * 10000 + 0.5) / 10000)
           .as("jaccard"))
+  }
 
   /** 64-bit SimHash per document: for each bit, sign of the token-weighted
     * sum; packed into one BIGINT with bitwise aggregation. Pure expressions

@@ -304,7 +304,16 @@ object GraphOps {
   def pagerankQuantized(
       pairs: DataFrame,
       iterations: Int,
-      checkpointInterval: Int = 5
+      checkpointInterval: Int = 5,
+      // Same regime cut-over philosophy as [[connectedComponents]]: below
+      // this many DIRECTED edges the whole graph fits one task comfortably
+      // (8M (src,dst) longs ≈ 128 MB) and a fixed-iteration loop of
+      // LongMap passes beats paying per-round join+groupBy planning,
+      // shuffle and checkpoint fixed costs (measured ~1s/round of fixed
+      // cost vs <0.1s of actual arithmetic on the bench graph). Integer
+      // quanta make the two regimes BIT-IDENTICAL, so the switch is pure
+      // latency routing — exposed for tests to force either path.
+      smallEdgeThreshold: Long = 8000000L
   ): DataFrame = {
     require(checkpointInterval > 0)
     // localCheckpoint, not persist: a persisted frame still CARRIES its
@@ -320,6 +329,8 @@ object GraphOps {
         struct(col("id_b").as("s"), col("id_a").as("d")))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
       .localCheckpoint(true)
+    if (edges.count() <= smallEdgeThreshold)
+      return pagerankSingleTask(edges, iterations)
     // deg is joined every round — persist, or each round re-aggregates the
     // edge table (and the final unpersist below would invalidate it).
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
@@ -352,6 +363,49 @@ object GraphOps {
     // the frame goes out of scope; only the deg cache needs explicit release.
     deg.unpersist()
     out
+  }
+
+  /** Small-graph PageRank regime: the (already materialized) directed edge
+    * list collapses into ONE task that runs the identical quantized
+    * recurrence as the distributed loop — per round, contribution
+    * `r div deg` (integer long division) per edge, then
+    * `150000 + floor(0.85 · Σ)` per vertex, with `0.85 · Σ` the same single
+    * long→double promotion and IEEE multiply the DataFrame expression
+    * performs. Exact integer state means accumulation order can't change
+    * anything: the two regimes are bit-identical (fenced by
+    * GraphTextOpsSpec's regime-pinning test).
+    */
+  private def pagerankSingleTask(edges: DataFrame, iterations: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .as[(Long, Long)]
+      // repartition — not coalesce — so the single task reads the shuffled
+      // narrow rows, not the (wider) upstream plan serialized into one task
+      .repartition(1)
+      .mapPartitions { it =>
+        val es = it.toArray
+        val deg = new scala.collection.mutable.LongMap[Long]()
+        es.foreach { case (s, _) => deg(s) = deg.getOrElse(s, 0L) + 1L }
+        var ranks = new scala.collection.mutable.LongMap[Long]()
+        deg.keysIterator.foreach(ranks(_) = 1000000L)
+        var i = 0
+        while (i < iterations) {
+          val acc = new scala.collection.mutable.LongMap[Long]()
+          es.foreach { case (s, d) =>
+            ranks.get(s).foreach { r =>
+              acc(d) = acc.getOrElse(d, 0L) + r / deg(s)
+            }
+          }
+          val next = new scala.collection.mutable.LongMap[Long]()
+          acc.foreachEntry((id, sum) =>
+            next(id) = 150000L + math.floor(0.85 * sum).toLong)
+          ranks = next
+          i += 1
+        }
+        ranks.toList.iterator
+      }
+      .toDF("id", "r")
   }
 
   /** Keep-best representative per near-dup cluster: longest text wins,

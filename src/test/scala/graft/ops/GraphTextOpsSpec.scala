@@ -62,6 +62,27 @@ class GraphTextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("single-task and distributed pagerank regimes are bit-identical") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(29)
+    for (iters <- Seq(1, 2, 5)) {
+      val n = 5 + rnd.nextInt(20)
+      val ids = (1L to n.toLong).toVector
+      val pairList = (1 to 3 * n).map { _ =>
+        (ids(rnd.nextInt(n)), ids(rnd.nextInt(n)))
+      }.filter { case (a, b) => a < b }.distinct
+      val pairs = pairList.toDF("id_a", "id_b")
+      val small = GraphOps.pagerankQuantized(pairs, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // smallEdgeThreshold = 0 forces the distributed join-per-round path
+      // on the same graph — exact integer quanta must make them identical
+      val dist = GraphOps.pagerankQuantized(pairs, iters, smallEdgeThreshold = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(small == dist, s"pagerank regime divergence iters=$iters n=$n")
+    }
+  }
+
   test("connectedComponents agrees with a union-find reference on random graphs") {
     val s = spark
     import s.implicits._
