@@ -5,10 +5,10 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Native Catalyst expression: intersection size of two SORTED
-  * `array<int>` token-rank arrays by linear merge — the hot inner loop of
+  * `array<bigint>` token-rank-id arrays by linear merge — the hot inner loop of
   * exact similarity verification (PPJoin verify, containment argmax).
   *
   * `array_intersect` + `size` builds a hash set of one side and a result
@@ -17,7 +17,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * dominated the whole miner (~300 core-seconds at sf0.1). Token sets in
   * the mining index are already sorted by the global rarity rank
   * (see [[graft.ops.DedupOps.reps]]'s `rks` column), so the count is one
-  * allocation-free int-compare merge: ~30× less CPU in the verify stage
+  * allocation-free integer-compare merge: ~30× less CPU in the verify stage
   * and fully inside whole-stage codegen.
   *
   * PRECONDITION: both inputs sorted ascending with distinct elements (the
@@ -31,12 +31,12 @@ case class SortedIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType) = dt match {
-      case ArrayType(IntegerType, _) => true
+      case ArrayType(LongType, _) => true
       case _ => false
     }
     if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"sorted_intersect_count expects two array<int> arguments, got " +
+      s"sorted_intersect_count expects two array<bigint> arguments, got " +
         s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   }
 
@@ -53,8 +53,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var j = 0
     var c = 0
     while (i < na && j < nb) {
-      val x = a.getInt(i)
-      val y = b.getInt(j)
+      val x = a.getLong(i)
+      val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }
       else if (x < y) i += 1
       else j += 1
@@ -76,8 +76,8 @@ case class SortedIntersectCount(left: Expression, right: Expression)
         int $nb = $b.numElements();
         int $i = 0, $j = 0, $c = 0;
         while ($i < $na && $j < $nb) {
-          int $x = $a.getInt($i);
-          int $y = $b.getInt($j);
+          long $x = $a.getLong($i);
+          long $y = $b.getLong($j);
           if ($x == $y) { $c++; $i++; $j++; }
           else if ($x < $y) { $i++; } else { $j++; }
         }

@@ -171,18 +171,25 @@ object DedupOps {
         // enough that the width is what AQE would pick anyway.
         val width =
           docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-        // Global token RANK (dense 1..V over the (df, tok) rarity order):
-        // `rks` carries each set as a SORTED INT array so exact
-        // verification is an allocation-free merge count
+        // Global token RANK ids, order-isomorphic to the (df, tok) rarity
+        // order: `rks` carries each set as a SORTED array of these ids so
+        // exact verification is an allocation-free merge count
         // ([[graft.functions.SortedIntersectCount]]) instead of string
-        // hashing — same bijection, identical intersection sizes. The
-        // rank window runs over the token DICTIONARY (vocabulary-sized,
-        // orders of magnitude below the corpus; at 10^9-doc scale swap
-        // the single-partition window for a zipWithIndex-style two-pass
-        // rank — the order, and therefore every artifact, is unchanged).
+        // hashing — the id map is a bijection, so intersection sizes (and
+        // every emitted jaccard) are identical. Assignment is fully
+        // distributed — range-partition the dictionary by (df, tok), then
+        // `monotonically_increasing_id` (= partition_id·2³³ + offset,
+        // which ORDERS like (df, tok) across range-partitioned data; ids
+        // need not be dense, only order-consistent) — no single-partition
+        // rank window anywhere in the mining plan (PlanShapeSpec fences
+        // this). The eager checkpoint pins the assignment: ids must be a
+        // one-time fact, never recomputed mid-session (on a real cluster
+        // use `checkpoint()` against a reliable dir — same call shape).
         val dict = rtoks.groupBy("tok").agg(sum("cnt").as("df"))
-          .withColumn("rk", row_number().over(
-            org.apache.spark.sql.expressions.Window.orderBy(col("df"), col("tok"))))
+          .repartitionByRange(width, col("df"), col("tok"))
+          .sortWithinPartitions(col("df"), col("tok"))
+          .select(col("tok"), col("df"), monotonically_increasing_id().as("rk"))
+          .localCheckpoint(true)
         val repIx = rtoks
           .join(dict, "tok")
           .groupBy("rep_id")

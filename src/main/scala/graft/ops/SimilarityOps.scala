@@ -208,27 +208,18 @@ object SimilarityOps {
         .map(l2normalize))
     })
     val np = if (nProbe > 0) nProbe else math.max(2, nc / 4)
-    // Cell assignment as ONE per-row expression over the broadcast-literal
-    // codebook: centroids are unit vectors, so ranking cells by raw dot
-    // product IS the cosine ranking (norm(embedding) is constant within a
-    // row). The previous shape — join against a 64-row centroid table +
-    // row_number window — expanded every row 64× THROUGH a full shuffle
-    // carrying the embedding; at 100 TB that is a 64× exchange. This form
-    // never leaves the scan: score nc cells, sort, slice top-r — the only
-    // rows ever emitted are the r (≤3) assignments per vector.
-    val cb = typedLit(trained.map(_.toSeq).toSeq)
-    def topCells(r: Int): Column = {
-      val scoredCells = transform(sequence(lit(0), lit(nc - 1)), c =>
-        struct(
-          (-aggregate(
-            zip_with(col("embedding"), element_at(cb, (c + 1).cast("int")),
-              (x, y) => x.cast("double") * y),
-            lit(0.0), (acc, x) => acc + x)).as("negdot"),
-          c.cast("long").as("cid")))
-      // array_sort on struct: ascending (negdot, cid) = best dot first,
-      // lowest cid on ties — same tiebreak as the window it replaces
-      transform(slice(array_sort(scoredCells), 1, r), s => s.getField("cid"))
-    }
+    // Cell assignment as ONE per-row native expression over the codebook
+    // ([[graft.functions.IvfTopCells]] — codebook rides in the function
+    // registration closure): centroids are unit vectors, so ranking cells
+    // by raw dot product IS the cosine ranking (norm(embedding) is
+    // constant within a row). The previous shape — join against a 64-row
+    // centroid table + row_number window — expanded every row 64× THROUGH
+    // a full shuffle carrying the embedding; at 100 TB that is a 64×
+    // exchange. This form never leaves the scan: the only rows ever
+    // emitted are the r (≤3) assignments per vector.
+    val cellsFn = graft.functions.IvfTopCells.registerUnique(
+      emb.sparkSession, trained.map(_.toSeq).toSeq)
+    def topCells(r: Int): Column = expr(s"$cellsFn(embedding, $r)")
     // multi-assignment (replication): each vector is indexed in its top-r
     // cells, so a neighbor sitting just across a Voronoi boundary is still
     // found — r x index size buys recall without probing more cells
