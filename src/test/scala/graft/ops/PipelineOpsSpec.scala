@@ -111,6 +111,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(scores.sameElements(scores.sorted.reverse))
   }
 
+  test("ivf_top_cells native router matches a driver argmax with lowest-cid ties") {
+    val s = spark
+    import s.implicits._
+    val centroids = Seq(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0),
+      Seq(0.0, 0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0, 0.0)) // dup cell: tie case
+    val vecs = Seq(
+      (0L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 0.7f, 0.0f)), // ties cells 2 and 3 -> lowest cid first
+      (2L, Array(0.2f, 0.5f, 0.4f, 0.0f)))
+    val emb = vecs.toDF("vec_id", "embedding")
+    val fn = graft.functions.IvfTopCells.registerUnique(s, centroids)
+    val got = emb.selectExpr("vec_id", s"$fn(embedding, 2) as cells")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def expected(v: Array[Float]): Seq[Long] =
+      centroids.zipWithIndex
+        .map { case (c, i) => (c.zip(v).map { case (a, b) => a * b.toDouble }.sum, i.toLong) }
+        .sortBy { case (dot, cid) => (-dot, cid) }.take(2).map(_._2)
+    vecs.foreach { case (id, v) =>
+      assert(got(id) == expected(v), s"vec $id routed to ${got(id)}")
+    }
+  }
+
   test("multimodal decode stub: checksum and byte count from real bytes") {
     val bytes = "hello".getBytes("UTF-8")
     val d = MultimodalOps.decodeStub(bytes)
