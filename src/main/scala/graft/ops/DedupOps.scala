@@ -251,12 +251,12 @@ object DedupOps {
     * reordered so id_a < id_b (group min-ids don't order the full groups).
     */
   private def expandSelfPairs(
-      repPairs: DataFrame, docRep: DataFrame, scoreCol: String): DataFrame =
+      repPairs: DataFrame, docRep: DataFrame, carry: Seq[String]): DataFrame =
     repPairs
       .join(docRep.select(col("rep_id").as("id_a"), col("doc_id").as("da")), "id_a")
       .join(docRep.select(col("rep_id").as("id_b"), col("doc_id").as("db")), "id_b")
-      .select(least(col("da"), col("db")).as("id_a"),
-        greatest(col("da"), col("db")).as("id_b"), col(scoreCol))
+      .select(Seq(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b")) ++ carry.map(col): _*)
 
   /** All within-group document pairs (identical token sets, score exactly
     * 1.0 — what exact verification of an identical pair emits). Restricted
@@ -271,6 +271,22 @@ object DedupOps {
       .join(m.select(col("rep_id"), col("doc_id").as("id_b")), "rep_id")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), lit(1.0).as(scoreCol))
+  }
+
+  /** [[withinGroupPairs]] with the exact counts: identical sets intersect
+    * at their full size, so `inter = uni = sz` and the ratio is exactly
+    * 1.0 — which every threshold τ ≤ 1 admits, matching what exact
+    * verification of an identical pair computes.
+    */
+  private def withinGroupPairsCounts(
+      repIx: DataFrame, docRep: DataFrame): DataFrame = {
+    val m = docRep.join(
+      repIx.filter(col("cnt") >= 2).select("rep_id", "sz"), "rep_id")
+    m.select(col("rep_id"), col("sz"), col("doc_id").as("id_a"))
+      .join(m.select(col("rep_id"), col("doc_id").as("id_b")), "rep_id")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sz").as("inter"),
+        col("sz").as("uni"), lit(1.0).as("jaccard"))
   }
 
   /** MinHash-LSH near-duplicate pairs: band the signature (bands ×
@@ -306,7 +322,7 @@ object DedupOps {
         repIx.select(col("rep_id").as("doc_id"), col("stoks").as("toks")), "toks", k)
       .select(col("doc_id").as("rep_id"), col("sig"))
     val repPairs = minhashLshFrom(sig, threshold, bands, rowsPerBand, k)
-    expandSelfPairs(repPairs, docRep, "est_jaccard")
+    expandSelfPairs(repPairs, docRep, Seq("est_jaccard"))
       .unionAll(withinGroupPairs(repIx, docRep, "est_jaccard"))
       .orderBy("id_a", "id_b")
   }
@@ -364,12 +380,20 @@ object DedupOps {
     ngramJaccardCachedUnsorted(docs, threshold).orderBy("id_a", "id_b")
 
   /** The cached pair list itself — unsorted; see [[ngramJaccardCached]]. */
-  def ngramJaccardCachedUnsorted(docs: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccardCachedUnsorted(docs: DataFrame, threshold: Double): DataFrame =
+    cachedPairsWithCounts(docs, threshold).select("id_a", "id_b", "jaccard")
+
+  /** The memoized pair artifact, WITH the exact-count columns `(inter,
+    * uni)` — see [[verifyPairs]]. Derives at tighter thresholds filter
+    * these integers directly, so no boundary band ever re-verifies.
+    */
+  private def cachedPairsWithCounts(
+      docs: DataFrame, threshold: Double): DataFrame = {
     val key = (System.identityHashCode(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), threshold)
     memoize(pairsCache, key) {
       val df = (cachedPairsAtOrBelow(docs, threshold) match {
-        case Some(loose) => deriveAtThreshold(docs, loose, threshold)
+        case Some(loose) => deriveAtThreshold(loose, threshold)
         case None => ngramJaccardUnsorted(docs, threshold)
       }).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try { df.count(); df }
@@ -377,29 +401,22 @@ object DedupOps {
     }(_.unpersist())
   }
 
-  /** Rounding quantum of the emitted `jaccard` column (4 decimals): a
-    * rounded value r satisfies |r − J| ≤ 0.00005, so r ≥ τ + 1e-4 proves
-    * J > τ and r < τ − 1e-4 proves J < τ; only the band between needs
-    * exact re-verification.
+  /** Rounding quantum of the emitted `jaccard` column (4 decimals). The
+    * ROUNDED score alone cannot re-test a pair at a tighter τ (a corpus
+    * can concentrate hundreds of thousands of pairs exactly AT a popular
+    * threshold — J = 18/20 lands every such pair inside the ambiguous
+    * band), which is why the cache carries the exact counts instead.
     */
   private val roundEps = 1e-4
 
-  /** Derive the τ-pair list from a looser-threshold list WITHOUT
-    * re-verifying everything: pairs whose rounded jaccard clears τ by more
-    * than a rounding quantum keep their cached value (bit-identical to
-    * what direct mining would emit — both round the same exact J); only
-    * the ambiguous boundary band goes back to the token index.
+  /** Derive the τ-pair list from a looser-threshold list by re-evaluating
+    * the EXACT predicate on the stored counts: `inter/uni ≥ τ` divides the
+    * same integers the miner's verify stage divides, so the surviving set
+    * — and the rounded `jaccard` each pair carries — is bit-identical to
+    * direct mining at τ, with zero re-verification.
     */
-  private def deriveAtThreshold(
-      docs: DataFrame, loose: DataFrame, threshold: Double): DataFrame = {
-    val definite = loose.filter(col("jaccard") >= threshold + roundEps)
-    val ambiguous = loose.filter(col("jaccard") >= threshold - roundEps &&
-        col("jaccard") < threshold + roundEps)
-      .select(col("id_a"), col("id_b"))
-    val sorted = sortedTokenIndex(docs)
-    definite.select(col("id_a"), col("id_b"), col("jaccard"))
-      .unionAll(verifyPairs(ambiguous, sorted, sorted, threshold))
-  }
+  private def deriveAtThreshold(loose: DataFrame, threshold: Double): DataFrame =
+    loose.filter(col("inter").cast("double") / col("uni") >= threshold)
 
   /** Size-bucket id for the length-compatibility join key: exact integer
     * buckets up to 32 tokens, quarter-octave (≈19%-wide) log buckets above.
@@ -455,7 +472,8 @@ object DedupOps {
     * group members back into document pairs afterward.
     */
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame =
-    ngramJaccardUnsorted(docs, threshold).orderBy("id_a", "id_b")
+    ngramJaccardUnsorted(docs, threshold)
+      .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
 
   private def ngramJaccardUnsorted(docs: DataFrame, threshold: Double): DataFrame = {
     val (repIx, docRep) = reps(docs)
@@ -501,8 +519,8 @@ object DedupOps {
     // surviving row.
     val ri = repIx.select(col("rep_id").as("doc_id"), col("rks"), col("sz"))
     val repPairs = verifyPairs(candidates, ri, ri, threshold)
-    expandSelfPairs(repPairs, docRep, "jaccard")
-      .unionAll(withinGroupPairs(repIx, docRep, "jaccard"))
+    expandSelfPairs(repPairs, docRep, Seq("inter", "uni", "jaccard"))
+      .unionAll(withinGroupPairsCounts(repIx, docRep))
   }
 
   /** A×B (two-corpus) exact Jaccard join: candidates from a prefix-token
@@ -592,19 +610,43 @@ object DedupOps {
     // |pairs|-sized list (6M rows at sf0.1) to remove nothing.
     val la = leftIds.select(col("doc_id").as("id_a")).distinct()
     val rb = rightIds.select(col("doc_id").as("id_b")).distinct()
-    val oriented = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
-      .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("jaccard")))
-      .unionAll(la.join(rb, col("id_a") === col("id_b"), "left_semi")
-        .select(col("id_a"), col("id_a").as("id_b"), lit(1.0).as("jaccard")))
-    val member = oriented.join(la, "id_a").join(rb, "id_b")
-      .filter(col("jaccard") >= threshold - roundEps)
-    val definite = member.filter(col("jaccard") >= threshold + roundEps)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-    val ambiguous = member.filter(col("jaccard") < threshold + roundEps)
-      .select(col("id_a"), col("id_b"))
-    val sorted = sortedTokenIndex(docs)
-    definite.unionAll(verifyPairs(ambiguous, sorted, sorted, threshold))
-      .orderBy("id_a", "id_b")
+    val hasCounts = pairs.columns.contains("inter")
+    if (hasCounts) {
+      // Cached list carries the exact counts (see [[verifyPairs]]):
+      // re-test at τ is the exact integer predicate — no re-verify band.
+      // Identity rows use inter = uni = 1: the ratio is exactly 1.0, which
+      // every τ admits, and the emitted jaccard is the 1.0 the direct
+      // miner computes for an identical pair.
+      val oriented = pairs
+        .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("jaccard"))
+        .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
+          col("inter"), col("uni"), col("jaccard")))
+        .unionAll(la.join(rb, col("id_a") === col("id_b"), "left_semi")
+          .select(col("id_a"), col("id_a").as("id_b"),
+            lit(1).as("inter"), lit(1).as("uni"), lit(1.0).as("jaccard")))
+      oriented.join(la, "id_a").join(rb, "id_b")
+        .filter(col("inter").cast("double") / col("uni") >= threshold)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy("id_a", "id_b")
+    } else {
+      // Score-only pair list (external caller): pairs that clear τ by more
+      // than a rounding quantum keep their value; the boundary band
+      // re-verifies against the token index.
+      val oriented = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
+        .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("jaccard")))
+        .unionAll(la.join(rb, col("id_a") === col("id_b"), "left_semi")
+          .select(col("id_a"), col("id_a").as("id_b"), lit(1.0).as("jaccard")))
+      val member = oriented.join(la, "id_a").join(rb, "id_b")
+        .filter(col("jaccard") >= threshold - roundEps)
+      val definite = member.filter(col("jaccard") >= threshold + roundEps)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+      val ambiguous = member.filter(col("jaccard") < threshold + roundEps)
+        .select(col("id_a"), col("id_b"))
+      val sorted = sortedTokenIndex(docs)
+      definite.unionAll(verifyPairs(ambiguous, sorted, sorted, threshold)
+          .select(col("id_a"), col("id_b"), col("jaccard")))
+        .orderBy("id_a", "id_b")
+    }
   }
 
   /** Direct A×B miner at rep level: prefix-probe both sides' distinct-set
@@ -764,6 +806,15 @@ object DedupOps {
     * emitted jaccard — is identical to intersecting the string arrays,
     * at a fraction of the CPU (this stage dominates the miner's cost).
     */
+  /** Exact verification of candidate pairs against the rank index. Emits
+    * the COUNTS alongside the rounded score — `(id_a, id_b, inter, uni,
+    * jaccard)` with `uni = |A∪B| = sz_a + sz_b − inter` — so any consumer
+    * re-testing the pair at a TIGHTER threshold can evaluate the exact
+    * predicate `inter/uni ≥ τ` on the stored integers (bit-identical to
+    * re-verifying: same operands, same division) instead of re-counting
+    * the intersection. Callers that expose pairs publicly prune to
+    * `(id_a, id_b, jaccard)`.
+    */
   private def verifyPairs(
       candidates: DataFrame,
       li: DataFrame,
@@ -782,7 +833,8 @@ object DedupOps {
         monotonically_increasing_id().as("_barrier"))
       .filter(col("inter").cast("double") /
         (col("sz_a") + col("sz_b") - col("inter")) >= threshold)
-      .select(col("id_a"), col("id_b"),
+      .select(col("id_a"), col("id_b"), col("inter"),
+        (col("sz_a") + col("sz_b") - col("inter")).as("uni"),
         (floor(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")) * 10000 + 0.5) / 10000)
           .as("jaccard"))
