@@ -34,4 +34,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // bench swings); the box has 128 GiB — give the single-JVM driver a
   // deployment-shaped slice of it.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
-)
+) ++
+  // Opt-in GC diagnostics for chasing multi-x per-query swings in long
+  // bench sessions: GRAFT_GC_LOG=/path enables unified GC logging.
+  sys.env.get("GRAFT_GC_LOG").map(f => s"-Xlog:gc*:file=$f:time,uptime").toSeq

@@ -798,20 +798,19 @@ object DedupOps {
   }
 
   /** Exact-Jaccard verification of an id-pair candidate list against a
-    * sorted-token index (shared by the direct miners and the derive-from-
-    * cached-pairs fast path — one code path, bit-identical output).
+    * sorted-token index (shared by the direct miners and the score-only
+    * derive fallback — one code path, bit-identical output).
     * Intersections count through the native sorted-rank merge
     * ([[graft.functions.SortedIntersectCount]] over the index's `rks`
     * arrays): the rank is a bijection on tokens, so the count — and every
     * emitted jaccard — is identical to intersecting the string arrays,
     * at a fraction of the CPU (this stage dominates the miner's cost).
-    */
-  /** Exact verification of candidate pairs against the rank index. Emits
-    * the COUNTS alongside the rounded score — `(id_a, id_b, inter, uni,
-    * jaccard)` with `uni = |A∪B| = sz_a + sz_b − inter` — so any consumer
-    * re-testing the pair at a TIGHTER threshold can evaluate the exact
-    * predicate `inter/uni ≥ τ` on the stored integers (bit-identical to
-    * re-verifying: same operands, same division) instead of re-counting
+    *
+    * Emits the COUNTS alongside the rounded score — `(id_a, id_b, inter,
+    * uni, jaccard)` with `uni = |A∪B| = sz_a + sz_b − inter` — so any
+    * consumer re-testing the pair at a TIGHTER threshold can evaluate the
+    * exact predicate `inter/uni ≥ τ` on the stored integers (bit-identical
+    * to re-verifying: same operands, same division) instead of re-counting
     * the intersection. Callers that expose pairs publicly prune to
     * `(id_a, id_b, jaccard)`.
     */

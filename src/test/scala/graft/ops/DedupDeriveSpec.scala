@@ -72,6 +72,30 @@ class DedupDeriveSpec extends AnyFunSuite {
     assert(results.head._2.count() == raceCorpus.count())
   }
 
+  test("a split derive plans as a pure filter over the cached list") {
+    // τ=0.8 is cached by the earlier tests. The derive must re-test pairs
+    // on the STORED counts — never re-count intersections (no
+    // sorted_intersect_count) and never return to the corpus (no
+    // re-tokenization): a corpus can concentrate most of its pair mass
+    // exactly AT the requested threshold, so any re-verify band can be
+    // arbitrarily large. Walk only the plan ABOVE cached relations — the
+    // mine that BUILT the cache legitimately contains both.
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val plan = DedupOps.ngramJaccardSplit(corpus,
+        col("doc_id") % 2 === 1, col("doc_id") % 2 === 0, threshold = 0.97)
+      .queryExecution.optimizedPlan
+    def aboveCache(p: LogicalPlan): Seq[LogicalPlan] = p match {
+      case _: InMemoryRelation => Seq.empty
+      case other => other +: other.children.flatMap(aboveCache)
+    }
+    val exprs = aboveCache(plan).flatMap(_.expressions).map(_.toString)
+    assert(!exprs.exists(_.contains("sorted_intersect_count")),
+      s"derive must not re-count intersections:\n$plan")
+    assert(!exprs.exists(_.contains("ws_distinct_tokens")),
+      s"derive must not re-tokenize the corpus:\n$plan")
+  }
+
   test("second miner invocation reuses the cached prefix projection") {
     val optimized = DedupOps.ngramJaccard(corpus, threshold = 0.8)
       .queryExecution.optimizedPlan
