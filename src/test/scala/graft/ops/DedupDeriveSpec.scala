@@ -96,6 +96,22 @@ class DedupDeriveSpec extends AnyFunSuite {
       s"derive must not re-tokenize the corpus:\n$plan")
   }
 
+  test("derive at adversarial thresholds equals direct mining") {
+    // τ values at the QUANTIZATION POINTS of small-set jaccards (J = 9/10,
+    // 19/20 — where a synthetic corpus concentrates pair mass exactly AT
+    // the threshold, the case that breaks rounded-score derivation) plus
+    // an awkward repeating fraction. Each must match the direct miner
+    // bit-for-bit through the count-based derive.
+    DedupOps.ngramJaccardCached(corpus, threshold = 0.8) // prime the cache
+    for (tau <- Seq(8.0 / 9, 0.9, 0.95)) {
+      val direct = DedupOps.ngramJaccard(corpus, tau).collect().toSeq
+      val derived = DedupOps.ngramJaccardCached(corpus, tau).collect().toSeq
+      assert(derived == direct,
+        s"tau=$tau: derived ${derived.size} rows != direct ${direct.size}")
+      assert(direct.nonEmpty, s"tau=$tau fixture must produce pairs")
+    }
+  }
+
   test("second miner invocation reuses the cached prefix projection") {
     val optimized = DedupOps.ngramJaccard(corpus, threshold = 0.8)
       .queryExecution.optimizedPlan
