@@ -96,6 +96,24 @@ class DedupDeriveSpec extends AnyFunSuite {
       s"derive must not re-tokenize the corpus:\n$plan")
   }
 
+  test("splitVia over a score-only pair list (external caller) matches direct") {
+    // The public splitVia contract accepts a bare (id_a, id_b, jaccard)
+    // list — e.g. a pair table written by an earlier pipeline run without
+    // the count columns. That path re-verifies the rounding-ambiguous
+    // boundary band against the token index; output must still equal the
+    // direct A×B miner.
+    val odd = col("doc_id") % 2 === 1
+    val even = col("doc_id") % 2 === 0
+    val direct = DedupOps.ngramJaccardSplit(corpus, odd, even, threshold = 0.9)
+      .collect().toSeq
+    val scoreOnly = DedupOps.ngramJaccardCached(corpus, threshold = 0.8) // 3-col public view
+    val via = DedupOps.ngramJaccardSplitVia(corpus, scoreOnly,
+        corpus.filter(odd).select(col("doc_id")),
+        corpus.filter(even).select(col("doc_id")), threshold = 0.9)
+      .collect().toSeq
+    assert(via == direct, "score-only splitVia must equal direct mining")
+  }
+
   test("derive at adversarial thresholds equals direct mining") {
     // τ values at the QUANTIZATION POINTS of small-set jaccards (J = 9/10,
     // 19/20 — where a synthetic corpus concentrates pair mass exactly AT
