@@ -271,7 +271,12 @@ object GraphOps {
       val edges = DedupOps.ngramJaccardCachedUnsorted(docs, threshold)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val verts = docs.select(col("doc_id").as("id"))
-      connectedComponents(verts, edges)
+      // Materialize eagerly: the label table is one row per vertex (tiny —
+      // in the forest regime ccViaForest returns a LAZY plan, so an
+      // unmaterialized cache entry would re-run the mine+CC on every
+      // downstream reuse). The checkpointed RDD is released by the context
+      // cleaner once the cache entry is dropped.
+      connectedComponents(verts, edges).localCheckpoint()
     })
     labels
       .select(col("id").as("doc_id"), col("label").as("component"))
