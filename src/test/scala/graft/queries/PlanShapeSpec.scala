@@ -223,4 +223,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the broadcast LeftSemi vocab prune in:\n$plan")
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("cached cluster labelings are materialized — reuse scans an RDD, not the mine") {
+    // First call mines pairs + runs CC and checkpoints the label table;
+    // any later consumer (dedup_keep_best, repeat cluster calls) must plan
+    // against the materialized RDD. A lazy cache entry silently re-runs
+    // the whole mine per consumer — the regression this fences.
+    planOf("dedup_clusters")
+    val reuse = planOf("dedup_clusters")
+    assert(reuse.contains("Scan ExistingRDD"),
+      s"expected reuse to scan the checkpointed label RDD in:\n$reuse")
+    assert(!reuse.contains("Generate") && !reuse.contains("parquet"),
+      s"cluster-label reuse re-plans the mine (lazy cache entry):\n$reuse")
+  }
 }
