@@ -1,6 +1,16 @@
 #!/usr/bin/env python3
-"""Diff two Bench JSON lines (files containing {"metric":...}): per-query
-delta sorted by regression size. Usage: bench_compare.py OLD NEW [top_n]
+"""Diff two Bench JSON lines (files containing {"metric":...}).
+
+Usage: bench_compare.py OLD NEW [top_n]
+
+Prints (1) per-query delta sorted by regression size and (2) a catalog-
+position view of the excess: this box suffers transient multi-ten-second
+CPU-theft windows, and a stall shows up as a TIGHT RUN OF CONSECUTIVE
+catalog positions all inflated while everything outside sits at baseline
+speed (see BASELINE.md "stall-window evidence"). A genuine code
+regression inflates the same queries in EVERY run regardless of
+position. Check the window view before reading any single inflated
+total as a regression.
 """
 import json, re, sys
 
@@ -23,3 +33,30 @@ for k in keys[:top]:
         print(f"{k:30s} {o:6.2f}s -> GONE")
     else:
         print(f"{k:30s} {o:6.2f}s -> {n:6.2f}s  ({n-o:+.2f})")
+
+# Stall-window view: excess-by-catalog-position (NEW's insertion order is
+# the catalog order the bench ran in). Groups consecutive positions whose
+# excess over OLD exceeds 0.9s; a dominant group = a stall window, not a
+# per-query regression.
+hot = []
+for i, k in enumerate(new["queries"]):
+    d = new["queries"][k] - old["queries"].get(k, 0)
+    if d > 0.9:
+        hot.append((i, k, new["queries"][k], d))
+if hot:
+    print("\ncatalog-position excess windows (>0.9s over OLD):")
+    groups, cur = [], [hot[0]]
+    for h in hot[1:]:
+        if h[0] - cur[-1][0] <= 2:
+            cur.append(h)
+        else:
+            groups.append(cur); cur = [h]
+    groups.append(cur)
+    for g in groups:
+        tot = sum(x[3] for x in g)
+        print(f"  positions {g[0][0]}-{g[-1][0]}: +{tot:.1f}s over {len(g)} queries")
+        for i, k, v, d in g:
+            print(f"    {i:3d} {k:30s} {v:7.2f}s ({d:+.2f})")
+    spread = sum(x[3] for x in hot)
+    print(f"  window excess total: +{spread:.1f}s "
+          f"(of {new['value'] - old['value']:+.1f}s total delta)")
