@@ -112,6 +112,15 @@ object StreamingOps {
     * session default. For the replay workload (tens of keys, one file) 8
     * partitions hold; a production deployment against a firehose sets it
     * to match its executor fleet before the first start.
+    *
+    * State-store BACKEND: the default HDFS-backed provider holds all keyed
+    * state on the executor heap — fine for the replay's key counts, a
+    * dealbreaker at high cardinality. Production deployments set
+    * `spark.sql.streaming.stateStore.providerClass` to
+    * `...state.RocksDBStateStoreProvider` (ships with Spark): state spills
+    * to local disk and only the working set stays in memory. Every
+    * stateful operator here is backend-identical under it —
+    * [[graft.streaming]] RocksDbStateSpec pins that contract.
     */
   def runToTable(result: DataFrame, mode: String): DataFrame = {
     val spark = result.sparkSession
