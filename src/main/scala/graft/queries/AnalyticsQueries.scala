@@ -285,6 +285,55 @@ object AnalyticsQueries {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     ),
     QueryDef(
+      "join_dpp_pruned",
+      // DYNAMIC partition pruning — the scan-reduction mechanism static
+      // pruning can't provide: the fact's surviving partitions are only
+      // known after filtering the DIM side (here: months restricted by a
+      // year+quarter predicate the planner can't fold into month values),
+      // so Catalyst injects the dim's join keys as a runtime
+      // PartitionFilter on the fact scan (reusing the broadcast). At
+      // 100 TB a date-partitioned fact joined to a filtered calendar dim
+      // reads 3 months of files, not 84 — without the query author ever
+      // repeating the filter on the fact side. PlanShapeSpec fences the
+      // dynamicpruning expression in the scan. The month-partitioned
+      // copy of orders stages once per dataset dir (mtime-checked), the
+      // same staging contract as the streaming replay dirs.
+      (s, dir) => {
+        import java.nio.file.{Files, Paths}
+        val src = Paths.get(s"$dir/orders.parquet")
+        val hash = Integer.toHexString(dir.hashCode)
+        val tmp = Paths.get(
+          s"${System.getProperty("java.io.tmpdir")}/graft_dpp_orders_$hash")
+        val marker = tmp.resolve("_STAGED")
+        val stale = !Files.exists(marker) ||
+          Files.getLastModifiedTime(marker)
+            .compareTo(Files.getLastModifiedTime(src)) < 0
+        if (stale) {
+          Files.deleteIfExists(marker)
+          t(s, dir, "orders")
+            .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+            .write.mode("overwrite").partitionBy("o_month").parquet(tmp.toString)
+          Files.createFile(marker)
+        }
+        val fact = s.read.parquet(tmp.toString)
+        val dim = t(s, dir, "orders")
+          .select(date_format(col("o_orderdate"), "yyyy-MM").as("d_month"),
+            year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"))
+          .distinct()
+          .filter(col("y") === 1996 && col("q") === 1)
+        fact.join(broadcast(dim), col("o_month") === col("d_month"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            Tables.moneySum(col("o_totalprice")).as("total"))
+          .orderBy("o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS n,
+               floor((sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
+        FROM orders WHERE year(o_orderdate) = 1996 AND quarter(o_orderdate) = 1
+        GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    ),
+    QueryDef(
       "agg_mode",
       (s, dir) =>
         // Modal value per group with DETERMINISTIC ties: two-level

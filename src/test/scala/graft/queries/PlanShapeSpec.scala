@@ -224,6 +224,12 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("join_dpp_pruned applies a dynamic-pruning PartitionFilter to the fact scan") {
+    val plan = planOf("join_dpp_pruned")
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruningexpression PartitionFilter on the month-partitioned fact in:\n$plan")
+  }
+
   test("cached cluster labelings are materialized — reuse scans an RDD, not the mine") {
     // First call mines pairs + runs CC and checkpoints the label table;
     // any later consumer (dedup_keep_best, repeat cluster calls) must plan
