@@ -62,6 +62,34 @@ object SparkOps {
       df
     }
 
+  /** Parquet load with SINGLE-PASS data-quality metrics: each `(name,
+    * aggExpr)` rides the write's own scan via `Dataset.observe` — at
+    * 100 TB a separate `count()`/profiling aggregate is a full second
+    * read of the table, while observed metrics are computed by the same
+    * tasks that write. On completion every numeric metric lands in the
+    * trace channel as a gauge `<prefix>.<name>` (plus one Tel event
+    * carrying all of them), so `unsafeRunTrace`/OTLP export surface
+    * sink-side row counts and null rates with ZERO extra Spark jobs —
+    * the engine-side realization of the reference's observability focus.
+    */
+  def writeParquetObserved(
+      path: String,
+      prefix: String,
+      metrics: (String, Column)*): Load[DataFrame, DataFrame] =
+    Node { df =>
+      val obs = org.apache.spark.sql.Observation(prefix)
+      val cols = metrics.map { case (n, c) => c.as(n) }
+      val observed = df.observe(obs, cols.head, cols.tail: _*)
+      observed.write.mode("overwrite").parquet(path)
+      val got = obs.get // action already ran — returns without blocking
+      got.foreach {
+        case (k, v: Number) => Tel.setGauge(s"$prefix.$k", v.doubleValue())
+        case _ => () // non-numeric observations ride the event only
+      }
+      Tel.addEvent(prefix, got.toSeq: _*)
+      df
+    }
+
   // ---------------------------------------------------------- transforms
 
   def where(cond: Column): Transform[DataFrame, DataFrame] = Node(_.filter(cond))

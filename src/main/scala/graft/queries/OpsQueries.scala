@@ -123,6 +123,42 @@ object OpsQueries {
         WHERE o_custkey BETWEEN 100 AND 300
           AND o_totalprice BETWEEN 20000 AND 60000
         ORDER BY o_orderkey""")
+    ),
+    QueryDef(
+      "observed_write",
+      // Single-pass sink metrics: the DQ aggregates ride the write's OWN
+      // scan (`Dataset.observe` → writeParquetObserved), land in the trace
+      // channel as gauges, and this query replays those gauge values as a
+      // 1-row frame — so the oracle grades that the observed numbers EQUAL
+      // what a dedicated aggregation pass computes, while the pipeline
+      // paid zero extra jobs for them. Exact arithmetic only (long counts,
+      // quantized money) so observation-vs-oracle is hash-stable.
+      (s, dir) => {
+        val out = tmp("graft_observed_write")
+        val pipeline =
+          Node[Unit, org.apache.spark.sql.DataFrame] { _ =>
+            s.read.parquet(s"$dir/lineitem.parquet")
+              .filter(col("l_quantity") >= 25)
+          } ~> SparkOps.writeParquetObserved(out, "sink_dq",
+            "n_rows" -> count(lit(1)),
+            "n_returns" -> sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)),
+            "qty_q" -> sum(floor(col("l_quantity") * 10000 + 0.5).cast("long")),
+            "revenue" -> Tables.moneySum(
+              col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        val trace = pipeline.unsafeRunTrace(())
+        val g = trace.latestGauges
+        s.range(1).select(
+          lit(g("sink_dq.n_rows").toLong).as("n_rows"),
+          lit(g("sink_dq.n_returns").toLong).as("n_returns"),
+          lit(g("sink_dq.qty_q").toLong).as("qty_q"),
+          lit(g("sink_dq.revenue")).as("revenue"))
+      },
+      Some("""
+        SELECT count(*) AS n_rows,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_returns,
+               CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS qty_q,
+               floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS revenue
+        FROM lineitem WHERE l_quantity >= 25""")
     )
   )
 }

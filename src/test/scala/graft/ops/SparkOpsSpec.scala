@@ -48,6 +48,41 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(tables("nation").count() == 25)
   }
 
+  test("writeParquetObserved: metrics ride the write's single job into the trace") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, 10.0), (2L, 20.0), (3L, -5.0)).toDF("id", "v")
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_obs_spec"
+    // Count Spark jobs across the pipeline: the DQ metrics must NOT cost
+    // a second action — one write job (plus zero metric jobs) is the
+    // whole point of observe() vs a separate aggregate.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    s.sparkContext.addSparkListener(listener)
+    try {
+      val pipeline = Node[Unit, org.apache.spark.sql.DataFrame](_ => df) ~>
+        SparkOps.writeParquetObserved(out, "dq",
+          "n_rows" -> count(lit(1)),
+          "n_neg" -> sum(when(col("v") < 0, 1L).otherwise(0L)))
+      val trace = pipeline.unsafeRunTrace(())
+      // Listener delivery is async; wait for the (blocking) action's job
+      // event to arrive, then a settle window to catch any extra job.
+      val deadline = System.nanoTime() + 2000000000L
+      while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
+      Thread.sleep(200)
+      assert(trace.latestGauges.get("dq.n_rows").contains(3.0))
+      assert(trace.latestGauges.get("dq.n_neg").contains(1.0))
+      assert(jobs.get() == 1,
+        s"observed write must cost exactly the write job, saw ${jobs.get()}")
+      assert(s.read.parquet(out).count() == 3)
+    } finally s.sparkContext.removeSparkListener(listener)
+  }
+
   test("fan-out load: one source, two sinks via & then >>") {
     val env = SparkEnv(spark, dir)
     val tmpA = s"${System.getProperty("java.io.tmpdir")}/graft_fan_a"
