@@ -194,6 +194,33 @@ object StreamingQueries {
                make_timestamp(r.ts_us) AS last_ts, r.value AS last_value
         FROM counts c JOIN ranked r ON c.user_id = r.user_id AND r.rn = 1
         ORDER BY c.user_id""")
+    ),
+    QueryDef(
+      "stream_observed_totals",
+      // Per-micro-batch observed DQ metrics (the streaming twin of
+      // observed_write): `observe` rides each batch's processing and the
+      // engine reports the values per batch in StreamingQueryProgress.
+      // Row count and money quanta are ASSOCIATIVE sums, so the per-batch
+      // ledger recomposes to the exact whole-table aggregate, whatever
+      // the batch boundaries — which is exactly what the oracle computes
+      // in one batch pass. The result exposes the ledger itself
+      // (batch-boundary-dependent columns stay out; n_batches is fixed
+      // by the 3-slice staging) so the oracle also proves the replay was
+      // genuinely multi-batch.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val (ledger, nBatches) = StreamingOps.observedReplayLedger(s, dir)
+        val rows = ledger.map(_._1).sum
+        val vq = ledger.map(_._2).sum
+        s.range(1).select(
+          lit(nBatches).as("n_batches"),
+          lit(rows).as("n_rows"),
+          (floor((lit(vq) + 50) / 100) / 100.0).as("total_value"))
+      },
+      Some("""
+        SELECT 3 AS n_batches, count(*) AS n_rows,
+               floor((sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total_value
+        FROM events""")
     )
   )
 }

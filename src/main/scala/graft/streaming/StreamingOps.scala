@@ -584,6 +584,52 @@ object StreamingOps {
     watch.toString
   }
 
+  /** Per-micro-batch data-quality metrics on a running stream:
+    * `Dataset.observe` rides each batch's own processing (zero extra
+    * jobs — the streaming twin of the batch `writeParquetObserved`), and
+    * the engine reports every batch's observed values in its
+    * `StreamingQueryProgress`. This replays events as `nSlices`
+    * micro-batches, observes (row count, exact money quanta) per batch,
+    * and returns the per-batch ledger plus the recomposed totals —
+    * because both metrics are ASSOCIATIVE sums, the recomposition is
+    * exactly the batch aggregate over the whole table, which is what the
+    * oracle checks. In production this progress stream is the monitoring
+    * feed (rows/sec, per-batch null rates) a 100 TB pipeline alarms on;
+    * metrics that only merge associatively is the design rule that makes
+    * them exact across arbitrary micro-batch boundaries.
+    *
+    * Returns (per-batch rows ledger, batches processed): ledger columns
+    * `(batch_ord, n_rows, v_q)` ordered by batch.
+    */
+  def observedReplayLedger(
+      spark: SparkSession, dir: String, nSlices: Int = 3): (Seq[(Long, Long)], Int) = {
+    val slices = stageSlices(spark, dir, nSlices)
+    val obsName = s"graft_stream_dq_${runId.incrementAndGet()}"
+    val stream = spark.readStream
+      .schema(eventsStagedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(slices)
+      .observe(obsName,
+        count(lit(1)).as("n_rows"),
+        sum(floor(col("value") * 10000 + 0.5).cast("long")).as("v_q"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val ledger = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    try {
+      val q = stream.writeStream
+        .format("noop")
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      q.recentProgress.foreach { p =>
+        val m = p.observedMetrics.get(obsName)
+        if (m != null && m.getAs[Long]("n_rows") > 0) {
+          ledger += ((m.getAs[Long]("n_rows"), m.getAs[Long]("v_q")))
+        }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    (ledger.toSeq, ledger.size)
+  }
+
   /** foreachBatch MERGE-upsert sink: each micro-batch folds its per-user
     * delta into a versioned parquet state table (full-outer join +
     * coalesce — the same lowering as the batch `merge_upsert` query; this
