@@ -71,11 +71,19 @@ object SparkOps {
     * carrying all of them), so `unsafeRunTrace`/OTLP export surface
     * sink-side row counts and null rates with ZERO extra Spark jobs —
     * the engine-side realization of the reference's observability focus.
+    *
+    * Null observations (what `sum`/`min`/`max` return over a ZERO-ROW
+    * write) cannot become gauges — they ride the Tel event only, so
+    * gauge consumers must read with a default rather than assume every
+    * declared metric is present. `count`-family metrics are never null.
     */
   def writeParquetObserved(
       path: String,
       prefix: String,
-      metrics: (String, Column)*): Load[DataFrame, DataFrame] =
+      metrics: (String, Column)*): Load[DataFrame, DataFrame] = {
+    require(metrics.nonEmpty,
+      "writeParquetObserved needs at least one (name, aggExpr) metric — " +
+        "use writeParquet for an unobserved write")
     Node { df =>
       val obs = org.apache.spark.sql.Observation(prefix)
       val cols = metrics.map { case (n, c) => c.as(n) }
@@ -84,11 +92,35 @@ object SparkOps {
       val got = obs.get // action already ran — returns without blocking
       got.foreach {
         case (k, v: Number) => Tel.setGauge(s"$prefix.$k", v.doubleValue())
-        case _ => () // non-numeric observations ride the event only
+        case _ => () // null/non-numeric observations ride the event only
       }
       Tel.addEvent(prefix, got.toSeq: _*)
       df
     }
+  }
+
+  /** Run `write` into `target` once per GENERATION of `src`: a `_STAGED`
+    * marker newer than the source file means the staged artifact is
+    * current; a regenerated source invalidates it. This is the single
+    * mtime-staging contract shared by every staged dir (streaming replay
+    * slices, partitioned-fact copies) — the `write` block owns producing
+    * the content (including clearing any previous layout), the helper
+    * owns the marker protocol. Returns `target` as a string.
+    */
+  def stageOnce(src: java.nio.file.Path, target: java.nio.file.Path)(
+      write: => Unit): String = {
+    import java.nio.file.Files
+    val marker = target.resolve("_STAGED")
+    val stale = !Files.exists(marker) ||
+      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) < 0
+    if (stale) {
+      Files.deleteIfExists(marker)
+      write
+      Files.createDirectories(target)
+      Files.createFile(marker)
+    }
+    target.toString
+  }
 
   // ---------------------------------------------------------- transforms
 

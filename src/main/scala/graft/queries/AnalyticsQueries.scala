@@ -299,23 +299,17 @@ object AnalyticsQueries {
       // copy of orders stages once per dataset dir (mtime-checked), the
       // same staging contract as the streaming replay dirs.
       (s, dir) => {
-        import java.nio.file.{Files, Paths}
-        val src = Paths.get(s"$dir/orders.parquet")
+        import java.nio.file.Paths
         val hash = Integer.toHexString(dir.hashCode)
         val tmp = Paths.get(
           s"${System.getProperty("java.io.tmpdir")}/graft_dpp_orders_$hash")
-        val marker = tmp.resolve("_STAGED")
-        val stale = !Files.exists(marker) ||
-          Files.getLastModifiedTime(marker)
-            .compareTo(Files.getLastModifiedTime(src)) < 0
-        if (stale) {
-          Files.deleteIfExists(marker)
+        val staged = graft.ops.SparkOps.stageOnce(
+          Paths.get(s"$dir/orders.parquet"), tmp) {
           t(s, dir, "orders")
             .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
             .write.mode("overwrite").partitionBy("o_month").parquet(tmp.toString)
-          Files.createFile(marker)
         }
-        val fact = s.read.parquet(tmp.toString)
+        val fact = s.read.parquet(staged)
         val dim = t(s, dir, "orders")
           .select(date_format(col("o_orderdate"), "yyyy-MM").as("d_month"),
             year(col("o_orderdate")).as("y"), quarter(col("o_orderdate")).as("q"))

@@ -209,11 +209,11 @@ object StreamingQueries {
       // genuinely multi-batch.
       (s, dir) => {
         import org.apache.spark.sql.functions._
-        val (ledger, nBatches) = StreamingOps.observedReplayLedger(s, dir)
+        val ledger = StreamingOps.observedReplayLedger(s, dir)
         val rows = ledger.map(_._1).sum
         val vq = ledger.map(_._2).sum
         s.range(1).select(
-          lit(nBatches).as("n_batches"),
+          lit(ledger.size).as("n_batches"),
           lit(rows).as("n_rows"),
           (floor((lit(vq) + 50) / 100) / 100.0).as("total_value"))
       },

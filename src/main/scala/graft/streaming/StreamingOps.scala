@@ -85,20 +85,13 @@ object StreamingOps {
     * the cache instead of silently replaying stale data.
     */
   private def stageDir(spark: SparkSession, dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val src = Paths.get(s"$dir/events.parquet")
+    import java.nio.file.Paths
     val hash = Integer.toHexString(dir.hashCode)
     val target = Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_stream_events_v2_$hash")
-    val marker = target.resolve("_STAGED")
-    val stale = !Files.exists(marker) ||
-      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) < 0
-    if (stale) {
-      Files.deleteIfExists(marker)
+    graft.ops.SparkOps.stageOnce(Paths.get(s"$dir/events.parquet"), target) {
       eventsBatch(spark, dir).write.mode("overwrite").parquet(target.toString)
-      Files.createFile(marker)
     }
-    target.toString
   }
 
   private val runId = new AtomicInteger(0)
@@ -366,11 +359,7 @@ object StreamingOps {
     val hash = Integer.toHexString(dir.hashCode)
     val watch = Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_stream_late_v2_$hash")
-    val src = Paths.get(s"$dir/events.parquet")
-    val marker = watch.resolve("_staged")
-    val stale = !Files.exists(marker) ||
-      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) < 0
-    if (stale) {
+    graft.ops.SparkOps.stageOnce(Paths.get(s"$dir/events.parquet"), watch) {
       if (Files.exists(watch)) {
         Files.walk(watch).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }
@@ -393,9 +382,7 @@ object StreamingOps {
       writeWave(nonClick.filter(unix_micros(col("ts")) < maxUs), "0_ontime", t0)
       writeWave(nonClick.filter(unix_micros(col("ts")) === maxUs), "1_trickle", t0 + 60000)
       writeWave(ev.filter(col("event_type") === "click"), "2_late", t0 + 120000)
-      Files.write(marker, Array.emptyByteArray)
     }
-    watch.toString
   }
 
   /** Stateful streaming dedup on event_id (watermark-scoped state), then a
@@ -435,22 +422,15 @@ object StreamingOps {
     * replay (one staged file = one micro-batch). Written once per (dir, n).
     */
   private def stageSlices(spark: SparkSession, dir: String, n: Int): String = {
-    import java.nio.file.{Files, Paths}
+    import java.nio.file.Paths
     val hash = Integer.toHexString(dir.hashCode)
     val target = Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_stream_slices_v2_${hash}_$n")
-    val marker = target.resolve("_STAGED")
-    val src = Paths.get(s"$dir/events.parquet")
-    val stale = !Files.exists(marker) ||
-      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) < 0
-    if (stale) {
-      Files.deleteIfExists(marker)
+    graft.ops.SparkOps.stageOnce(Paths.get(s"$dir/events.parquet"), target) {
       eventsBatch(spark, dir)
         .repartitionByRange(n, col("ts"))
         .write.mode("overwrite").parquet(target.toString)
-      Files.createFile(marker)
     }
-    target.toString
   }
 
   /** Session windows as CUSTOM STATE with event-time TIMEOUTS: the same
@@ -543,11 +523,7 @@ object StreamingOps {
     val hash = Integer.toHexString(dir.hashCode)
     val watch = Paths.get(
       System.getProperty("java.io.tmpdir"), s"graft_stream_sess_v2_$hash")
-    val src = Paths.get(s"$dir/events.parquet")
-    val marker = watch.resolve("_staged")
-    val stale = !Files.exists(marker) ||
-      Files.getLastModifiedTime(marker).compareTo(Files.getLastModifiedTime(src)) < 0
-    if (stale) {
+    graft.ops.SparkOps.stageOnce(Paths.get(s"$dir/events.parquet"), watch) {
       if (Files.exists(watch)) {
         Files.walk(watch).iterator().asScala.toSeq.reverse.foreach(Files.delete)
       }
@@ -579,9 +555,7 @@ object StreamingOps {
       writeWave(ev.filter(col("ts_us") <= medianUs), "0_early", t0)
       writeWave(ev.filter(col("ts_us") > medianUs), "1_late", t0 + 60000)
       writeWave(adv.withColumn("ts_us", unix_micros(col("ts"))), "2_advance", t0 + 120000)
-      Files.write(marker, Array.emptyByteArray)
     }
-    watch.toString
   }
 
   /** Per-micro-batch data-quality metrics on a running stream:
@@ -598,11 +572,11 @@ object StreamingOps {
     * metrics that only merge associatively is the design rule that makes
     * them exact across arbitrary micro-batch boundaries.
     *
-    * Returns (per-batch rows ledger, batches processed): ledger columns
-    * `(batch_ord, n_rows, v_q)` ordered by batch.
+    * Returns the per-batch ledger in batch order, one `(n_rows, v_q)`
+    * entry per non-empty micro-batch.
     */
   def observedReplayLedger(
-      spark: SparkSession, dir: String, nSlices: Int = 3): (Seq[(Long, Long)], Int) = {
+      spark: SparkSession, dir: String, nSlices: Int = 3): Seq[(Long, Long)] = {
     val slices = stageSlices(spark, dir, nSlices)
     val obsName = s"graft_stream_dq_${runId.incrementAndGet()}"
     val stream = spark.readStream
@@ -627,7 +601,7 @@ object StreamingOps {
         }
       }
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
-    (ledger.toSeq, ledger.size)
+    ledger.toSeq
   }
 
   /** foreachBatch MERGE-upsert sink: each micro-batch folds its per-user

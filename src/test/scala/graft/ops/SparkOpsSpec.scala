@@ -55,15 +55,23 @@ class SparkOpsSpec extends AnyFunSuite {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_obs_spec"
     // Count Spark jobs across the pipeline: the DQ metrics must NOT cost
     // a second action — one write job (plus zero metric jobs) is the
-    // whole point of observe() vs a separate aggregate.
+    // whole point of observe() vs a separate aggregate. Jobs are counted
+    // by a unique job group so queued events from other suites on the
+    // shared context can never leak into the count.
+    val group = s"graft-obs-spec-${System.nanoTime()}"
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-        jobs.incrementAndGet(); ()
+        if (js.properties != null &&
+            group == js.properties.getProperty("spark.jobGroup.id")) {
+          jobs.incrementAndGet()
+        }
+        ()
       }
     }
     s.sparkContext.addSparkListener(listener)
+    s.sparkContext.setJobGroup(group, "observed-write spec")
     try {
       val pipeline = Node[Unit, org.apache.spark.sql.DataFrame](_ => df) ~>
         SparkOps.writeParquetObserved(out, "dq",
@@ -72,15 +80,19 @@ class SparkOpsSpec extends AnyFunSuite {
       val trace = pipeline.unsafeRunTrace(())
       // Listener delivery is async; wait for the (blocking) action's job
       // event to arrive, then a settle window to catch any extra job.
-      val deadline = System.nanoTime() + 2000000000L
+      val deadline = System.nanoTime() + 30000000000L
       while (jobs.get() < 1 && System.nanoTime() < deadline) Thread.sleep(20)
       Thread.sleep(200)
       assert(trace.latestGauges.get("dq.n_rows").contains(3.0))
       assert(trace.latestGauges.get("dq.n_neg").contains(1.0))
       assert(jobs.get() == 1,
         s"observed write must cost exactly the write job, saw ${jobs.get()}")
+      s.sparkContext.clearJobGroup()
       assert(s.read.parquet(out).count() == 3)
-    } finally s.sparkContext.removeSparkListener(listener)
+    } finally {
+      s.sparkContext.clearJobGroup()
+      s.sparkContext.removeSparkListener(listener)
+    }
   }
 
   test("fan-out load: one source, two sinks via & then >>") {

@@ -39,8 +39,13 @@ for k in keys[:top]:
 # excess over OLD exceeds 0.9s; a dominant group = a stall window, not a
 # per-query regression.
 hot = []
+added = [k for k in new["queries"] if k not in old["queries"]]
+if added:
+    print(f"\nqueries only in NEW (excluded from window view): {', '.join(added)}")
 for i, k in enumerate(new["queries"]):
-    d = new["queries"][k] - old["queries"].get(k, 0)
+    if k not in old["queries"]:
+        continue  # catalog growth, not a stall
+    d = new["queries"][k] - old["queries"][k]
     if d > 0.9:
         hot.append((i, k, new["queries"][k], d))
 if hot:
