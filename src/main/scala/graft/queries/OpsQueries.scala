@@ -125,6 +125,47 @@ object OpsQueries {
         ORDER BY o_orderkey""")
     ),
     QueryDef(
+      "compact_small_files",
+      // Small-file compaction — the operational fix for fragmented
+      // landing zones (a 100 TB table accreting thousands of
+      // kilobyte-files per ingest hour turns every scan into a listing +
+      // open-cost storm). A 64-way fragmented copy of events stages once
+      // (mtime contract); the compaction pass rewrites it as FOUR
+      // time-range-clustered files — repartitionByRange(ts) both bounds
+      // the file count and gives each file a tight ts min/max footer, so
+      // time predicates skip whole files after compaction (the 1-D
+      // cousin of zorder_layout's 2-D clustering). A byte-targeted
+      // production job swaps the explicit 4 for AQE's advisory partition
+      // size; the plan shape is identical. The oracle proves the rewrite
+      // is lossless (per-type counts + exact money) and that exactly 4
+      // files came out (`input_file_name` distinct).
+      (s, dir) => {
+        import java.nio.file.Paths
+        val frag = graft.ops.SparkOps.stageOnce(
+          Paths.get(s"$dir/events.parquet"),
+          Paths.get(tmp(s"graft_frag_events_${Integer.toHexString(dir.hashCode)}"))) {
+          Tables.events(s, dir).repartition(64)
+            .write.mode("overwrite")
+            .parquet(tmp(s"graft_frag_events_${Integer.toHexString(dir.hashCode)}"))
+        }
+        val compacted = tmp("graft_compacted_events")
+        s.read.parquet(frag)
+          .repartitionByRange(4, col("ts"))
+          .write.mode("overwrite").parquet(compacted)
+        val com = s.read.parquet(compacted)
+        com.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), Tables.moneySum(col("value")).as("total"))
+          .crossJoin(broadcast(com.select(input_file_name().as("f"))
+            .agg(countDistinct(col("f")).cast("int").as("n_files"))))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               floor((sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total,
+               4 AS n_files
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+    QueryDef(
       "observed_write",
       // Single-pass sink metrics: the DQ aggregates ride the write's OWN
       // scan (`Dataset.observe` → writeParquetObserved), land in the trace
