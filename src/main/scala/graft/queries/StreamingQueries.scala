@@ -196,6 +196,19 @@ object StreamingQueries {
         ORDER BY c.user_id""")
     ),
     QueryDef(
+      "stream_checkpoint_restart",
+      // Restart-resume from a checkpoint: drain 2 slices, stop, let a 3rd
+      // arrive while down, restart from the SAME checkpoint — committed
+      // batches are skipped, only the unseen slice processes. Broken
+      // resume would double the first two slices in the append sink; the
+      // whole-table oracle catches it.
+      (s, dir) => StreamingOps.checkpointRestartCounts(s, dir),
+      Some("""
+        SELECT event_type, count(*) AS n,
+               floor((sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    ),
+    QueryDef(
       "stream_observed_totals",
       // Per-micro-batch observed DQ metrics (the streaming twin of
       // observed_write): `observe` rides each batch's processing and the

@@ -558,6 +558,69 @@ object StreamingOps {
     }
   }
 
+  /** Checkpointed RESTART-RESUME: the durability contract every
+    * production stream stands on. A file stream drains two arriving
+    * slices into an append sink under a checkpointLocation and STOPS;
+    * the third slice lands while the job is down; a new query started
+    * from the SAME checkpoint resumes from the committed offsets and
+    * processes only the unseen slice. If restart semantics were broken
+    * (offsets lost → reprocessing), the first two slices' rows would
+    * appear twice in the sink and the batch oracle over the full table
+    * would catch the doubling. foreachBatch + append-parquet makes the
+    * committed-batch skip OBSERVABLE; a mid-batch crash would need the
+    * transactional/idempotent sink shape instead (see
+    * [[foreachBatchUpsert]]'s versioned writes) — clean stop/start is
+    * the property under test here.
+    *
+    * Returns the sink's per-type rollup (exactly the whole-table batch
+    * aggregate when resume works).
+    */
+  def checkpointRestartCounts(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val slices = stageSlices(spark, dir, 3)
+    // Unique across JVMs, not just within one: the per-session runId
+    // restarts at 1 in every JVM, and a leftover sink from a previous
+    // process would silently union into this run's append sink.
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_ckpt_restart_${java.util.UUID.randomUUID().toString.take(12)}")
+    val watch = base.resolve("watch")
+    val ckpt = base.resolve("ckpt")
+    val sink = base.resolve("sink")
+    Files.createDirectories(watch)
+    val parts = Files.list(Paths.get(slices)).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .toSeq.sortBy(_.getFileName.toString)
+    require(parts.size == 3, s"expected 3 staged slices, found ${parts.size}")
+    def arrive(p: java.nio.file.Path): Unit =
+      Files.copy(p, watch.resolve(p.getFileName),
+        StandardCopyOption.REPLACE_EXISTING)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema(eventsStagedSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watch.toString)
+        .select(col("event_type"), col("value"))
+        .writeStream
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(sink.toString)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    arrive(parts(0)); arrive(parts(1))
+    drain() // run 1: slices 0-1 commit to the checkpoint
+    arrive(parts(2))
+    drain() // run 2, same checkpoint: resumes past the committed batches
+    spark.read.parquet(sink.toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        (floor((sum(floor(col("value") * 10000 + 0.5).cast("long")) + 50) / 100) / 100.0)
+          .as("total"))
+      .orderBy("event_type")
+  }
+
   /** Per-micro-batch data-quality metrics on a running stream:
     * `Dataset.observe` rides each batch's own processing (zero extra
     * jobs — the streaming twin of the batch `writeParquetObserved`), and
