@@ -95,6 +95,35 @@ class SparkOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("stageOnce: writes once per source generation, restages on source mtime bump") {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val base = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft_stageonce_spec_${System.nanoTime()}")
+    Files.createDirectories(base)
+    val src = base.resolve("src.parquet")
+    Files.write(src, Array[Byte](1, 2, 3))
+    val target = base.resolve("staged")
+    var writes = 0
+    def stage(): String = SparkOps.stageOnce(src, target) {
+      Files.createDirectories(target); writes += 1; ()
+    }
+    stage(); stage()
+    assert(writes == 1, "second call with an unchanged source must not rewrite")
+    // A regenerated source (newer mtime than the marker) must restage —
+    // this is the contract that makes a testdata regeneration invalidate
+    // every staged replay/layout dir instead of silently replaying stale
+    // data. Bump just past the marker (a future-dated source would keep
+    // restaging forever — correctly, but that's not this assertion).
+    val marker = target.resolve("_STAGED")
+    Files.setLastModifiedTime(src,
+      FileTime.fromMillis(Files.getLastModifiedTime(marker).toMillis + 1))
+    stage()
+    assert(writes == 2, "a newer source generation must restage")
+    stage()
+    assert(writes == 2, "restaged marker is current again")
+  }
+
   test("fan-out load: one source, two sinks via & then >>") {
     val env = SparkEnv(spark, dir)
     val tmpA = s"${System.getProperty("java.io.tmpdir")}/graft_fan_a"
