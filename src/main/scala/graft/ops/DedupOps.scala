@@ -828,10 +828,19 @@ object DedupOps {
         col("sz").as("sz_b")), "id_b")
       .select(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"),
         expr("sorted_intersect_count(rks_a, rks_b)").as("inter"),
-        // Optimizer barrier — see [[ngramJaccard]]'s verify stage.
+        // Optimizer barrier: the merge count must run ONCE per candidate,
+        // in THIS projection. A free-standing nondeterministic column is
+        // not enough — column pruning deletes it as unused, the project
+        // turns all-deterministic, and predicate pushdown then inlines
+        // the count into the join condition AND leaves a second eval in
+        // the output projection (observed: 2-3 evals/pair). The filter
+        // below references the barrier in an always-false disjunct
+        // (monotonically_increasing_id is never negative), so pruning
+        // must keep it and the nondeterministic predicate cannot move.
         monotonically_increasing_id().as("_barrier"))
       .filter(col("inter").cast("double") /
-        (col("sz_a") + col("sz_b") - col("inter")) >= threshold)
+        (col("sz_a") + col("sz_b") - col("inter")) >= threshold ||
+        col("_barrier") < -1)
       .select(col("id_a"), col("id_b"), col("inter"),
         (col("sz_a") + col("sz_b") - col("inter")).as("uni"),
         (floor(col("inter").cast("double") /

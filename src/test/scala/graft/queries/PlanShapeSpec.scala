@@ -230,6 +230,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected a dynamicpruningexpression PartitionFilter on the month-partitioned fact in:\n$plan")
   }
 
+  test("miner verify evaluates the merge count once — never inside a join condition") {
+    // The threshold predicate must run over the PROJECTED `inter` column;
+    // if predicate pushdown inlines it into the join, the native merge
+    // count evaluates 2-3x per candidate pair (the verify stage is the
+    // miner's dominant CPU). The filter's barrier disjunct exists to stop
+    // exactly that — this fences it.
+    val plan = planOf("dedup_ngram_jaccard")
+    val offending = plan.split("\n").filter(l =>
+      l.contains("Join") && l.contains("sorted_intersect_count"))
+    assert(offending.isEmpty,
+      s"merge count pushed into a join condition:\n${offending.mkString("\n")}")
+  }
+
   test("cached cluster labelings are materialized — reuse scans an RDD, not the mine") {
     // First call mines pairs + runs CC and checkpoints the label table;
     // any later consumer (dedup_keep_best, repeat cluster calls) must plan
