@@ -511,12 +511,12 @@ object DedupOps {
       .repartition(width, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // Optimizer-barrier note (applies inside verifyPairs): the
-    // nondeterministic `_barrier` column blocks CollapseProject +
-    // PushPredicateThroughProject, so the O(|A|+|B|) intersection is
-    // evaluated ONCE per candidate — without it the threshold filter is
-    // pushed through the projection and the intersect runs again for every
-    // surviving row.
+    // Optimizer-barrier note (applies inside verifyPairs): the filter
+    // there references its nondeterministic `_barrier` column, which
+    // blocks CollapseProject + predicate pushdown, so the O(|A|+|B|)
+    // intersection is evaluated ONCE per candidate — an unreferenced
+    // barrier gets column-pruned away and the count re-runs 2-3x per
+    // pair (PlanShapeSpec fences this).
     val ri = repIx.select(col("rep_id").as("doc_id"), col("rks"), col("sz"))
     val repPairs = verifyPairs(candidates, ri, ri, threshold)
     expandSelfPairs(repPairs, docRep, Seq("inter", "uni", "jaccard"))
