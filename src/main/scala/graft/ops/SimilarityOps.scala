@@ -414,19 +414,34 @@ object SimilarityOps {
     }
   }
 
-  /** The HoF composition [[graft.functions.PqEncode]] replaced — kept as
-    * the parity oracle for PqEncodeSpec (codes over `embedding`).
+  /** The normalization step of the HoF parity oracle, split out so the
+    * spec can MATERIALIZE it once per row (localCheckpoint) before the
+    * m·ksub·dsub `element_at` probes in [[pqCodesHof]]. Inlined, the norm
+    * fold (an O(d) `aggregate`) re-evaluates inside every probe of the
+    * interpreted HoF tree — O(m·ksub·dsub·d²) per row, ~10 CPU-minutes
+    * for 500 rows at d=384 — because HoF lambdas never reach codegen and
+    * interpreted eval has no common-subexpression reuse. Same arithmetic
+    * as before the split: float→double cast, left-fold sum of squares,
+    * `greatest(·, MinPositiveValue)` zero-norm guard, per-element divide.
     */
-  private[graft] def pqCodesHof(codebooks: Seq[Seq[Seq[Double]]]): Column = {
-    val (m, ksub, dsub) = (codebooks.length, codebooks.head.length,
-      codebooks.head.head.length)
-    val cb = typedLit(codebooks)
+  private[graft] def pqNormalizedHof: Column = {
     val v = transform(col("embedding"), x => x.cast("double"))
     // branch-free zero-norm guard, same convention as PqEncode.nullSafeEval
     val n = greatest(
       sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)),
       lit(Double.MinPositiveValue))
-    val nemb = transform(v, x => x / n)
+    transform(v, x => x / n)
+  }
+
+  /** The HoF composition [[graft.functions.PqEncode]] replaced — kept as
+    * the parity oracle for PqEncodeSpec. Takes the pre-materialized
+    * [[pqNormalizedHof]] column (an attribute, so each probe is an O(1)
+    * array index rather than a re-evaluated normalization subtree).
+    */
+  private[graft] def pqCodesHof(codebooks: Seq[Seq[Seq[Double]]], nemb: Column): Column = {
+    val (m, ksub, dsub) = (codebooks.length, codebooks.head.length,
+      codebooks.head.head.length)
+    val cb = typedLit(codebooks)
     def subDist(s: Column, c: Column): Column =
       aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {
         val diff = element_at(nemb, (s * dsub + i + 1).cast("int")) -
