@@ -754,6 +754,7 @@ object DedupOps {
     // bytes and coalesces it to one partition, and the 100×-input join
     // explosion plus the distinct's partial aggregate then run in a
     // single task (measured 4.9s of a 6.5s query in that one stage).
+    //
     // Candidate dedup through an EXPLICIT exchange on the pair key: the
     // aggregate reuses it (same clustering), and — because an explicit
     // numPartitions is exempt from AQE coalescing — the deduped stream
@@ -762,6 +763,10 @@ object DedupOps {
     // index broadcasts, the entire downstream verify (an array-intersect
     // per candidate — 100× the bytes the estimator sees) runs map-side
     // in that single task (measured 5.6s of a 7s query in one stage).
+    // Skipping the dedup instead (the argmax is duplicate-idempotent)
+    // was A/B-measured SLOWER: the ~2× duplicated stream pays more in
+    // the verify joins and the argmax's partial aggregate than the
+    // pair-key exchange costs.
     val width =
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val candidates = pb.join(broadcast(pa), "tok")
@@ -774,9 +779,15 @@ object DedupOps {
       .repartition(width, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    // Eval-side rep index slice: |benchmark suite|-bounded at any corpus
+    // scale, so explicitly broadcast (same argument as `pa`). The train
+    // side (id_b) joins stay planner-chosen: broadcast while the rep
+    // index fits, co-partitioned shuffle joins beyond that.
+    val evalIx = repIx.join(evalM.select("rep_id").distinct(), "rep_id")
+      .select(col("rep_id").as("id_a"), col("rks").as("rks_a"),
+        col("sz").as("sz_a"))
     val best = candidates
-      .join(repIx.select(col("rep_id").as("id_a"), col("rks").as("rks_a"),
-        col("sz").as("sz_a")), "id_a")
+      .join(broadcast(evalIx), "id_a")
       .join(repIx.select(col("rep_id").as("id_b"), col("rks").as("rks_b")), "id_b")
       .join(trainMin.select(col("rep_id").as("id_b"), col("mb")), "id_b")
       // native sorted-rank merge count — same bijection argument as
@@ -785,9 +796,16 @@ object DedupOps {
         expr("sorted_intersect_count(rks_a, rks_b)").as("inter"))
       // argmax by (inter, lowest train member id): |A| is constant within
       // the group, so max intersection IS max containment — exact integer
-      // ordering, no double enters the tiebreak.
+      // ordering, no double enters the tiebreak. max_by rather than
+      // max(struct): struct-max is not hash-aggregable (declarative max
+      // over an orderable-but-not-mutable buffer type plans a
+      // SortAggregate, which sorts the whole verified stream), while
+      // max_by is TypedImperative and plans an ObjectHashAggregate —
+      // partial argmax map-side, no sort. Ties in the ordering struct
+      // imply an identical value struct, so the pick is deterministic.
       .groupBy(col("id_a"), col("sz_a"))
-      .agg(max(struct(col("inter"), (-col("mb")).as("nb"))).as("best"))
+      .agg(max_by(struct(col("inter"), (-col("mb")).as("nb")),
+        struct(col("inter"), -col("mb"))).as("best"))
       .filter(col("best.inter").cast("double") / col("sz_a") >= threshold)
     best
       .join(evalM.select(col("rep_id").as("id_a"), col("doc_id").as("eval_doc")), "id_a")
