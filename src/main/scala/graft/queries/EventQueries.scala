@@ -335,8 +335,14 @@ object EventQueries {
             col("valid_from") <= col("l_shipdate"))
           .groupBy(col("l_orderkey"), col("o_custkey"), col("l_shipdate"),
             col("rev_q"), col("mult"))
-          .agg(max(struct(col("valid_from"), col("version"), col("eff_priority")))
-            .getField("eff_priority").as("effective_priority"))
+          // max_by rather than max(struct).getField: struct-max plans a
+          // SortAggregate (orderable but no mutable buffer — sorts the
+          // whole fact×versions stream within partitions), max_by plans
+          // an ObjectHashAggregate with map-side partials. The
+          // (valid_from, version) ordering prefix is unique per customer,
+          // so the picked eff_priority is identical and total.
+          .agg(max_by(col("eff_priority"),
+            struct(col("valid_from"), col("version"))).as("effective_priority"))
           .groupBy(col("effective_priority"))
           .agg(sum(col("mult")).as("n_lines"),
             (floor((sum(col("rev_q") * col("mult")) + 50) / 100) / 100.0).as("revenue"))
