@@ -129,6 +129,7 @@ object DedupOps {
     drop(pairsCache)(_._1)(_.unpersist())
     GraphOps.clearLabelCache(sid)
     SimilarityOps.clearCentroidCache(sid)
+    TextOps.clearMergeCache(sid)
   }
 
   private def corpusKey(docs: DataFrame): (Int, Int) =

@@ -424,6 +424,62 @@ object TextOps {
   def bpeTrainMerges(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val rules = bpeMerges(docs, k)
+    rules.toDF("step", "sym_a", "sym_b", "pair_count").orderBy("step")
+  }
+
+  /** Session-scoped cache of trained merge lists keyed by (session,
+    * corpus-plan semantic hash, k) — the merge table is a driver-side
+    * tokenizer artifact of O(k) rows, so caching it is free and lets the
+    * encode query reuse the training query's work (same contract as
+    * DedupOps.pairsCache; nothing distributed to unpersist).
+    */
+  private val mergeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Seq[(Int, String, String, Long)]]
+
+  /** Drop this session's cached merge tables (driver-side values only). */
+  private[ops] def clearMergeCache(sessionId: Int): Unit = {
+    val it = mergeCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 == sessionId) it.remove()
+  }
+
+  /** The trained merge rules as a driver-side list (cached per corpus). */
+  def bpeMerges(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+    val key = (System.identityHashCode(docs.sparkSession),
+      docs.queryExecution.logical.semanticHash(), k)
+    mergeCache.computeIfAbsent(key, _ => trainMergesUncached(docs, k))
+  }
+
+  /** BPE ENCODE: apply the first `k` trained merge rules to every word of
+    * every document and return per-document token statistics — the
+    * "what does the tokenizer cost on this corpus" operator (tokens per
+    * doc, chars per token) that sizes a training run. The merge table
+    * crosses the driver once (it is the tokenizer artifact, O(k) rows)
+    * and is inlined into the encode expression as literals, so encoding
+    * is embarrassingly parallel map-side work — the only exchange is the
+    * final per-document aggregation, which is map-side combinable. Merge
+    * application is the exact two-pass `regexp_replace` convention the
+    * trainer uses (see [[bpeTrainMerges]]), so a word encodes to the same
+    * symbol split the trainer's final vocabulary carries.
+    */
+  def bpeEncodeCounts(docs: DataFrame, k: Int): DataFrame = {
+    val merges = bpeMerges(docs, k)
+    val spaced = concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
+    val encoded = merges.foldLeft(spaced) { case (c, (_, a, b, _)) =>
+      val (pat, rep) = (s" $a $b ", s" $a$b ")
+      regexp_replace(regexp_replace(c, pat, rep), pat, rep)
+    }
+    docs
+      .select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
+      .select(col("doc_id"), size(split(trim(encoded), " ")).as("nt"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nt")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  private def trainMergesUncached(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
     // localCheckpoint (eager), not persist: a persisted vocab still
     // carries the growing merge lineage, and every step's two actions
     // re-analyze/re-optimize it — per-step plans stay leaf-rooted this
@@ -455,6 +511,6 @@ object TextOps {
           regexp_replace(regexp_replace(col("ws"), pat, rep), pat, rep))
         .localCheckpoint(true)
     }
-    merges.result().toDF("step", "sym_a", "sym_b", "pair_count").orderBy("step")
+    merges.result()
   }
 }

@@ -582,6 +582,71 @@ object TextQueries {
           UNION ALL SELECT 5, a, b, CAST(cnt AS BIGINT) FROM m5
           UNION ALL SELECT 6, a, b, CAST(cnt AS BIGINT) FROM m6)
         ORDER BY step""")
+    ),
+    QueryDef(
+      "bpe_encode",
+      // BPE ENCODE — the apply side of the tokenizer: size every document
+      // in learned-merge tokens (n_words, n_tokens per doc), the
+      // "tokenizer cost on this corpus" statistic that sizes a training
+      // run. The merge table is the O(k) driver-side artifact from
+      // bpe_train_merges (cached per corpus and session, so in catalog
+      // order this query reuses the training query's work); it is inlined
+      // into the encode expression as literals, making the encode pure
+      // map-side work — the only exchange is the map-side-combinable
+      // per-document aggregate. The oracle re-derives the identical merge
+      // table (same chained CTEs as bpe_train_merges' oracle, proven
+      // engine-equal there) and replays the same two-pass replace per
+      // word.
+      (s, dir) => TextOps.bpeEncodeCounts(
+        s.read.parquet(s"$dir/documents.parquet"), k = 6),
+      Some(bpeEncodeOracle(6))
     )
   )
+
+  /** The shared merge-training CTE chain of the two BPE oracles:
+    * words/w0, then (p_i, m_i) per step with the vocabulary rewrite w_i
+    * between steps — textually identical to bpe_train_merges' inline
+    * oracle, generated here because the encode oracle needs the chain PLUS
+    * a per-document encode chain on top.
+    */
+  private def bpeApplyMergeSql(col: String, m: String): String =
+    s"""regexp_replace(regexp_replace($col,
+                   ' ' || (SELECT a FROM $m) || ' ' || (SELECT b FROM $m) || ' ',
+                   ' ' || (SELECT a FROM $m) || (SELECT b FROM $m) || ' ', 'g'),
+                   ' ' || (SELECT a FROM $m) || ' ' || (SELECT b FROM $m) || ' ',
+                   ' ' || (SELECT a FROM $m) || (SELECT b FROM $m) || ' ', 'g')"""
+
+  private def bpeMergeCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= raw"""words AS MATERIALIZED (
+          SELECT w AS word, count(*) AS n
+          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
+          GROUP BY w),
+        w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS ws, n FROM words)"""
+    for (i <- 1 to k) {
+      sb ++= s""",
+        p$i AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt
+          FROM (SELECT n, unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
+                FROM (SELECT n, string_split(trim(ws), ' ') AS l FROM w${i - 1}))
+          GROUP BY 1, 2),
+        m$i AS MATERIALIZED (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a, b LIMIT 1)"""
+      if (i < k) sb ++= s""",
+        w$i AS MATERIALIZED (SELECT ${bpeApplyMergeSql("ws", s"m$i")} AS ws, n FROM w${i - 1})"""
+    }
+    sb.toString
+  }
+
+  private def bpeEncodeOracle(k: Int): String = {
+    val enc = (1 to k).map(i => s""",
+        e$i AS (SELECT doc_id, ${bpeApplyMergeSql("ws", s"m$i")} AS ws FROM e${i - 1})""").mkString
+    raw"""
+        WITH ${bpeMergeCtes(k)},
+        docw AS MATERIALIZED (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+          FROM documents),
+        e0 AS (SELECT doc_id, ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS ws FROM docw)$enc
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(string_split(trim(ws), ' '))) AS BIGINT) AS n_tokens
+        FROM e$k GROUP BY doc_id ORDER BY doc_id"""
+  }
 }
