@@ -51,6 +51,8 @@ object GraftExtensions {
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue())),
     "cosine_sim" -> ((exprs: Seq[Expression]) =>
-      CosineSimilarity(exprs.head, exprs(1)))
+      CosineSimilarity(exprs.head, exprs(1))),
+    "sorted_intersect_count" -> ((exprs: Seq[Expression]) =>
+      SortedIntersectCount(exprs.head, exprs(1)))
   )
 }

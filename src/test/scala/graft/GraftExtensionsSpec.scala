@@ -49,6 +49,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         """SELECT srp_bands(CAST(array(0.5, -0.25) AS ARRAY<FLOAT>), 4, 8) AS b""")
         .head.getSeq[Long](0)
       assert(bands.length == 4)
+      val inter = s.sql(
+        "SELECT sorted_intersect_count(array(1L, 3L, 5L), array(3L, 4L, 5L)) AS n")
+        .head.getInt(0)
+      assert(inter == 2)
     }
   }
 
