@@ -798,12 +798,15 @@ object DedupOps {
       // argmax by (inter, lowest train member id): |A| is constant within
       // the group, so max intersection IS max containment — exact integer
       // ordering, no double enters the tiebreak. max_by rather than
-      // max(struct): struct-max is not hash-aggregable (declarative max
-      // over an orderable-but-not-mutable buffer type plans a
-      // SortAggregate, which sorts the whole verified stream), while
-      // max_by is TypedImperative and plans an ObjectHashAggregate —
-      // partial argmax map-side, no sort. Ties in the ordering struct
-      // imply an identical value struct, so the pick is deterministic.
+      // max(struct): BOTH are declarative aggregates that plan a partial
+      // SortAggregate here (struct-typed buffers are not
+      // hash-aggregable in this Spark version — see the recorded plan in
+      // PLANS.md), but max_by A/B-measured ~15-20% faster at sf0.1 over
+      // alternating runs — its update compares the ordering struct
+      // without also threading the comparison through the value side the
+      // way struct-max's GreaterThan-on-the-whole-buffer does. Ties in
+      // the ordering struct imply an identical value struct, so the pick
+      // is deterministic.
       .groupBy(col("id_a"), col("sz_a"))
       .agg(max_by(struct(col("inter"), (-col("mb")).as("nb")),
         struct(col("inter"), -col("mb"))).as("best"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID,
@@ -415,11 +415,17 @@ object TextOps {
     * construction and the merge application is a plain two-pass
     * `regexp_replace` of ` a b ` → ` ab ` over the space-separated symbol
     * encoding (pass 2 catches occurrences whose leading space was
-    * consumed by the preceding match — with it the result equals greedy
-    * leftmost merging; both passes are left-to-right non-overlapping in
-    * Spark and the DuckDB oracle alike). The evolving vocab is persisted
-    * per iteration and the previous one released, so the plan stays
-    * bounded at any k.
+    * consumed by the preceding match). THE TWO-PASS REPLACE IS THE
+    * CONVENTION: it equals greedy leftmost merging except inside runs of
+    * ≥5 repetitions of a self-merged symbol, where the split (and from 6
+    * repetitions, the token count) can differ — both passes are
+    * left-to-right non-overlapping and the semantics are identical in
+    * Spark and the DuckDB oracle, and BpePropertySpec's driver reference
+    * implements this exact convention in collection code. The evolving
+    * vocab is persisted per iteration and the previous one released, so
+    * the plan stays bounded at any k. Training stops early when no
+    * adjacent pair remains (every vocab word fully merged), returning
+    * fewer than `k` rules.
     */
   def bpeTrainMerges(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -428,11 +434,34 @@ object TextOps {
     rules.toDF("step", "sym_a", "sym_b", "pair_count").orderBy("step")
   }
 
+  /** The spaced symbol encoding of `wordCol`: each character becomes a
+    * space-delimited symbol with a leading boundary space (`"ab"` →
+    * `" a b "`). ONE definition shared by train and encode — the
+    * encode-equals-trainer's-vocab guarantee depends on these being
+    * bit-identical expressions.
+    */
+  private def bpeSpaced(wordCol: Column): Column =
+    concat(lit(" "), regexp_replace(wordCol, "(.)", "$1 "))
+
+  /** One merge rule applied to a spaced symbol string — the two-pass
+    * non-overlapping replace convention (see [[bpeTrainMerges]]). Shared
+    * by train and encode for the same reason as [[bpeSpaced]].
+    */
+  private def bpeApplyMerge(c: Column, a: String, b: String): Column = {
+    val (pat, rep) = (s" $a $b ", s" $a$b ")
+    regexp_replace(regexp_replace(c, pat, rep), pat, rep)
+  }
+
   /** Session-scoped cache of trained merge lists keyed by (session,
     * corpus-plan semantic hash, k) — the merge table is a driver-side
     * tokenizer artifact of O(k) rows, so caching it is free and lets the
     * encode query reuse the training query's work (same contract as
-    * DedupOps.pairsCache; nothing distributed to unpersist).
+    * DedupOps.pairsCache; nothing distributed to unpersist). Same
+    * compute-outside-the-lock discipline as DedupOps.memoize: the value
+    * is trained WITHOUT holding the map's bin lock (a multi-second,
+    * multi-job computation inside computeIfAbsent would serialize every
+    * unrelated key that hashes to the same bin); the worst case is a
+    * duplicate training whose loser is discarded.
     */
   private val mergeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Seq[(Int, String, String, Long)]]
@@ -443,31 +472,40 @@ object TextOps {
     while (it.hasNext) if (it.next().getKey._1 == sessionId) it.remove()
   }
 
-  /** The trained merge rules as a driver-side list (cached per corpus). */
+  /** The trained merge rules as a driver-side list (cached per corpus;
+    * may be SHORTER than `k` if the corpus exhausts — see
+    * [[bpeTrainMerges]]).
+    */
   def bpeMerges(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
     val key = (System.identityHashCode(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), k)
-    mergeCache.computeIfAbsent(key, _ => trainMergesUncached(docs, k))
+    val cached = mergeCache.get(key)
+    if (cached != null) cached
+    else {
+      val built = trainMergesUncached(docs, k)
+      val prior = mergeCache.putIfAbsent(key, built)
+      if (prior != null) prior else built
+    }
   }
 
-  /** BPE ENCODE: apply the first `k` trained merge rules to every word of
-    * every document and return per-document token statistics — the
-    * "what does the tokenizer cost on this corpus" operator (tokens per
-    * doc, chars per token) that sizes a training run. The merge table
-    * crosses the driver once (it is the tokenizer artifact, O(k) rows)
-    * and is inlined into the encode expression as literals, so encoding
-    * is embarrassingly parallel map-side work — the only exchange is the
-    * final per-document aggregation, which is map-side combinable. Merge
-    * application is the exact two-pass `regexp_replace` convention the
-    * trainer uses (see [[bpeTrainMerges]]), so a word encodes to the same
-    * symbol split the trainer's final vocabulary carries.
+  /** BPE ENCODE: apply the trained merge rules to every word of every
+    * document and return per-document token statistics — the "what does
+    * the tokenizer cost on this corpus" operator (tokens per doc, chars
+    * per token) that sizes a training run. The merge table crosses the
+    * driver once (it is the tokenizer artifact, O(k) rows) and is inlined
+    * into the encode expression as literals, so encoding is embarrassingly
+    * parallel map-side work; the per-document aggregate is map-side
+    * combinable, leaving one data-sized exchange for the aggregation plus
+    * the small range exchange of the final `orderBy` over the
+    * one-row-per-document result. Merge application is the exact two-pass
+    * convention the trainer uses ([[bpeApplyMerge]] — literally the same
+    * expression builder), so a word encodes to the same symbol split the
+    * trainer's final vocabulary carries.
     */
   def bpeEncodeCounts(docs: DataFrame, k: Int): DataFrame = {
     val merges = bpeMerges(docs, k)
-    val spaced = concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 "))
-    val encoded = merges.foldLeft(spaced) { case (c, (_, a, b, _)) =>
-      val (pat, rep) = (s" $a $b ", s" $a$b ")
-      regexp_replace(regexp_replace(c, pat, rep), pat, rep)
+    val encoded = merges.foldLeft(bpeSpaced(col("word"))) {
+      case (c, (_, a, b, _)) => bpeApplyMerge(c, a, b)
     }
     docs
       .select(col("doc_id"),
@@ -488,11 +526,11 @@ object TextOps {
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-      .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("ws"),
-        col("n"))
+      .select(bpeSpaced(col("word")).as("ws"), col("n"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
-    for (step <- 1 to k) {
+    var exhausted = false
+    for (step <- 1 to k if !exhausted) {
       val top = vocab
         .select(col("n"), split(trim(col("ws")), " ").as("l"))
         .filter(size(col("l")) >= 2)
@@ -502,14 +540,18 @@ object TextOps {
         .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
         .agg(sum(col("n")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1).collect()(0)
-      val (a, b, cnt) = (top.getString(0), top.getString(1), top.getLong(2))
-      merges += ((step, a, b, cnt))
-      val (pat, rep) = (s" $a $b ", s" $a$b ")
-      vocab = vocab
-        .withColumn("ws",
-          regexp_replace(regexp_replace(col("ws"), pat, rep), pat, rep))
-        .localCheckpoint(true)
+        .limit(1).collect()
+      if (top.isEmpty) {
+        // every vocab word is a single symbol — the reference algorithm
+        // stops early rather than failing; callers get < k rules
+        exhausted = true
+      } else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((step, a, b, cnt))
+        vocab = vocab
+          .withColumn("ws", bpeApplyMerge(col("ws"), a, b))
+          .localCheckpoint(true)
+      }
     }
     merges.result()
   }

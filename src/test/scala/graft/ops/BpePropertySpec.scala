@@ -3,10 +3,20 @@ package graft.ops
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Distributed BPE must equal a straightforward driver-side reference
-  * (greedy leftmost merging, count-desc/lexicographic rule selection) on
+/** Distributed BPE must equal a straightforward driver-side reference on
   * random corpora — including merge rules that produce multi-character
   * symbols and adjacent self-pairs.
+  *
+  * The reference implements the SAME documented merge-application
+  * convention as the product (TextOps.bpeApplyMerge): a two-pass
+  * left-to-right non-overlapping replace over the spaced symbol encoding,
+  * where a match consumes its trailing space, so the immediately
+  * following pair position cannot start a match in the same pass (pass 2
+  * catches those). This equals greedy leftmost merging except inside runs
+  * of ≥5 repetitions of a self-merged symbol — [[twoPassMerge]] simulates
+  * the regex semantics in collection code, and a dedicated test pins the
+  * run-of-5/6 behavior so the convention is load-bearing, not
+  * accidental.
   */
 class BpePropertySpec extends AnyFunSuite {
 
@@ -17,7 +27,30 @@ class BpePropertySpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  /** Reference BPE: vocab of (word, count), k merge rounds. */
+  /** One regex pass of ` a b ` → ` ab ` simulated on the symbol list: a
+    * merge at position i consumes the space before position i+2, so a
+    * pair STARTING at i+2 cannot match in this pass.
+    */
+  private def onePass(syms: Seq[String], a: String, b: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    var blockedStart = -1
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b
+          && i != blockedStart) {
+        out += a + b; blockedStart = i + 2; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toSeq
+  }
+
+  /** The product's two-pass merge convention on a symbol list. */
+  private def twoPassMerge(syms: Seq[String], a: String, b: String): Seq[String] =
+    onePass(onePass(syms, a, b), a, b)
+
+  /** Reference BPE: vocab of (word, count), up to k merge rounds (stops
+    * early when no adjacent pair remains), two-pass merge application.
+    */
   private def referenceBpe(
       words: Map[String, Long], k: Int): Seq[(Int, String, String, Long)] = {
     var vocab: Map[Seq[String], Long] =
@@ -37,14 +70,7 @@ class BpePropertySpec extends AnyFunSuite {
       else {
         val ((a, b), cnt) = pc.minBy { case ((x, y), c) => (-c, x, y) }
         vocab = vocab.toSeq.groupMapReduce[Seq[String], Long] { case (syms, _) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-              out += a + b; i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          out.toSeq
+          twoPassMerge(syms, a, b)
         } { case (_, n) => n }(_ + _)
         Some((step, a, b, cnt))
       }
@@ -73,27 +99,34 @@ class BpePropertySpec extends AnyFunSuite {
     }
   }
 
-  /** Reference encode: apply the learned rules in rank order, each by
-    * greedy leftmost merging — the convention [[referenceBpe]] trains
-    * under — and return the token count of the word's final split.
-    */
-  private def referenceEncode(
-      merges: Seq[(Int, String, String, Long)])(w: String): Int = {
-    var syms: Seq[String] = w.map(_.toString)
-    merges.foreach { case (_, a, b, _) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[String]
-      var i = 0
-      while (i < syms.length) {
-        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-          out += a + b; i += 2
-        } else { out += syms(i); i += 1 }
-      }
-      syms = out.toSeq
-    }
-    syms.length
+  test("two-pass convention on symbol runs: splits pinned at run 4/5/6") {
+    // run of 4: == greedy leftmost
+    assert(twoPassMerge(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))
+    // run of 5: same token count as leftmost, different split
+    assert(twoPassMerge(Seq("a", "a", "a", "a", "a"), "a", "a")
+      === Seq("aa", "a", "aa"))
+    // run of 6: diverges from leftmost (which gives aa,aa,aa)
+    assert(twoPassMerge(Seq("a", "a", "a", "a", "a", "a"), "a", "a")
+      === Seq("aa", "a", "aa", "a"))
+    // and the Spark expression agrees on the same inputs
+    import spark.implicits._
+    val docs = Seq((1L, "aaaa"), (2L, "aaaaa"), (3L, "aaaaaa"))
+      .toDF("doc_id", "text")
+    val got = TextOps.bpeEncodeCounts(docs, 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 2L, 2L -> 3L, 3L -> 4L))
   }
 
-  test("bpeEncodeCounts == reference leftmost encode per document (3 seeds)") {
+  /** Reference encode: apply the learned rules in rank order with the
+    * same two-pass convention and return the word's final token count.
+    */
+  private def referenceEncode(
+      merges: Seq[(Int, String, String, Long)])(w: String): Int =
+    merges.foldLeft(w.map(_.toString): Seq[String]) {
+      case (syms, (_, a, b, _)) => twoPassMerge(syms, a, b)
+    }.length
+
+  test("bpeEncodeCounts == reference two-pass encode per document (3 seeds)") {
     import spark.implicits._
     val alphabet = "abc"
     for (seed <- Seq(11, 42, 77)) {
@@ -126,5 +159,18 @@ class BpePropertySpec extends AnyFunSuite {
     // words: abc, de, f, g, hi7 → 5 words, 3+2+1+1+3 = 10 chars
     val r = TextOps.bpeEncodeCounts(docs, 0).collect()(0)
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 5L, 10L)))
+  }
+
+  test("pair-exhausted corpus: training stops early instead of failing") {
+    import spark.implicits._
+    // every word is a single character → zero adjacent pairs from step 1
+    val docs = Seq((1L, "a b c a")).toDF("doc_id", "text")
+    assert(TextOps.bpeTrainMerges(docs, 3).collect().isEmpty)
+    val enc = TextOps.bpeEncodeCounts(docs, 3).collect()(0)
+    assert((enc.getLong(0), enc.getLong(1), enc.getLong(2)) === ((1L, 4L, 4L)))
+    // partially exhausting: one merge possible, then no pairs remain
+    val docs2 = Seq((1L, "ab ab c")).toDF("doc_id", "text")
+    val m = TextOps.bpeTrainMerges(docs2, 5).collect()
+    assert(m.length == 1 && m(0).getString(1) == "a" && m(0).getString(2) == "b")
   }
 }
