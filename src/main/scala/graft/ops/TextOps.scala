@@ -477,6 +477,7 @@ object TextOps {
     * [[bpeTrainMerges]]).
     */
   def bpeMerges(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+    if (k <= 0) return Nil // no rules to train — skip the corpus aggregate
     val key = (System.identityHashCode(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), k)
     val cached = mergeCache.get(key)

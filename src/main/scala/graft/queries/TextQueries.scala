@@ -513,75 +513,7 @@ object TextQueries {
       // the identical greedy algorithm as 6 chained materialized CTEs.
       (s, dir) => TextOps.bpeTrainMerges(
         s.read.parquet(s"$dir/documents.parquet"), k = 6),
-      Some("""
-        WITH words AS MATERIALIZED (
-          SELECT w AS word, count(*) AS n
-          FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents)
-          GROUP BY w),
-        w0 AS MATERIALIZED (SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS ws, n FROM words),
-        p1 AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt
-          FROM (SELECT n, unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
-                FROM (SELECT n, string_split(trim(ws), ' ') AS l FROM w0))
-          GROUP BY 1, 2),
-        m1 AS MATERIALIZED (SELECT a, b, cnt FROM p1 ORDER BY cnt DESC, a, b LIMIT 1),
-        w1 AS MATERIALIZED (SELECT regexp_replace(regexp_replace(ws,
-                   ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
-                   ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ', 'g'),
-                   ' ' || (SELECT a FROM m1) || ' ' || (SELECT b FROM m1) || ' ',
-                   ' ' || (SELECT a FROM m1) || (SELECT b FROM m1) || ' ', 'g') AS ws, n FROM w0),
-        p2 AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt
-          FROM (SELECT n, unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
-                FROM (SELECT n, string_split(trim(ws), ' ') AS l FROM w1))
-          GROUP BY 1, 2),
-        m2 AS MATERIALIZED (SELECT a, b, cnt FROM p2 ORDER BY cnt DESC, a, b LIMIT 1),
-        w2 AS MATERIALIZED (SELECT regexp_replace(regexp_replace(ws,
-                   ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
-                   ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' ', 'g'),
-                   ' ' || (SELECT a FROM m2) || ' ' || (SELECT b FROM m2) || ' ',
-                   ' ' || (SELECT a FROM m2) || (SELECT b FROM m2) || ' ', 'g') AS ws, n FROM w1),
-        p3 AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt
-          FROM (SELECT n, unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
-                FROM (SELECT n, string_split(trim(ws), ' ') AS l FROM w2))
-          GROUP BY 1, 2),
-        m3 AS MATERIALIZED (SELECT a, b, cnt FROM p3 ORDER BY cnt DESC, a, b LIMIT 1),
-        w3 AS MATERIALIZED (SELECT regexp_replace(regexp_replace(ws,
-                   ' ' || (SELECT a FROM m3) || ' ' || (SELECT b FROM m3) || ' ',
-                   ' ' || (SELECT a FROM m3) || (SELECT b FROM m3) || ' ', 'g'),
-                   ' ' || (SELECT a FROM m3) || ' ' || (SELECT b FROM m3) || ' ',
-                   ' ' || (SELECT a FROM m3) || (SELECT b FROM m3) || ' ', 'g') AS ws, n FROM w2),
-        p4 AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt
-          FROM (SELECT n, unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
-                FROM (SELECT n, string_split(trim(ws), ' ') AS l FROM w3))
-          GROUP BY 1, 2),
-        m4 AS MATERIALIZED (SELECT a, b, cnt FROM p4 ORDER BY cnt DESC, a, b LIMIT 1),
-        w4 AS MATERIALIZED (SELECT regexp_replace(regexp_replace(ws,
-                   ' ' || (SELECT a FROM m4) || ' ' || (SELECT b FROM m4) || ' ',
-                   ' ' || (SELECT a FROM m4) || (SELECT b FROM m4) || ' ', 'g'),
-                   ' ' || (SELECT a FROM m4) || ' ' || (SELECT b FROM m4) || ' ',
-                   ' ' || (SELECT a FROM m4) || (SELECT b FROM m4) || ' ', 'g') AS ws, n FROM w3),
-        p5 AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt
-          FROM (SELECT n, unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
-                FROM (SELECT n, string_split(trim(ws), ' ') AS l FROM w4))
-          GROUP BY 1, 2),
-        m5 AS MATERIALIZED (SELECT a, b, cnt FROM p5 ORDER BY cnt DESC, a, b LIMIT 1),
-        w5 AS MATERIALIZED (SELECT regexp_replace(regexp_replace(ws,
-                   ' ' || (SELECT a FROM m5) || ' ' || (SELECT b FROM m5) || ' ',
-                   ' ' || (SELECT a FROM m5) || (SELECT b FROM m5) || ' ', 'g'),
-                   ' ' || (SELECT a FROM m5) || ' ' || (SELECT b FROM m5) || ' ',
-                   ' ' || (SELECT a FROM m5) || (SELECT b FROM m5) || ' ', 'g') AS ws, n FROM w4),
-        p6 AS MATERIALIZED (SELECT pr[1] AS a, pr[2] AS b, sum(n) AS cnt
-          FROM (SELECT n, unnest(list_transform(range(1, len(l)), j -> [l[j], l[j+1]])) AS pr
-                FROM (SELECT n, string_split(trim(ws), ' ') AS l FROM w5))
-          GROUP BY 1, 2),
-        m6 AS MATERIALIZED (SELECT a, b, cnt FROM p6 ORDER BY cnt DESC, a, b LIMIT 1)
-        SELECT * FROM (
-          SELECT 1 AS step, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS pair_count FROM m1
-          UNION ALL SELECT 2, a, b, CAST(cnt AS BIGINT) FROM m2
-          UNION ALL SELECT 3, a, b, CAST(cnt AS BIGINT) FROM m3
-          UNION ALL SELECT 4, a, b, CAST(cnt AS BIGINT) FROM m4
-          UNION ALL SELECT 5, a, b, CAST(cnt AS BIGINT) FROM m5
-          UNION ALL SELECT 6, a, b, CAST(cnt AS BIGINT) FROM m6)
-        ORDER BY step""")
+      Some(bpeTrainOracle(6))
     ),
     QueryDef(
       "bpe_encode",
@@ -609,12 +541,19 @@ object TextQueries {
     * oracle, generated here because the encode oracle needs the chain PLUS
     * a per-document encode chain on top.
     */
+  /** One merge rule applied in SQL — guarded for MERGE EXHAUSTION: when
+    * the corpus runs out of adjacent pairs before step i, `m_i` is empty
+    * and its scalar subqueries are NULL, which would NULL-propagate
+    * through regexp_replace and blank the whole chain; the CASE makes an
+    * exhausted step the identity, matching the engine's early stop.
+    */
   private def bpeApplyMergeSql(col: String, m: String): String =
-    s"""regexp_replace(regexp_replace($col,
+    s"""CASE WHEN (SELECT a FROM $m) IS NULL THEN $col
+                 ELSE regexp_replace(regexp_replace($col,
                    ' ' || (SELECT a FROM $m) || ' ' || (SELECT b FROM $m) || ' ',
                    ' ' || (SELECT a FROM $m) || (SELECT b FROM $m) || ' ', 'g'),
                    ' ' || (SELECT a FROM $m) || ' ' || (SELECT b FROM $m) || ' ',
-                   ' ' || (SELECT a FROM $m) || (SELECT b FROM $m) || ' ', 'g')"""
+                   ' ' || (SELECT a FROM $m) || (SELECT b FROM $m) || ' ', 'g') END"""
 
   private def bpeMergeCtes(k: Int): String = {
     val sb = new StringBuilder
@@ -648,5 +587,23 @@ object TextQueries {
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
                CAST(sum(len(string_split(trim(ws), ' '))) AS BIGINT) AS n_tokens
         FROM e$k GROUP BY doc_id ORDER BY doc_id"""
+  }
+
+  /** The training oracle, generated from the SAME merge-CTE chain the
+    * encode oracle uses (one definition, no drift). An exhausted step's
+    * empty `m_i` contributes zero UNION ALL rows — matching the engine's
+    * early stop.
+    */
+  private def bpeTrainOracle(k: Int): String = {
+    val rows = (1 to k).map { i =>
+      if (i == 1)
+        "SELECT 1 AS step, a AS sym_a, b AS sym_b, CAST(cnt AS BIGINT) AS pair_count FROM m1"
+      else s"UNION ALL SELECT $i, a, b, CAST(cnt AS BIGINT) FROM m$i"
+    }.mkString("\n          ")
+    raw"""
+        WITH ${bpeMergeCtes(k)}
+        SELECT * FROM (
+          $rows)
+        ORDER BY step"""
   }
 }
