@@ -603,6 +603,78 @@ object EventQueries {
         SELECT day, event_type, min(open) AS open, min(close) AS close,
                max(value) AS high, min(value) AS low, count(*) AS n
         FROM b GROUP BY day, event_type ORDER BY day, event_type""")
+    ),
+    QueryDef(
+      "join_interval_overlap",
+      // TWO-SIDED interval-overlap join — the operator family join_range
+      // (|a−b| ≤ w point-banding) does not cover: cross-user pairs of
+      // CONCURRENT SESSIONS (a.lo < b.hi AND b.lo < a.hi), counted per
+      // day of overlap start. Intervals are the 30-min-gap sessions of
+      // sessionize_batch (same derivation, one user_id shuffle shared by
+      // both window passes); a per-(user, day) min/max interval would
+      // degenerate on this corpus — every user spans every day, making
+      // the measure all-pairs (17M rows at sf0.1), where session
+      // intervals are short and yield 151k genuine concurrency pairs.
+      // Scale shape: each interval EXPLODES to the hour buckets it spans
+      // (sessions are short — fan-out is 1-2 buckets), candidates come
+      // from an equi-join on the bucket — LOSSLESS, because two
+      // overlapping intervals both contain the hour bucket of
+      // max(lo_a, lo_b) — and the exact overlap predicate plus a
+      // session-pair distinct remove band duplicates. No cartesian, no
+      // broadcast nested loop; at any corpus size the join shuffles on
+      // (bucket) only. The session-pair identity key is
+      // (u_a, lo_a, u_b, lo_b): a user's sessions are time-disjoint and
+      // nonempty, so session start is unique within a user.
+      (s, dir) => {
+        val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+        val iv = Tables.events(s, dir)
+          .select(col("user_id"), col("ts"))
+          .withColumn("new_session",
+            when(col("ts") < lag(col("ts"), 1).over(byUser) + expr("INTERVAL 30 MINUTES"), 0)
+              .otherwise(1))
+          .withColumn("sid", sum(col("new_session"))
+            .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("user_id"), col("sid"))
+          .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+        def bucketed(side: String) = iv.select(
+          col("user_id").as(s"u_$side"),
+          col("lo").as(s"lo_$side"), col("hi").as(s"hi_$side"),
+          explode(sequence(
+            floor(unix_timestamp(col("lo")) / 3600).cast("long"),
+            floor(unix_timestamp(col("hi")) / 3600).cast("long"))).as(s"bkt_$side"))
+        bucketed("a").join(bucketed("b"),
+            col("bkt_a") === col("bkt_b") && col("u_a") < col("u_b") &&
+              col("lo_a") < col("hi_b") && col("lo_b") < col("hi_a"))
+          .select(to_date(greatest(col("lo_a"), col("lo_b"))).as("day"),
+            col("u_a"), col("lo_a"), col("u_b"), col("lo_b"))
+          .distinct()
+          .groupBy("day").agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("n_pairs").desc, col("day"))
+          .limit(20)
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked),
+        iv AS (
+          SELECT user_id, min(ts) AS lo, max(ts) AS hi
+          FROM sessions GROUP BY user_id, sid),
+        p AS (
+          SELECT CAST(greatest(a.lo, b.lo) AS DATE) AS day
+          FROM iv a JOIN iv b
+            ON a.user_id < b.user_id AND a.lo < b.hi AND b.lo < a.hi)
+        SELECT day, count(*) AS n_pairs FROM p GROUP BY day
+        ORDER BY n_pairs DESC, day LIMIT 20""")
     )
   )
 }

@@ -224,6 +224,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("join_interval_overlap joins on the hour bucket — no cartesian, no nested loop") {
+    val plan = planOf("join_interval_overlap")
+    assert(!plan.contains("CartesianProduct"),
+      s"interval overlap fell back to a cartesian product:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap fell back to a nested loop:\n$plan")
+    assert(plan.contains("bkt_"),
+      s"expected the hour-bucket equi-join keys in:\n$plan")
+  }
+
   test("join_dpp_pruned applies a dynamic-pruning PartitionFilter to the fact scan") {
     val plan = planOf("join_dpp_pruned")
     assert(plan.toLowerCase.contains("dynamicpruning"),
