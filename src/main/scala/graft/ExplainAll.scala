@@ -39,7 +39,8 @@ object ExplainAll {
     "zorder_layout" -> "Rectangle predicate over the Morton-clustered layout: both filters pushed to the parquet scan of the curve-ordered files.",
     "similarity_pq_topk" -> "ADC scan: per-row code lookups against the broadcast distance table, TakeOrdered candidates, exact re-rank.",
     "join_dpp_pruned" -> "Dynamic partition pruning: the month-partitioned fact scan carries a dynamicpruning PartitionFilter fed by the filtered dim's broadcast — surviving partitions known only at runtime.",
-    "bpe_encode" -> "Tokenizer apply: merge rules inlined as literals, encode is pure map-side work inside WholeStageCodegen; one data-sized exchange (the map-side-combinable per-document aggregate), then a small range exchange for the final sort of the one-row-per-doc result."
+    "bpe_encode" -> "Tokenizer apply: merge rules inlined as literals, encode is pure map-side work inside WholeStageCodegen; one data-sized exchange (the map-side-combinable per-document aggregate), then a small range exchange for the final sort of the one-row-per-doc result.",
+    "join_interval_overlap" -> "Two-sided interval overlap: session intervals explode to spanned hour buckets, candidates equi-join on the bucket (lossless), exact overlap predicate + pair distinct — an equi-join on bkt (broadcast at this SF, sort-merge at scale), no cartesian, no nested loop."
   )
 
   def main(args: Array[String]): Unit = {
