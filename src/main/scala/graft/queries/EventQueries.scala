@@ -675,6 +675,152 @@ object EventQueries {
             ON a.user_id < b.user_id AND a.lo < b.hi AND b.lo < a.hi)
         SELECT day, count(*) AS n_pairs FROM p GROUP BY day
         ORDER BY n_pairs DESC, day LIMIT 20""")
+    ),
+    QueryDef(
+      "events_active_users",
+      // Rolling 7-day distinct actives (WAU) next to the daily count
+      // (DAU). COUNT(DISTINCT) OVER a RANGE frame isn't natively
+      // expressible, and carrying per-day user sets in window state is
+      // unbounded; the scale shape instead collapses to distinct
+      // (day, user_id) FIRST — the only corpus-sized shuffle — then
+      // EXPLODES each user-day to the ≤ 7 window-end days it covers
+      // (active on day ⇒ counted in every window ending day..day+6):
+      // pure map-side fan-out, equi-joined against the broadcast day
+      // spine to keep only observed days. A BETWEEN band join would
+      // plan a nested loop costing |days| comparisons per user-day;
+      // this shape is a hash join at any corpus size, expansion
+      // bounded at 7×.
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(to_date(col("ts")).as("day"), col("user_id"))
+          .distinct()
+        val days = ud.select(col("day").as("d")).distinct()
+        val wau = ud
+          .select(col("user_id"),
+            explode(sequence(col("day"), date_add(col("day"), 6))).as("d"))
+          .join(broadcast(days), "d")
+          .groupBy("d").agg(countDistinct(col("user_id")).as("wau"))
+        val dau = ud.groupBy(col("day").as("d")).agg(count(lit(1)).as("dau"))
+        dau.join(wau, "d")
+          .select(col("d").as("day"), col("dau"), col("wau"))
+          .orderBy("day")
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+                 user_id
+          FROM events),
+        days AS (SELECT DISTINCT day AS d FROM ud),
+        wau AS (
+          SELECT d, count(DISTINCT user_id) AS wau
+          FROM ud JOIN days ON ud.day BETWEEN d - 6 AND d
+          GROUP BY d),
+        dau AS (SELECT day AS d, count(*) AS dau FROM ud GROUP BY day)
+        SELECT d AS day, dau, wau FROM dau JOIN wau USING (d) ORDER BY day""")
+    ),
+    QueryDef(
+      "events_streaks",
+      // Longest consecutive-day activity streak per user — gaps-and-
+      // islands on the DAY grain (sessionize_batch islands on raw-ts
+      // gaps). day − row_number(day) is constant exactly along a run of
+      // consecutive days, so one user_id shuffle + one bounded per-user
+      // window turn runs into groupable island keys; no self-join, no
+      // spine. Distinct-day collapse first keeps the window input at one
+      // row per (user, day).
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), to_date(col("ts")).as("day"))
+          .distinct()
+        val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        ud.withColumn("grp", date_sub(col("day"), row_number().over(w)))
+          .groupBy(col("user_id"), col("grp"))
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(sum(col("len")).as("n_active_days"),
+            count(lit(1)).as("n_streaks"),
+            max(col("len")).as("longest_streak"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day
+          FROM events),
+        isl AS (
+          SELECT user_id, day,
+                 day - CAST(row_number() OVER (
+                   PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+          FROM ud),
+        st AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY user_id, grp)
+        SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+               count(*) AS n_streaks, max(len) AS longest_streak
+        FROM st GROUP BY user_id ORDER BY user_id""")
+    ),
+    QueryDef(
+      "join_asof_nearest",
+      // Nearest-event temporal join: each purchase pairs with the click
+      // (same user) minimizing |Δt| — join_asof covers only the backward
+      // direction. Plan shape: ONE shuffle on user_id over the union of
+      // both event kinds sorted once; the backward candidate is
+      // max(struct(us, id)) over a RANGE frame up to the current instant,
+      // the forward candidate min(struct) over the trailing frame — never
+      // a click×purchase pair blowup, whatever the per-user skew.
+      // Same-instant clicks sit in BOTH frames and ties resolve inside
+      // the deterministic struct order (backward prefers the larger
+      // event_id, forward the smaller); equidistant candidates prefer
+      // backward. Purchases with no click at all keep null click_id.
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            unix_micros(col("ts")).as("us"))
+        val cand = when(col("event_type") === "click",
+          struct(col("us"), col("event_id")))
+        val byUs = Window.partitionBy(col("user_id")).orderBy(col("us"))
+        val enriched = e
+          .withColumn("bw",
+            max(cand).over(byUs.rangeBetween(Window.unboundedPreceding, 0)))
+          .withColumn("fw",
+            min(cand).over(byUs.rangeBetween(0, Window.unboundedFollowing)))
+          .filter(col("event_type") === "purchase")
+        val pickBw = col("bw").isNotNull && (col("fw").isNull ||
+          (col("us") - col("bw.us")) <= (col("fw.us") - col("us")))
+        enriched.select(
+            col("event_id"), col("user_id"),
+            when(pickBw, col("bw.event_id")).otherwise(col("fw.event_id"))
+              .as("click_id"),
+            when(pickBw, col("bw.us") - col("us"))
+              .otherwise(col("fw.us") - col("us")).as("delta_us"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type, epoch_ns(ts) // 1000 AS us
+          FROM events WHERE event_type IN ('click', 'purchase')),
+        p AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'click'),
+        bw AS (
+          SELECT p.event_id AS pid, c.us AS cus, c.event_id AS cid,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY c.us DESC, c.event_id DESC) AS rn
+          FROM p JOIN c ON c.user_id = p.user_id AND c.us <= p.us
+          QUALIFY rn = 1),
+        fw AS (
+          SELECT p.event_id AS pid, c.us AS cus, c.event_id AS cid,
+                 row_number() OVER (PARTITION BY p.event_id
+                   ORDER BY c.us ASC, c.event_id ASC) AS rn
+          FROM p JOIN c ON c.user_id = p.user_id AND c.us >= p.us
+          QUALIFY rn = 1)
+        SELECT p.event_id, p.user_id,
+               CASE WHEN bw.pid IS NOT NULL
+                     AND (fw.pid IS NULL OR (p.us - bw.cus) <= (fw.cus - p.us))
+                    THEN bw.cid ELSE fw.cid END AS click_id,
+               CASE WHEN bw.pid IS NOT NULL
+                     AND (fw.pid IS NULL OR (p.us - bw.cus) <= (fw.cus - p.us))
+                    THEN bw.cus - p.us ELSE fw.cus - p.us END AS delta_us
+        FROM p LEFT JOIN bw ON bw.pid = p.event_id
+               LEFT JOIN fw ON fw.pid = p.event_id
+        ORDER BY p.event_id""")
     )
   )
 }

@@ -234,6 +234,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected the hour-bucket equi-join keys in:\n$plan")
   }
 
+  test("events_active_users joins the exploded user-days to the spine by hash, not nested loop") {
+    val plan = planOf("events_active_users")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"WAU band join fell back to a nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the broadcast day-spine equi-join in:\n$plan")
+  }
+
+  test("join_asof_nearest is pure window passes — no click×purchase join at any skew") {
+    val plan = planOf("join_asof_nearest")
+    assert(!plan.contains("Join"), s"nearest-asof planned a join:\n$plan")
+    assert(plan.contains("Window"), s"expected the range-frame window passes in:\n$plan")
+  }
+
+  test("events_streaks needs no join: islands come from one window over user_id") {
+    val plan = planOf("events_streaks")
+    assert(!plan.contains("Join"), s"streaks planned a join:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
   test("join_dpp_pruned applies a dynamic-pruning PartitionFilter to the fact scan") {
     val plan = planOf("join_dpp_pruned")
     assert(plan.toLowerCase.contains("dynamicpruning"),
