@@ -177,6 +177,62 @@ object VectorQueries {
           .limit(10)
       },
       Some(topkOracle)
+    ),
+    QueryDef(
+      "embedding_quantize",
+      // Symmetric int8 quantization of the embedding column — the
+      // storage shape vector stores actually ship (4× smaller,
+      // SIMD-friendly ADC scans): scale = max|x|/127, code =
+      // round(x/scale) ∈ [−127, 127] by construction, round-trip error
+      // bounded by scale/2. Pure map-side higher-order functions inside
+      // codegen — no shuffle beyond the final order. Cross-engine float
+      // discipline: identical expression order both sides (cast→divide→
+      // round→multiply→subtract), error maxed in 1e-9 integer quanta
+      // (order-independent), floats round()ed only at the projection;
+      // all-zero vectors short-circuit to code 0 (no 0/0 NaN).
+      (s, dir) => {
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+          .withColumn("scale",
+            array_max(transform(col("embedding"), v => abs(v.cast("double"))))
+              / lit(127.0))
+        def codeOf(v: org.apache.spark.sql.Column) =
+          when(col("scale") === 0, lit(0.0))
+            .otherwise(round(v.cast("double") / col("scale"), 0))
+        e.select(
+            col("vec_id"),
+            round(col("scale"), 6).as("scale_q"),
+            aggregate(col("embedding"), lit(0L),
+              (acc, v) => acc + codeOf(v).cast("long")).as("sum_codes"),
+            aggregate(col("embedding"), lit(0L),
+              (acc, v) => acc + when(abs(codeOf(v)) === 127.0, lit(1L))
+                .otherwise(lit(0L))).as("n_sat"),
+            array_max(transform(col("embedding"), v =>
+              floor(abs(v.cast("double") - codeOf(v) * col("scale")) * 1e9 + 0.5)
+                .cast("long"))).as("max_abs_err_q"))
+          .orderBy("vec_id")
+      },
+      Some("""
+        WITH q AS (
+          SELECT vec_id, embedding,
+                 CAST(list_max(list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)))) AS DOUBLE) / 127.0 AS scale
+          FROM embeddings)
+        SELECT vec_id,
+               round(scale, 6) AS scale_q,
+               CAST(list_sum(list_transform(embedding, x ->
+                 CAST((CASE WHEN scale = 0 THEN 0.0
+                       ELSE round(CAST(x AS DOUBLE) / scale, 0) END) AS BIGINT)))
+                 AS BIGINT) AS sum_codes,
+               CAST(list_sum(list_transform(embedding, x ->
+                 CASE WHEN abs(CASE WHEN scale = 0 THEN 0.0
+                       ELSE round(CAST(x AS DOUBLE) / scale, 0) END) = 127.0
+                      THEN 1 ELSE 0 END)) AS BIGINT) AS n_sat,
+               CAST(list_max(list_transform(embedding, x ->
+                 CAST(floor(abs(CAST(x AS DOUBLE) -
+                   (CASE WHEN scale = 0 THEN 0.0
+                    ELSE round(CAST(x AS DOUBLE) / scale, 0) END) * scale)
+                   * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS max_abs_err_q
+        FROM q ORDER BY vec_id""")
     )
   )
 }

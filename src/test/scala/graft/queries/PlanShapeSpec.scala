@@ -255,6 +255,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Window"))
   }
 
+  test("embedding_quantize is pure map-side — fold expressions, no agg node, no join") {
+    val plan = planOf("embedding_quantize")
+    assert(!plan.contains("Join"), s"quantize planned a join:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"per-vector folds must be expressions, not an aggregation:\n$plan")
+  }
+
   test("join_dpp_pruned applies a dynamic-pruning PartitionFilter to the fact scan") {
     val plan = planOf("join_dpp_pruned")
     assert(plan.toLowerCase.contains("dynamicpruning"),
