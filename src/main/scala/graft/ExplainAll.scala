@@ -40,7 +40,10 @@ object ExplainAll {
     "similarity_pq_topk" -> "ADC scan: per-row code lookups against the broadcast distance table, TakeOrdered candidates, exact re-rank.",
     "join_dpp_pruned" -> "Dynamic partition pruning: the month-partitioned fact scan carries a dynamicpruning PartitionFilter fed by the filtered dim's broadcast — surviving partitions known only at runtime.",
     "bpe_encode" -> "Tokenizer apply: merge rules inlined as literals, encode is pure map-side work inside WholeStageCodegen; one data-sized exchange (the map-side-combinable per-document aggregate), then a small range exchange for the final sort of the one-row-per-doc result.",
-    "join_interval_overlap" -> "Two-sided interval overlap: session intervals explode to spanned hour buckets, candidates equi-join on the bucket (lossless), exact overlap predicate + pair distinct — an equi-join on bkt (broadcast at this SF, sort-merge at scale), no cartesian, no nested loop."
+    "join_interval_overlap" -> "Two-sided interval overlap: session intervals explode to spanned hour buckets, candidates equi-join on the bucket (lossless), exact overlap predicate + pair distinct — an equi-join on bkt (broadcast at this SF, sort-merge at scale), no cartesian, no nested loop.",
+    "events_active_users" -> "Rolling 7-day WAU: distinct user-days explode map-side to their ≤7 window-end days, then a broadcast HASH join on the day spine — a BETWEEN band join would plan a nested loop over |days| per row.",
+    "join_asof_nearest" -> "Nearest-event join as two RANGE-frame window passes over the unioned stream (backward max(struct), forward min(struct)) — one user_id shuffle, no click×purchase pair join at any skew.",
+    "embedding_quantize" -> "int8 quantization entirely inside WholeStageCodegen: per-vector folds are expressions (no aggregation node, no join); the only exchange is the final range sort."
   )
 
   def main(args: Array[String]): Unit = {
