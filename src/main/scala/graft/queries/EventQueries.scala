@@ -821,6 +821,58 @@ object EventQueries {
         FROM p LEFT JOIN bw ON bw.pid = p.event_id
                LEFT JOIN fw ON fw.pid = p.event_id
         ORDER BY p.event_id""")
+    ),
+    QueryDef(
+      "window_time_weighted_avg",
+      // Time-weighted average per user (each reading holds until the
+      // next — the IoT/finance aggregate plain avg gets wrong under
+      // irregular sampling): TWA = Σ qᵢ·Δtᵢ / Σ Δtᵢ over the user's
+      // observation span, the last reading carrying no weight. One
+      // user_id shuffle serves both the lead() window and the final
+      // aggregate (same key — Catalyst reuses the partitioning).
+      // Exactness: cent quanta × second-grain gaps keep every product
+      // and sum exactly representable in doubles (≤ ~2.6e10 per user
+      // here; the 100 TB variant widens num to decimal(38,0)); the only
+      // float op is the final division, identical order both engines.
+      // Same-instant readings tie-break by event_id — Δt=0 rows carry
+      // no weight but decide WHICH value spans to the next instant, so
+      // the order must match the oracle exactly.
+      (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("t_s"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(ts) div 1000000").as("t_s"),
+            floor(col("value") * 100 + 0.5).cast("long").as("q"))
+          .withColumn("nxt", lead(col("t_s"), 1).over(w))
+          .filter(col("nxt").isNotNull)
+          .groupBy("user_id")
+          .agg(sum(col("q") * (col("nxt") - col("t_s"))).as("num"),
+            sum(col("nxt") - col("t_s")).as("den"))
+          .filter(col("den") > 0)
+          .select(col("user_id"), col("den").as("span_s"),
+            round(col("num").cast("double") / col("den").cast("double") / 100.0, 4)
+              .as("twa"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_id, epoch_ns(ts) // 1000000000 AS t_s,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+          FROM events),
+        w AS (
+          SELECT user_id, q, t_s,
+                 lead(t_s) OVER (PARTITION BY user_id
+                   ORDER BY t_s, event_id) AS nxt
+          FROM e),
+        g AS (
+          SELECT user_id,
+                 CAST(sum(q * (nxt - t_s)) AS BIGINT) AS num,
+                 CAST(sum(nxt - t_s) AS BIGINT) AS den
+          FROM w WHERE nxt IS NOT NULL GROUP BY user_id)
+        SELECT user_id, den AS span_s,
+               round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0, 4) AS twa
+        FROM g WHERE den > 0 ORDER BY user_id""")
     )
   )
 }

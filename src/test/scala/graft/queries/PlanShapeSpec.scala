@@ -255,6 +255,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Window"))
   }
 
+  test("window_time_weighted_avg reuses one user_id shuffle for window AND aggregate") {
+    val plan = planOf("window_time_weighted_avg")
+    assert(!plan.contains("Join"), s"TWA planned a join:\n$plan")
+    // One hash exchange (user_id, feeding both the lead() window and the
+    // groupBy) plus the final range sort — a second hash exchange means
+    // Catalyst stopped reusing the partitioning.
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange, got $hashExchanges:\n$plan")
+  }
+
   test("embedding_quantize is pure map-side — fold expressions, no agg node, no join") {
     val plan = planOf("embedding_quantize")
     assert(!plan.contains("Join"), s"quantize planned a join:\n$plan")
