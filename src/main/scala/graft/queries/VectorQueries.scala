@@ -233,6 +233,57 @@ object VectorQueries {
                     ELSE round(CAST(x AS DOUBLE) / scale, 0) END) * scale)
                    * 1e9 + 0.5) AS BIGINT))) AS BIGINT) AS max_abs_err_q
         FROM q ORDER BY vec_id""")
+    ),
+    QueryDef(
+      "knn_blocked_topk",
+      // kNN graph (top-3 same-label neighbors per vector) — the
+      // primitive under semantic clustering / SemDeDup-style pruning.
+      // Blocking on the label key makes the candidate join EQUI (shuffle
+      // on label, never a cartesian): the standard entity-resolution
+      // blocking pattern. Per-block work is quadratic by design — the
+      // documented exact path; the unblocked scale path is the SRP-LSH /
+      // IVF family in SimilarityOps. Ranking is on the ROUNDED cosine +
+      // neighbor id, so rank order is engine-deterministic even at
+      // near-ties.
+      (s, dir) => {
+        CosineSimilarity.register(s)
+        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val nbr = e.select(col("label"), col("vec_id").as("nbr_id"),
+          col("embedding").as("nbr_embedding"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("vec_id"))
+          .orderBy(col("cosine").desc, col("nbr_id"))
+        e.join(nbr, Seq("label"))
+          .filter(col("vec_id") =!= col("nbr_id"))
+          .select(col("vec_id"), col("nbr_id"),
+            round(expr("cosine_sim(embedding, nbr_embedding)"), 4).as("cosine"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("vec_id"), col("rn"), col("nbr_id"), col("cosine"))
+          .orderBy("vec_id", "rn")
+      },
+      Some("""
+        WITH x AS (
+          SELECT vec_id, label, unnest(embedding) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        p AS (
+          SELECT a.vec_id, b.vec_id AS nbr_id,
+                 sum(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS dot,
+                 sum(CAST(a.v AS DOUBLE) * CAST(a.v AS DOUBLE)) AS an2,
+                 sum(CAST(b.v AS DOUBLE) * CAST(b.v AS DOUBLE)) AS bn2
+          FROM x a JOIN x b
+            ON a.label = b.label AND a.i = b.i AND a.vec_id <> b.vec_id
+          GROUP BY a.vec_id, b.vec_id),
+        r AS (
+          SELECT vec_id, nbr_id,
+                 round(dot / (sqrt(an2) * sqrt(bn2)), 4) AS cosine,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY round(dot / (sqrt(an2) * sqrt(bn2)), 4) DESC,
+                            nbr_id) AS rn
+          FROM p)
+        SELECT vec_id, rn, nbr_id, cosine FROM r WHERE rn <= 3
+        ORDER BY vec_id, rn""")
     )
   )
 }

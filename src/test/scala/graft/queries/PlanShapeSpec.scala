@@ -255,6 +255,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Window"))
   }
 
+  test("knn_blocked_topk candidates come from the label equi-join — never a cartesian") {
+    val plan = planOf("knn_blocked_topk")
+    assert(!plan.contains("CartesianProduct"), s"kNN fell back to a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"kNN fell back to a nested loop:\n$plan")
+  }
+
   test("window_time_weighted_avg reuses one user_id shuffle for window AND aggregate") {
     val plan = planOf("window_time_weighted_avg")
     assert(!plan.contains("Join"), s"TWA planned a join:\n$plan")
