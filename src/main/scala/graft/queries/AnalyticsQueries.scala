@@ -121,6 +121,42 @@ object AnalyticsQueries {
       None
     ),
     QueryDef(
+      "agg_median_selection",
+      // Exact per-group median WITHOUT per-group buffering: percentile()
+      // (agg_percentile) materializes every group value in executor
+      // memory — fine for bounded groups, fatal for unbounded ones. The
+      // selection shape instead sorts WITHIN the group's partition
+      // (spillable sort, no array) and picks the lower median by
+      // POSITION: rn = (n+1) div 2 over a unique total order. Pure
+      // integer position logic — no interpolation, no float math — so
+      // both engines agree bit-for-bit. One l_returnflag shuffle serves
+      // the count window and the ranked window.
+      (s, dir) => {
+        val li = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"),
+            col("l_orderkey"), col("l_linenumber"))
+        val ranked = Window.partitionBy(col("l_returnflag"))
+          .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        val whole = Window.partitionBy(col("l_returnflag"))
+        li.withColumn("rn", row_number().over(ranked))
+          .withColumn("cnt", count(lit(1)).over(whole))
+          .filter(col("rn") === expr("(cnt + 1) div 2"))
+          .select(col("l_returnflag"), col("cnt").as("n"),
+            col("l_extendedprice").as("median"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        WITH r AS (
+          SELECT l_returnflag, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+                 count(*) OVER (PARTITION BY l_returnflag) AS cnt
+          FROM lineitem)
+        SELECT l_returnflag, cnt AS n, l_extendedprice AS median
+        FROM r WHERE rn = (cnt + 1) // 2
+        ORDER BY l_returnflag""")
+    ),
+    QueryDef(
       "agg_stats",
       (s, dir) =>
         // Second-moment statistics; all are sum-of-products under the hood,

@@ -873,6 +873,64 @@ object EventQueries {
         SELECT user_id, den AS span_s,
                round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / 100.0, 4) AS twa
         FROM g WHERE den > 0 ORDER BY user_id""")
+    ),
+    QueryDef(
+      "window_rolling_slope",
+      // Rolling 30-day linear-regression slope per event type — trend
+      // detection as ONE value-based RANGE frame accumulating the five
+      // regression sums (n, Σx, Σy, Σxy, Σx²), slope from the closed
+      // form (nΣxy − ΣxΣy)/(nΣx² − (Σx)²). Every sum is exact long
+      // arithmetic (day index × cent quanta); the single double division
+      // happens on identical exact longs in both engines, so round(4) is
+      // deterministic. Degenerate one-day windows yield NULL, not a 0/0.
+      // One event_type shuffle serves the daily aggregate AND the window.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("q"))
+          .withColumn("x", datediff(col("day"), lit("1990-01-01").cast("date")))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("x"))
+          .rangeBetween(-29, 0)
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        daily.select(col("event_type"), col("day"),
+            count(lit(1)).over(w).as("n"),
+            sum(col("x").cast("long")).over(w).as("sx"),
+            sum(col("q")).over(w).as("sy"),
+            sum(col("x") * col("q")).over(w).as("sxy"),
+            sum(col("x").cast("long") * col("x")).over(w).as("sxx"))
+          .select(col("event_type"), col("day"), col("n"),
+            when(den === 0, lit(null))
+              .otherwise(round(
+                (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+                  / den.cast("double") / 100.0, 4)).as("slope"))
+          .orderBy("event_type", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS q
+          FROM events GROUP BY 1, 2),
+        d2 AS (
+          SELECT event_type, day, q,
+                 datediff('day', DATE '1990-01-01', day) AS x
+          FROM daily),
+        s AS (
+          SELECT event_type, day,
+                 count(*) OVER w AS n,
+                 CAST(sum(x) OVER w AS BIGINT) AS sx,
+                 CAST(sum(q) OVER w AS BIGINT) AS sy,
+                 CAST(sum(x * q) OVER w AS BIGINT) AS sxy,
+                 CAST(sum(CAST(x AS BIGINT) * x) OVER w AS BIGINT) AS sxx
+          FROM d2
+          WINDOW w AS (PARTITION BY event_type ORDER BY x
+                       RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+        SELECT event_type, day, n,
+               CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 4)
+               END AS slope
+        FROM s ORDER BY event_type, day""")
     )
   )
 }

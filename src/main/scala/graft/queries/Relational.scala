@@ -347,6 +347,31 @@ object Relational {
       None
     ),
     QueryDef(
+      "agg_cms_freq",
+      // The frequency-sketch sibling of agg_hll_merge: per-nation
+      // Count-Min sketches of the market-segment stream (one pass,
+      // mergeable partial aggs, fixed seed ⇒ deterministic), probed for
+      // every segment via a broadcast of the tiny segment list. The CMS
+      // one-sided guarantee — never under-estimates, over-estimate
+      // ≤ ε·N with the configured confidence — is fenced against the
+      // exact GROUP BY twin in CmsSpec; the sketch binary itself is
+      // engine-specific, so the query grades rows-only.
+      (s, dir) => {
+        val est = udf((b: Array[Byte], key: String) =>
+          org.apache.spark.util.sketch.CountMinSketch
+            .readFrom(new java.io.ByteArrayInputStream(b)).estimateCount(key))
+        val c = t(s, dir, "customer")
+        val sk = c.groupBy(col("c_nationkey"))
+          .agg(expr("count_min_sketch(c_mktsegment, 0.001d, 0.99d, 42)").as("sk"))
+        val segs = c.select(col("c_mktsegment").as("seg")).distinct()
+        sk.crossJoin(broadcast(segs))
+          .select(col("c_nationkey"), col("seg"),
+            est(col("sk"), col("seg")).as("est_n"))
+          .orderBy("c_nationkey", "seg")
+      },
+      None
+    ),
+    QueryDef(
       "agg_rollup",
       (s, dir) =>
         t(s, dir, "lineitem").rollup(col("l_returnflag"), col("l_linestatus"))

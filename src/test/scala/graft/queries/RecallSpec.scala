@@ -42,6 +42,21 @@ class RecallSpec extends AnyFunSuite {
     assert(recall >= 0.75, f"minhash recall degraded: $recall%.3f") // measured 0.807
   }
 
+  test("agg_cms_freq never under-estimates; over-estimate bounded by eps*N") {
+    val est = Catalog.queriesMap("agg_cms_freq")(spark, dir)
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+    val exact = cust.groupBy("c_nationkey", "c_mktsegment").count()
+      .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
+    val slack = math.max(1L, math.ceil(0.001 * cust.count()).toLong)
+    exact.foreach { case (key, e) =>
+      val a = est(key)
+      assert(a >= e, s"CMS under-estimated $key: $a < $e — violates the one-sided guarantee")
+      assert(a <= e + slack, s"CMS over-estimate for $key out of bound: $a > $e + $slack")
+    }
+    info(s"${exact.size} probes within [exact, exact+$slack]")
+  }
+
   test("dedup_simhash finds EXACTLY the brute-force hamming<=3 pairs") {
     // 4x16-bit banding pigeonholes d<=3, so recall must be 1.0 — assert
     // set equality against the windowless brute-force join (500 docs).
