@@ -663,6 +663,114 @@ object WarehouseQueries {
         WHERE event_type = 'purchase'
         GROUP BY channel
         ORDER BY channel""")
+    ),
+    QueryDef(
+      "orders_pareto",
+      // Pareto / 80-20 concentration: which customers carry 80% of
+      // revenue. Needs a GLOBAL revenue-ordered cumulative sum — the
+      // single-partition window trap — so the prefix sum is TWO-PHASE
+      // like pack_sequences: range-partition by (rev DESC, custkey),
+      // per-partition sums, a tiny cumulative scan over the ≤8 partition
+      // totals broadcast back, then per-partition windows. The head
+      // predicate compares exact cent-quanta integers ((cum−rev)·10 <
+      // total·8 ⇔ share-before < 0.8), never accumulated doubles. The
+      // oracle computes the naive single-window cumsum — equality IS the
+      // two-phase exactness proof.
+      (s, dir) => {
+        val rev = s.read.parquet(s"$dir/orders.parquet")
+          .groupBy(col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_c"))
+        val tot = rev.agg(sum(col("rev_c")).as("total"))
+        val parts = rev
+          .repartitionByRange(8, col("rev_c").desc, col("o_custkey"))
+          .withColumn("pid", spark_partition_id())
+        val offsets = parts.groupBy("pid").agg(sum(col("rev_c")).as("psum"))
+          .withColumn("offset",
+            coalesce(sum(col("psum")).over(
+              Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select("pid", "offset")
+        parts.join(broadcast(offsets), "pid")
+          .withColumn("cum", col("offset") + sum(col("rev_c")).over(
+            Window.partitionBy("pid")
+              .orderBy(col("rev_c").desc, col("o_custkey"))))
+          .crossJoin(broadcast(tot))
+          .agg(count(lit(1)).as("n_customers"),
+            sum(when((col("cum") - col("rev_c")) * 10 < col("total") * 8, 1L)
+              .otherwise(0L)).as("n_head"),
+            round(sum(when((col("cum") - col("rev_c")) * 10 < col("total") * 8,
+                col("rev_c")).otherwise(0L)).cast("double")
+              / max(col("total")).cast("double"), 4).as("head_share"))
+      },
+      Some("""
+        WITH rev AS (
+          SELECT o_custkey,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS rev_c
+          FROM orders GROUP BY o_custkey),
+        tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total FROM rev),
+        c AS (
+          SELECT o_custkey, rev_c,
+                 CAST(sum(rev_c) OVER (ORDER BY rev_c DESC, o_custkey
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+          FROM rev)
+        SELECT count(*) AS n_customers,
+               CAST(sum(CASE WHEN (cum - rev_c) * 10 < total * 8
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+               round(CAST(sum(CASE WHEN (cum - rev_c) * 10 < total * 8
+                        THEN rev_c ELSE 0 END) AS DOUBLE)
+                 / CAST(max(total) AS DOUBLE), 4) AS head_share
+        FROM c, tot""")
+    ),
+    QueryDef(
+      "orders_open_backlog",
+      // Open-order backlog per day — interval counting WITHOUT an
+      // interval join: each order becomes two deltas (+1 at o_orderdate,
+      // −1 at its last ship day), deltas aggregate to day grain (pure
+      // map-side-combinable sums), and one running sum over the tiny day
+      // spine rebuilds the count of concurrently open orders. The
+      // interval-stabbing shape that scales: the fact tables shuffle
+      // only on o_orderkey (the close lookup) and day; the global window
+      // runs over |days| rows, never over orders.
+      (s, dir) => {
+        val close = s.read.parquet(s"$dir/lineitem.parquet")
+          .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("close_ts"))
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .join(close, col("o_orderkey") === col("l_orderkey"))
+          .select(to_date(col("o_orderdate")).as("od"),
+            to_date(col("close_ts")).as("cd"))
+        val deltas = o.select(col("od").as("d"), lit(1L).as("delta"))
+          .unionByName(o.select(col("cd").as("d"), lit(-1L).as("delta")))
+          .groupBy("d").agg(sum(col("delta")).as("dd"))
+        val spine = o.agg(min(col("od")).as("lo"), max(col("cd")).as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("d"))
+        spine.join(deltas, Seq("d"), "left")
+          .withColumn("open_orders", sum(coalesce(col("dd"), lit(0L))).over(
+            Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("d"), col("open_orders"))
+          .orderBy("d")
+      },
+      Some("""
+        WITH cl AS (
+          SELECT l_orderkey, max(l_shipdate) AS close_ts
+          FROM lineitem GROUP BY l_orderkey),
+        o AS (
+          SELECT CAST(o_orderdate AS DATE) AS od, CAST(close_ts AS DATE) AS cd
+          FROM orders JOIN cl ON o_orderkey = l_orderkey),
+        delta AS (
+          SELECT od AS d, 1 AS delta FROM o
+          UNION ALL SELECT cd, -1 FROM o),
+        agg AS (SELECT d, CAST(sum(delta) AS BIGINT) AS dd FROM delta GROUP BY d),
+        b AS (SELECT min(od) AS lo, max(cd) AS hi FROM o),
+        days AS (
+          SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS d
+          FROM b),
+        sp AS (SELECT days.d, coalesce(agg.dd, 0) AS dd
+               FROM days LEFT JOIN agg USING (d))
+        SELECT d, CAST(sum(dd) OVER (ORDER BY d ROWS UNBOUNDED PRECEDING)
+                 AS BIGINT) AS open_orders
+        FROM sp ORDER BY d""")
     )
   )
 }
