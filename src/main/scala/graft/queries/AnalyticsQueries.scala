@@ -578,6 +578,37 @@ object AnalyticsQueries {
         FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
     ),
     QueryDef(
+      "dq_k_anonymity",
+      // k-anonymity audit over the (nation, segment) quasi-identifier
+      // pair — the privacy gate a PII-bearing corpus runs before
+      // release: every equivalence class below k would re-identify its
+      // members and must be suppressed or generalized. One group-by pass
+      // (map-side combinable) then a one-row reduction; the report is
+      // the class count, the below-k class count, the rows those classes
+      // expose, and the smallest class size.
+      (s, dir) => {
+        val k = 5
+        t(s, dir, "customer")
+          .groupBy(col("c_nationkey"), col("c_mktsegment"))
+          .agg(count(lit(1)).as("n"))
+          .agg(count(lit(1)).as("n_classes"),
+            sum(when(col("n") < k, 1L).otherwise(0L)).as("classes_below_k"),
+            sum(when(col("n") < k, col("n")).otherwise(0L)).as("rows_exposed"),
+            min(col("n")).as("min_class_size"))
+      },
+      Some("""
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment, count(*) AS n
+          FROM customer GROUP BY 1, 2)
+        SELECT count(*) AS n_classes,
+               CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS classes_below_k,
+               CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+                 AS rows_exposed,
+               min(n) AS min_class_size
+        FROM g""")
+    ),
+    QueryDef(
       "dq_checks",
       // Deequ-style expectation suite: five named row-level rules checked
       // in ONE pass (one aggregate of conditional sums — never one job per

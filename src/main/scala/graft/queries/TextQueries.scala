@@ -532,6 +532,36 @@ object TextQueries {
       (s, dir) => TextOps.bpeEncodeCounts(
         s.read.parquet(s"$dir/documents.parquet"), k = 6),
       Some(bpeEncodeOracle(6))
+    ),
+    QueryDef(
+      "text_compression_ratio",
+      // Deflate-ratio quality signal (the Gopher/RefinedWeb filter:
+      // highly compressible text ⇒ boilerplate/repetition, ratio near 1
+      // ⇒ noise): DEFLATE at fixed level 6 per document inside a scalar
+      // UDF — a justified UDF, the byte-level LZ77 loop has no Catalyst
+      // expression — pure map-side, no shuffle beyond the final sort.
+      // No SQL oracle (DuckDB has no deflate); CompressionRatioSpec
+      // fences the signal: repetitive text compresses far below natural
+      // text, ratios bounded, byte counts exact, deterministic reruns.
+      (s, dir) => {
+        val ratio = udf { (text: String) =>
+          val bytes = text.getBytes("UTF-8")
+          val d = new java.util.zip.Deflater(6, false)
+          d.setInput(bytes); d.finish()
+          val buf = new Array[Byte](64)
+          var n = 0L
+          while (!d.finished()) n += d.deflate(buf)
+          d.end()
+          n.toDouble / math.max(1, bytes.length)
+        }
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            length(col("text")).as("n_chars"),
+            round(ratio(col("text")), 4).as("deflate_ratio"))
+          .withColumn("is_repetitive", col("deflate_ratio") < 0.25)
+          .orderBy("doc_id")
+      },
+      None
     )
   )
 

@@ -57,6 +57,30 @@ class RecallSpec extends AnyFunSuite {
     info(s"${exact.size} probes within [exact, exact+$slack]")
   }
 
+  test("text_compression_ratio: bounded, deterministic, separates repetition from natural text") {
+    import spark.implicits._
+    val run1 = Catalog.queriesMap("text_compression_ratio")(spark, dir).collect()
+    assert(run1.nonEmpty)
+    run1.foreach { r =>
+      val ratio = r.getDouble(2)
+      assert(ratio > 0 && ratio < 1.2, s"deflate ratio out of bounds: $ratio")
+    }
+    val run2 = Catalog.queriesMap("text_compression_ratio")(spark, dir).collect()
+    assert(run1.map(_.toSeq).toSeq == run2.map(_.toSeq).toSeq,
+      "deflate ratio must be deterministic across runs")
+    // Synthetic separation probe: a pure repetition vs hash-noise words.
+    val rep = ("spark " * 200).trim
+    val nat = (1 to 200).map(i => (i * 2654435761L % 99991).toString).mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cr").toString
+    Seq((1L, rep), (2L, nat)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = Catalog.queriesMap("text_compression_ratio")(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    info(f"repetitive=${out(1L)}%.4f natural=${out(2L)}%.4f")
+    assert(out(1L) < out(2L) * 0.5,
+      s"repetition (${out(1L)}) must compress far below natural text (${out(2L)})")
+  }
+
   test("dedup_simhash finds EXACTLY the brute-force hamming<=3 pairs") {
     // 4x16-bit banding pigeonholes d<=3, so recall must be 1.0 — assert
     // set equality against the windowless brute-force join (500 docs).
