@@ -176,6 +176,28 @@ object RecallReport {
         s"$ok/$total (group, quantile) cells within rank band n/1000+1")
     }
 
+    grade("agg_cms_freq") {
+      val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+      val exact = cust.groupBy("c_nationkey", "c_mktsegment").count()
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val est = run("agg_cms_freq")(spark, sfDir)
+        .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
+      val slack = math.max(1L, math.ceil(0.001 * cust.count()).toLong)
+      val bad = exact.count { case (k, e) =>
+        val a = est(k); a < e || a > e + slack
+      }
+      Score("frac_probes_within_one_sided_band",
+        1.0 - bad.toDouble / math.max(1, exact.size), 1.0,
+        s"${exact.size - bad}/${exact.size} probes in [exact, exact+$slack]")
+    }
+    grade("text_compression_ratio") {
+      val rows = run("text_compression_ratio")(spark, sfDir).collect()
+      val inBounds = rows.count { r => val x = r.getDouble(2); x > 0 && x < 1.2 }
+      Score("frac_ratios_in_bounds",
+        inBounds.toDouble / math.max(1, rows.length), 1.0,
+        s"$inBounds/${rows.length} deflate ratios in (0, 1.2)")
+    }
+
     def jq(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"

@@ -931,6 +931,64 @@ object EventQueries {
                          / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0, 4)
                END AS slope
         FROM s ORDER BY event_type, day""")
+    ),
+    QueryDef(
+      "events_inter_arrival",
+      // Exact p50/p95 inter-arrival gap per event type — the traffic-
+      // shape statistic behind capacity planning and bot detection —
+      // WITHOUT per-group buffering: gaps come from one lag() pass over
+      // per-(user, type) streams, then the positional-selection shape of
+      // agg_median_selection picks both order statistics from a single
+      // ranked window (p50 at (n+1) div 2, p95 at (95n+99) div 100 =
+      // ⌈0.95n⌉ — pure integer positions over a unique total order, no
+      // interpolation, engine-exact).
+      (s, dir) => {
+        val perStream = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("us"), col("event_id"))
+        val gaps = Tables.events(s, dir)
+          .select(col("event_type"), col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("us"))
+          .withColumn("prev", lag(col("us"), 1).over(perStream))
+          .filter(col("prev").isNotNull)
+          .withColumn("gap_s", expr("(us - prev) div 1000000"))
+        val ranked = Window.partitionBy(col("event_type"))
+          .orderBy(col("gap_s"), col("user_id"), col("event_id"))
+        val whole = Window.partitionBy(col("event_type"))
+        gaps.withColumn("rn", row_number().over(ranked))
+          .withColumn("n", count(lit(1)).over(whole))
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("(n * 95 + 99) div 100"))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n_gaps"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("gap_s")))
+              .as("p50_s"),
+            max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("gap_s")))
+              .as("p95_s"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, user_id, event_id, epoch_ns(ts) // 1000 AS us
+          FROM events),
+        g AS (
+          SELECT event_type, user_id, event_id, us,
+                 lag(us) OVER (PARTITION BY user_id, event_type
+                   ORDER BY us, event_id) AS prev
+          FROM e),
+        gaps AS (
+          SELECT event_type, user_id, event_id, (us - prev) // 1000000 AS gap_s
+          FROM g WHERE prev IS NOT NULL),
+        r AS (
+          SELECT event_type, gap_s,
+                 row_number() OVER (PARTITION BY event_type
+                   ORDER BY gap_s, user_id, event_id) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS n
+          FROM gaps)
+        SELECT event_type, max(n) AS n_gaps,
+               max(CASE WHEN rn = (n + 1) // 2 THEN gap_s END) AS p50_s,
+               max(CASE WHEN rn = (n * 95 + 99) // 100 THEN gap_s END) AS p95_s
+        FROM r WHERE rn = (n + 1) // 2 OR rn = (n * 95 + 99) // 100
+        GROUP BY event_type ORDER BY event_type""")
     )
   )
 }

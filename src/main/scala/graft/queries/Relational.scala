@@ -246,6 +246,46 @@ object Relational {
         WHERE rn = 1 ORDER BY event_id""")
     ),
     QueryDef(
+      "join_asof_tolerance",
+      // Feature-store point-in-time discipline: as-of join with a max
+      // staleness TTL — a feature older than 30 days at serving time is
+      // training-serving skew, so it must surface as NULL, not a stale
+      // match. Same associative argmax shape as join_asof with the
+      // tolerance folded into the join predicate; the trailing left join
+      // keeps every event row (the matched side is one row per event, so
+      // it re-joins on the event_id key only).
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val o = t(s, dir, "orders")
+        val matched = e.join(o,
+            o("o_custkey") === e("user_id") && o("o_orderdate") <= e("ts") &&
+              o("o_orderdate") >= e("ts") - expr("INTERVAL 30 DAYS"))
+          .groupBy(col("event_id"))
+          .agg(max(struct(col("o_orderdate"), col("o_orderkey"))).as("best"))
+          .select(col("event_id"), col("best.o_orderkey").as("o_orderkey"),
+            col("best.o_orderdate").as("o_orderdate"))
+        e.select(col("event_id"), col("user_id"))
+          .join(matched, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"), col("o_orderkey"),
+            col("o_orderdate"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts
+          FROM events),
+        m AS (
+          SELECT e.event_id, o.o_orderkey, o.o_orderdate,
+                 row_number() OVER (PARTITION BY e.event_id
+                   ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+          FROM e JOIN orders o
+            ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+           AND o.o_orderdate >= e.ts - INTERVAL 30 DAY)
+        SELECT e.event_id, e.user_id, m.o_orderkey, m.o_orderdate
+        FROM e LEFT JOIN (SELECT * FROM m WHERE rn = 1) m USING (event_id)
+        ORDER BY e.event_id""")
+    ),
+    QueryDef(
       "join_range",
       (s, dir) => {
         // Range join |c_acctbal - s_acctbal| <= 100, realized as an equi

@@ -534,6 +534,33 @@ object TextQueries {
       Some(bpeEncodeOracle(6))
     ),
     QueryDef(
+      "dedup_normalized",
+      // First-line web dedup: exact dedup AFTER normalization (casefold,
+      // punctuation → space, whitespace collapse) — catches the
+      // near-identical boilerplate raw hashing misses, at exact-dedup
+      // cost. Same shuffle economics as dedup_exact: the group key is
+      // the 32-byte digest of the normalized body, never the body
+      // itself. Reports the surviving doc and how many collapsed into
+      // it.
+      (s, dir) => {
+        val norm = trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+        s.read.parquet(s"$dir/documents.parquet")
+          .groupBy(sha2(norm, 256))
+          .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_collapsed"))
+          .select("doc_id", "n_collapsed")
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(regexp_replace(lower(text),
+                   '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm
+          FROM documents)
+        SELECT min(doc_id) AS doc_id, count(*) AS n_collapsed
+        FROM n GROUP BY norm ORDER BY doc_id""")
+    ),
+    QueryDef(
       "text_compression_ratio",
       // Deflate-ratio quality signal (the Gopher/RefinedWeb filter:
       // highly compressible text ⇒ boilerplate/repetition, ratio near 1
