@@ -578,6 +578,52 @@ object AnalyticsQueries {
         FROM q GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")
     ),
     QueryDef(
+      "dq_referential_integrity",
+      // FK orphan audit across the star schema — the DQ gate that
+      // catches broken ingestion before a join silently drops rows:
+      // each relationship is ONE left-anti join (shuffle on the key,
+      // dims broadcast when small) counting children without a parent,
+      // unioned into a (relationship, orphans, children) report.
+      (s, dir) => {
+        def audit(rel: String, child: DataFrame, key: String,
+            parent: DataFrame, pkey: String) = {
+          val orphans = child.join(parent,
+            child(key) === parent(pkey), "left_anti")
+          child.agg(count(lit(1)).as("n_children"))
+            .crossJoin(orphans.agg(count(lit(1)).as("n_orphans")))
+            .select(lit(rel).as("relationship"), col("n_orphans"),
+              col("n_children"))
+        }
+        val li = t(s, dir, "lineitem"); val o = t(s, dir, "orders")
+        val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+        Seq(
+          audit("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+          audit("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"),
+          audit("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey"))
+          .reduce(_ unionByName _)
+          .orderBy("relationship")
+      },
+      Some("""
+        SELECT 'customer.c_nationkey->nation' AS relationship,
+               (SELECT count(*) FROM customer c
+                WHERE NOT EXISTS (SELECT 1 FROM nation n
+                  WHERE n.n_nationkey = c.c_nationkey)) AS n_orphans,
+               (SELECT count(*) FROM customer) AS n_children
+        UNION ALL
+        SELECT 'lineitem.l_orderkey->orders',
+               (SELECT count(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_orderkey = l.l_orderkey)),
+               (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'orders.o_custkey->customer',
+               (SELECT count(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c
+                  WHERE c.c_custkey = o.o_custkey)),
+               (SELECT count(*) FROM orders)
+        ORDER BY relationship""")
+    ),
+    QueryDef(
       "dq_k_anonymity",
       // k-anonymity audit over the (nation, segment) quasi-identifier
       // pair — the privacy gate a PII-bearing corpus runs before

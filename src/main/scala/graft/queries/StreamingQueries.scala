@@ -22,6 +22,27 @@ object StreamingQueries {
         GROUP BY 1, 2 ORDER BY window_start, event_type""")
     ),
     QueryDef(
+      "stream_tumbling_uniques",
+      // Exact unique visitors per day as TWO CHAINED STATEFUL operators
+      // (watermarked dropDuplicates → windowed count) in one append-mode
+      // query; the dedup emits each (day, user) once so the count is
+      // exact distinct with bounded state both stages. Append emission:
+      // a window finalizes only once the watermark (max ts − 1h) passes
+      // its end, so the oracle applies the same cutoff — the
+      // still-open final day is correctly ABSENT on both sides.
+      (s, dir) => StreamingOps.tumblingUniques(s, dir),
+      Some("""
+        WITH e AS (
+          SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, user_id
+          FROM events),
+        wm AS (SELECT max(ts) - INTERVAL 1 HOUR AS w FROM e)
+        SELECT date_trunc('day', ts) AS window_start,
+               count(DISTINCT user_id) AS uniques
+        FROM e, wm
+        WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= w
+        GROUP BY 1 ORDER BY window_start""")
+    ),
+    QueryDef(
       "stream_sliding_agg",
       (s, dir) => StreamingOps.slidingAgg(s, dir),
       Some("""

@@ -151,6 +151,27 @@ object StreamingOps {
       .orderBy("window_start", "event_type")
   }
 
+  /** Exact distinct users per tumbling window — the streaming
+    * unique-visitors metric, as TWO CHAINED STATEFUL operators in one
+    * query (Spark 3.4+ multi-stateful support): a watermarked
+    * dropDuplicates on (day, user) whose state evicts at the horizon,
+    * feeding the windowed count of survivors. The dedup emits each
+    * (day, user) exactly once, so the downstream count IS the exact
+    * distinct — no per-window user sets in the aggregation state.
+    */
+  def tumblingUniques(spark: SparkSession, dir: String): DataFrame = {
+    val uniques = replayEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .select(col("ts"), col("user_id"),
+        date_trunc("day", col("ts")).as("day"))
+      .dropDuplicates("day", "user_id")
+      .groupBy(window(col("ts"), "1 day"))
+      .agg(count(lit(1)).as("uniques"))
+    runToTable(uniques, "append")
+      .select(col("window.start").as("window_start"), col("uniques"))
+      .orderBy("window_start")
+  }
+
   /** Sliding windows: 2-day length, 1-day slide — each event lands in two
     * windows; watermark bounds state.
     */
