@@ -989,6 +989,103 @@ object EventQueries {
                max(CASE WHEN rn = (n * 95 + 99) // 100 THEN gap_s END) AS p95_s
         FROM r WHERE rn = (n + 1) // 2 OR rn = (n * 95 + 99) // 100
         GROUP BY event_type ORDER BY event_type""")
+    ),
+    QueryDef(
+      "events_user_entropy",
+      // Behavioral entropy per user — the bot-detection signal:
+      // scripted accounts concentrate on few event types ⇒ low H.
+      // H = ln(n) − (Σ nᵢ·ln nᵢ)/n from exact integer counts; each
+      // ln-term is quantized to a 1e-6 long BEFORE the sum, so the
+      // cross-type summation is order-independent exactly (group-agg
+      // order is arbitrary in both engines) and only the precedented
+      // ln-on-integer parity remains. Two map-side-combinable
+      // aggregations over one user_id shuffle.
+      (s, dir) => {
+        val perType = Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("ni"))
+        perType
+          .withColumn("term_e6",
+            floor(col("ni").cast("double") * log(col("ni").cast("double"))
+              * 1e6 + 0.5).cast("long"))
+          .groupBy("user_id")
+          .agg(sum(col("ni")).as("n"), count(lit(1)).as("n_types"),
+            sum(col("term_e6")).as("snl_e6"))
+          .select(col("user_id"), col("n"), col("n_types"),
+            round(log(col("n").cast("double"))
+              - (col("snl_e6").cast("double") / 1e6) / col("n").cast("double"),
+              4).as("entropy"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH pt AS (
+          SELECT user_id, event_type, count(*) AS ni
+          FROM events GROUP BY 1, 2),
+        q AS (
+          SELECT user_id, ni,
+                 CAST(floor(CAST(ni AS DOUBLE) * ln(CAST(ni AS DOUBLE))
+                   * 1e6 + 0.5) AS BIGINT) AS term_e6
+          FROM pt),
+        g AS (
+          SELECT user_id, CAST(sum(ni) AS BIGINT) AS n,
+                 count(*) AS n_types,
+                 CAST(sum(term_e6) AS BIGINT) AS snl_e6
+          FROM q GROUP BY user_id)
+        SELECT user_id, n, n_types,
+               round(ln(CAST(n AS DOUBLE))
+                 - (CAST(snl_e6 AS DOUBLE) / 1e6) / CAST(n AS DOUBLE), 4)
+                 AS entropy
+        FROM g ORDER BY user_id""")
+    ),
+    QueryDef(
+      "anomaly_cusum",
+      // One-sided CUSUM drift detection per event type over daily
+      // totals. The textbook recursion max(0, prev + (x − target)) is
+      // un-distributable, but it unrolls to the prefix-sum identity
+      // CUSUM_t = S_t − min_{k≤t} S_k with S the running Σ(x − target) —
+      // two stacked window passes over the same event_type shuffle.
+      // target = the type's floor-mean daily total in exact cents (one
+      // broadcast row per type); the whole pipeline is long arithmetic,
+      // no float anywhere.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("x"))
+        val target = daily.groupBy("event_type")
+          .agg(expr("sum(x) div count(1)").as("target"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        daily.join(broadcast(target), "event_type")
+          .withColumn("s", sum(col("x") - col("target")).over(w))
+          .withColumn("smin", min(col("s")).over(w))
+          .select(col("event_type"), col("day"),
+            (col("s") - col("smin")).as("cusum_c"),
+            ((col("s") - col("smin")) > col("target")).as("drifted"))
+          .orderBy("event_type", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        t AS (
+          SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS target
+          FROM daily GROUP BY 1),
+        s AS (
+          SELECT d.event_type, d.day,
+                 CAST(sum(d.x - t.target) OVER (PARTITION BY d.event_type
+                   ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s
+          FROM daily d JOIN t USING (event_type)),
+        m AS (
+          SELECT event_type, day, s,
+                 CAST(min(s) OVER (PARTITION BY event_type ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS smin
+          FROM s)
+        SELECT m.event_type, m.day, s - smin AS cusum_c,
+               (s - smin) > t.target AS drifted
+        FROM m JOIN t USING (event_type)
+        ORDER BY event_type, day""")
     )
   )
 }
