@@ -517,6 +517,46 @@ object PipelineQueries {
       }
     ),
     QueryDef(
+      "graph_triangles",
+      // Triangle census of the near-dup graph (same cached τ=0.95 pair
+      // mining): triangles measure how CLIQUE-LIKE duplication families
+      // are — transitive near-dup sets triangulate, chains don't. The
+      // canonical a<b orientation makes every triangle counted exactly
+      // once via wedge join (a<b ⋈ b<c) + closing-edge semi join — all
+      // equi-joins on vertex keys. At web scale the wedge join is
+      // bounded by degree-ordered orientation (count each wedge at its
+      // LOWEST-degree vertex); near-dup families are small cliques, so
+      // degrees are bounded by family size here.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
+        val e = DedupOps.ngramJaccardCachedUnsorted(docs(s, dir), threshold = 0.95)
+          .select(col("id_a").as("a"), col("id_b").as("b"))
+        val wedges = e.join(e.select(col("a").as("b2"), col("b").as("c")),
+            col("b") === col("b2"))
+          .select("a", "b", "c")
+        val tri = wedges.join(
+          e.select(col("a").as("ta"), col("b").as("tc")),
+          col("a") === col("ta") && col("c") === col("tc"), "left_semi")
+        tri.agg(count(lit(1)).as("n_triangles"))
+          .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+          .crossJoin(
+            e.select(col("a").as("x")).unionByName(e.select(col("b").as("x")))
+              .agg(countDistinct(col("x")).as("n_vertices")))
+      },
+      Some(s"""
+        WITH $pairCte,
+        e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+        w AS (SELECT e1.a, e1.b, e2.b AS c FROM e e1 JOIN e e2 ON e1.b = e2.a),
+        tri AS (
+          SELECT 1 AS one FROM w
+          WHERE EXISTS (SELECT 1 FROM e WHERE e.a = w.a AND e.b = w.c))
+        SELECT (SELECT count(*) FROM tri) AS n_triangles,
+               (SELECT count(*) FROM e) AS n_edges,
+               (SELECT count(DISTINCT x) FROM
+                  (SELECT a AS x FROM e UNION ALL SELECT b FROM e))
+                 AS n_vertices"""),
+    ),
+    QueryDef(
       "graph_pagerank",
       // Two PageRank iterations over the near-dup graph (token Jaccard >=
       // 0.95 pairs — the same cached PPJoin mining dedup_clusters uses):
