@@ -665,6 +665,81 @@ object WarehouseQueries {
         ORDER BY channel""")
     ),
     QueryDef(
+      "basket_repurchase",
+      // Repeat-purchase rate per part type — the retention metric on the
+      // product axis: of the (customer, part) relationships, how many
+      // recur across DISTINCT orders. The fact-fact join shuffles once
+      // on o_orderkey (both sides' key), the relationship grain shuffles
+      // once on (custkey, partkey); the part-type dim is broadcast.
+      (s, dir) => {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_partkey"))
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"))
+        val p = s.read.parquet(s"$dir/part.parquet")
+          .select(col("p_partkey"), col("p_type"))
+        val rel = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_custkey"), col("l_partkey"))
+          .agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        rel.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_type"))
+          .agg(count(lit(1)).as("n_relationships"),
+            sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).as("n_repeat"),
+            round(sum(when(col("n_orders") >= 2, 1L).otherwise(0L)).cast("double")
+              / count(lit(1)).cast("double"), 4).as("repeat_rate"))
+          .orderBy("p_type")
+      },
+      Some("""
+        WITH rel AS (
+          SELECT o.o_custkey, l.l_partkey,
+                 count(DISTINCT l.l_orderkey) AS n_orders
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          GROUP BY 1, 2)
+        SELECT p.p_type,
+               count(*) AS n_relationships,
+               CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_repeat,
+               round(CAST(sum(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                   AS DOUBLE) / CAST(count(*) AS DOUBLE), 4) AS repeat_rate
+        FROM rel JOIN part p ON rel.l_partkey = p.p_partkey
+        GROUP BY p.p_type ORDER BY p.p_type""")
+    ),
+    QueryDef(
+      "supplier_lead_time",
+      // Procurement lead time per supplier: ship lag (l_shipdate −
+      // o_orderdate) in integer days, averaged exactly (long day sums,
+      // one double division at the projection) plus the max. Fact-fact
+      // join on the shared o_orderkey, then one s_suppkey shuffle; the
+      // supplier dim stays out entirely — the key is the report grain.
+      (s, dir) => {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_orderdate"))
+        li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_suppkey"),
+            datediff(to_date(col("l_shipdate")), to_date(col("o_orderdate")))
+              .cast("long").as("lag_d"))
+          .groupBy("l_suppkey")
+          .agg(count(lit(1)).as("n_lines"),
+            round(sum(col("lag_d")).cast("double")
+              / count(lit(1)).cast("double"), 4).as("avg_lag_days"),
+            max(col("lag_d")).as("max_lag_days"))
+          .orderBy("l_suppkey")
+      },
+      Some("""
+        WITH x AS (
+          SELECT l.l_suppkey,
+                 CAST(datediff('day', CAST(o.o_orderdate AS DATE),
+                   CAST(l.l_shipdate AS DATE)) AS BIGINT) AS lag_d
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        SELECT l_suppkey, count(*) AS n_lines,
+               round(CAST(sum(lag_d) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+                 AS avg_lag_days,
+               max(lag_d) AS max_lag_days
+        FROM x GROUP BY l_suppkey ORDER BY l_suppkey""")
+    ),
+    QueryDef(
       "orders_pareto",
       // Pareto / 80-20 concentration: which customers carry 80% of
       // revenue. Needs a GLOBAL revenue-ordered cumulative sum — the
