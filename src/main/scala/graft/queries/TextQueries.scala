@@ -534,6 +534,46 @@ object TextQueries {
       Some(bpeEncodeOracle(6))
     ),
     QueryDef(
+      "doc_length_profile",
+      // Per-language length distribution (exact p50/p95 of n_chars) —
+      // the statistic that sizes chunking, packing, and length-filter
+      // thresholds for a training corpus. Positional selection over a
+      // unique (n_chars, doc_id) total order: integer rank positions,
+      // no interpolation, no per-group buffering (agg_median_selection's
+      // shape on the documents table).
+      (s, dir) => {
+        val ranked = Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"), col("doc_id"))
+        val whole = Window.partitionBy(col("lang"))
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("lang"), col("n_chars"), col("doc_id"))
+          .withColumn("rn", row_number().over(ranked))
+          .withColumn("n", count(lit(1)).over(whole))
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("(n * 95 + 99) div 100"))
+          .groupBy("lang")
+          .agg(max(col("n")).as("n_docs"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("n_chars")))
+              .as("p50_chars"),
+            max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("n_chars")))
+              .as("p95_chars"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH r AS (
+          SELECT lang, n_chars, doc_id,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n_chars, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS n
+          FROM documents)
+        SELECT lang, max(n) AS n_docs,
+               max(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS p50_chars,
+               max(CASE WHEN rn = (n * 95 + 99) // 100 THEN n_chars END)
+                 AS p95_chars
+        FROM r WHERE rn = (n + 1) // 2 OR rn = (n * 95 + 99) // 100
+        GROUP BY lang ORDER BY lang""")
+    ),
+    QueryDef(
       "dedup_normalized",
       // First-line web dedup: exact dedup AFTER normalization (casefold,
       // punctuation → space, whitespace collapse) — catches the
