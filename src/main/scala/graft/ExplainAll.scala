@@ -43,7 +43,9 @@ object ExplainAll {
     "join_interval_overlap" -> "Two-sided interval overlap: session intervals explode to spanned hour buckets, candidates equi-join on the bucket (lossless), exact overlap predicate + pair distinct — an equi-join on bkt (broadcast at this SF, sort-merge at scale), no cartesian, no nested loop.",
     "events_active_users" -> "Rolling 7-day WAU: distinct user-days explode map-side to their ≤7 window-end days, then a broadcast HASH join on the day spine — a BETWEEN band join would plan a nested loop over |days| per row.",
     "join_asof_nearest" -> "Nearest-event join as two RANGE-frame window passes over the unioned stream (backward max(struct), forward min(struct)) — one user_id shuffle, no click×purchase pair join at any skew.",
-    "embedding_quantize" -> "int8 quantization entirely inside WholeStageCodegen: per-vector folds are expressions (no aggregation node, no join); the only exchange is the final range sort."
+    "embedding_quantize" -> "int8 quantization entirely inside WholeStageCodegen: per-vector folds are expressions (no aggregation node, no join); the only exchange is the final range sort.",
+    "orders_pareto" -> "Global revenue-ordered cumsum WITHOUT a single-partition window: range-partition by (rev desc, key), per-partition sums, ≤8-row offset scan broadcast back — the two-phase distributed prefix sum.",
+    "graph_triangles" -> "Triangle census: canonical-orientation wedge join + closing-edge LeftSemi — every step an equi-join on vertex keys, no cartesian."
   )
 
   def main(args: Array[String]): Unit = {
