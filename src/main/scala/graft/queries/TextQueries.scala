@@ -534,6 +534,37 @@ object TextQueries {
       Some(bpeEncodeOracle(6))
     ),
     QueryDef(
+      "sample_weighted_k",
+      // Weighted sampling WITHOUT RNG state — Efraimidis–Spirakis
+      // reservoir as a pure top-k: each doc draws u from a deterministic
+      // multiplicative hash (integer arithmetic, engine-identical) and
+      // ranks by ln(u)/w with w = n_chars; the top-k by that key is a
+      // weighted sample without replacement, reproducible across runs,
+      // engines, and retries (the property rand() cannot give).
+      // Distributed shape: pure map + TakeOrderedAndProject — no
+      // shuffle. Keys are 1e-9-quantized to integers before ranking so
+      // the order never hinges on a last double ulp.
+      (s, dir) => {
+        val M = 4294967296L // 2^32
+        val u = ((col("doc_id") * lit(2654435761L)) % M + 1L).cast("double") /
+          lit((M + 1L).toDouble)
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("n_chars") > 0)
+          .select(col("doc_id"), col("n_chars"),
+            floor(log(u) / col("n_chars").cast("double") * 1e9 + 0.5)
+              .cast("long").as("key_e9"))
+          .orderBy(col("key_e9").desc, col("doc_id"))
+          .limit(20)
+      },
+      Some("""
+        SELECT doc_id, n_chars,
+               CAST(floor(ln(CAST((doc_id * 2654435761) % 4294967296 + 1
+                   AS DOUBLE) / 4294967297.0)
+                 / CAST(n_chars AS DOUBLE) * 1e9 + 0.5) AS BIGINT) AS key_e9
+        FROM documents WHERE n_chars > 0
+        ORDER BY key_e9 DESC, doc_id LIMIT 20""")
+    ),
+    QueryDef(
       "doc_length_profile",
       // Per-language length distribution (exact p50/p95 of n_chars) —
       // the statistic that sizes chunking, packing, and length-filter
