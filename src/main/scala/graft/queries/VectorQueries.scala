@@ -235,6 +235,91 @@ object VectorQueries {
         FROM q ORDER BY vec_id""")
     ),
     QueryDef(
+      "embedding_top_pc",
+      // Distributed PCA power iteration — the top principal direction of
+      // the (uncentered) embedding covariance via two rounds of
+      // v ← normalize(Σᵢ (xᵢ·v) xᵢ), never materializing the d×d
+      // covariance: each round is one broadcast of the 64-dim v, one
+      // map-side dot per row, one d-key aggregation. Exactness
+      // discipline: every cross-row/cross-dim sum quantizes its TERMS to
+      // 1e-6 longs first (order-independent), dots fold the quantized
+      // terms as integers, and the per-round normalization runs on the
+      // collected 64-value vector in sorted-dim order (a bounded driver
+      // artifact, like the k-means training sample) with the identical
+      // quantized arithmetic the oracle replays.
+      (s, dir) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id"), col("embedding"))
+        def round2(vq: Array[Long]): org.apache.spark.sql.DataFrame = {
+          val vLit = array(vq.map(q => lit(q.toDouble / 1e6)): _*)
+          emb
+            .withColumn("dot_e6",
+              aggregate(
+                zip_with(col("embedding"), vLit,
+                  (x, vv) => floor(x.cast("double") * vv * 1e6 + 0.5).cast("long")),
+                lit(0L), (a, b) => a + b))
+            .select(col("dot_e6"),
+              posexplode(col("embedding")).as(Seq("j", "x")))
+            .select(col("j"),
+              floor((col("dot_e6").cast("double") / 1e6)
+                * col("x").cast("double") * 1e6 + 0.5).cast("long").as("term"))
+            .groupBy("j").agg(sum(col("term")).as("y_e6"))
+        }
+        def normalize(y: Array[(Int, Long)]): Array[Long] = {
+          val sumSq = y.sortBy(_._1).map { case (_, q) =>
+            val v = q.toDouble / 1e6
+            math.floor(v * v * 1e6 + 0.5).toLong
+          }.sum
+          val norm = math.sqrt(sumSq.toDouble / 1e6)
+          y.sortBy(_._1).map { case (_, q) =>
+            math.floor(q.toDouble / 1e6 / norm * 1e6 + 0.5).toLong
+          }
+        }
+        val d = emb.select(size(col("embedding"))).head.getInt(0)
+        var v = Array.fill(d)(1000000L)
+        for (_ <- 1 to 2) {
+          val y = round2(v).collect().map(r => (r.getInt(0), r.getLong(1)))
+          v = normalize(y)
+        }
+        import s.implicits._
+        v.zipWithIndex.map { case (q, j) => (j, q) }.toSeq
+          .toDF("j", "v_e6").orderBy("j")
+      },
+      Some("""
+        WITH x AS (
+          SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+                 CAST(unnest(embedding) AS DOUBLE) AS xv
+          FROM embeddings),
+        t1 AS (SELECT vec_id, j, xv,
+                 CAST(floor(xv * 1.0 * 1e6 + 0.5) AS BIGINT) AS term FROM x),
+        d1 AS (SELECT vec_id, CAST(sum(term) AS BIGINT) AS dot_e6
+               FROM t1 GROUP BY vec_id),
+        y1t AS (SELECT x.j,
+                  CAST(floor((d1.dot_e6 / 1e6) * x.xv * 1e6 + 0.5) AS BIGINT)
+                    AS term
+                FROM x JOIN d1 USING (vec_id)),
+        y1 AS (SELECT j, CAST(sum(term) AS BIGINT) AS y_e6 FROM y1t GROUP BY j),
+        n1 AS (SELECT sqrt(CAST(sum(CAST(floor((y_e6 / 1e6) * (y_e6 / 1e6)
+                 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6) AS norm FROM y1),
+        v1 AS (SELECT j, CAST(floor(y_e6 / 1e6 / norm * 1e6 + 0.5) AS BIGINT)
+                 AS v_e6 FROM y1, n1),
+        t2 AS (SELECT x.vec_id, x.j, x.xv,
+                 CAST(floor(x.xv * (v1.v_e6 / 1e6) * 1e6 + 0.5) AS BIGINT)
+                   AS term
+               FROM x JOIN v1 USING (j)),
+        d2 AS (SELECT vec_id, CAST(sum(term) AS BIGINT) AS dot_e6
+               FROM t2 GROUP BY vec_id),
+        y2t AS (SELECT x.j,
+                  CAST(floor((d2.dot_e6 / 1e6) * x.xv * 1e6 + 0.5) AS BIGINT)
+                    AS term
+                FROM x JOIN d2 USING (vec_id)),
+        y2 AS (SELECT j, CAST(sum(term) AS BIGINT) AS y_e6 FROM y2t GROUP BY j),
+        n2 AS (SELECT sqrt(CAST(sum(CAST(floor((y_e6 / 1e6) * (y_e6 / 1e6)
+                 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) / 1e6) AS norm FROM y2)
+        SELECT j, CAST(floor(y_e6 / 1e6 / norm * 1e6 + 0.5) AS BIGINT) AS v_e6
+        FROM y2, n2 ORDER BY j""")
+    ),
+    QueryDef(
       "knn_blocked_topk",
       // kNN graph (top-3 same-label neighbors per vector) — the
       // primitive under semantic clustering / SemDeDup-style pruning.
