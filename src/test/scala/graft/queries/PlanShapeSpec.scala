@@ -255,6 +255,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Window"))
   }
 
+  test("basket_repurchase joins facts on the shared key and broadcasts the part dim") {
+    val plan = planOf("basket_repurchase")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected the broadcast part-type dim join in:\n$plan")
+  }
+
+  test("orders_open_backlog never plans a cartesian — deltas join the spine by day") {
+    val plan = planOf("orders_open_backlog")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
   test("knn_blocked_topk candidates come from the label equi-join — never a cartesian") {
     val plan = planOf("knn_blocked_topk")
     assert(!plan.contains("CartesianProduct"), s"kNN fell back to a cartesian:\n$plan")
