@@ -1086,6 +1086,77 @@ object EventQueries {
                (s - smin) > t.target AS drifted
         FROM m JOIN t USING (event_type)
         ORDER BY event_type, day""")
+    ),
+    QueryDef(
+      "events_conversion_lag",
+      // Signup→purchase conversion latency: exact GLOBAL p50/p95 of the
+      // per-user lag. The global order statistic uses the TWO-PHASE
+      // positional selection (orders_pareto's prefix-sum shape): range-
+      // partition converting users by (lag, user), per-partition counts,
+      // a ≤8-row offset scan broadcast back — rank positions without a
+      // single-partition window over the users. Lags are integer
+      // seconds; counts ride a one-row broadcast.
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+        val p1 = e.filter(col("event_type") === "purchase")
+          .join(broadcast(s1), "user_id")
+          .filter(col("ts") >= col("s_ts"))
+          .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
+        val lags = s1.join(p1, Seq("user_id"))
+          .select(col("user_id"),
+            expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 1000000")
+              .as("lag_s"))
+        val parts = lags.repartitionByRange(8, col("lag_s"), col("user_id"))
+          .withColumn("pid", spark_partition_id())
+        val offsets = parts.groupBy("pid").agg(count(lit(1)).as("pn"))
+          .withColumn("offset",
+            coalesce(sum(col("pn")).over(
+              Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+              lit(0L)))
+          .select("pid", "offset")
+        val nRow = lags.agg(count(lit(1)).as("n"))
+          .crossJoin(s1.agg(count(lit(1)).as("n_signups")))
+        parts.join(broadcast(offsets), "pid")
+          .withColumn("rn", col("offset") + row_number().over(
+            Window.partitionBy("pid").orderBy(col("lag_s"), col("user_id"))))
+          .crossJoin(broadcast(nRow))
+          .filter(col("rn") === expr("(n + 1) div 2") ||
+            col("rn") === expr("(n * 95 + 99) div 100"))
+          .groupBy()
+          .agg(max(col("n_signups")).as("n_signups"),
+            max(col("n")).as("n_converted"),
+            max(when(col("rn") === expr("(n + 1) div 2"), col("lag_s")))
+              .as("p50_lag_s"),
+            max(when(col("rn") === expr("(n * 95 + 99) div 100"), col("lag_s")))
+              .as("p95_lag_s"))
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts
+          FROM events),
+        s1 AS (SELECT user_id, min(ts) AS s_ts FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+        p1 AS (SELECT e.user_id, min(e.ts) AS p_ts
+               FROM e JOIN s1 USING (user_id)
+               WHERE e.event_type = 'purchase' AND e.ts >= s1.s_ts
+               GROUP BY e.user_id),
+        lags AS (
+          SELECT s1.user_id,
+                 (epoch_us(p_ts) - epoch_us(s_ts)) // 1000000 AS lag_s
+          FROM s1 JOIN p1 USING (user_id)),
+        r AS (
+          SELECT lag_s,
+                 row_number() OVER (ORDER BY lag_s, user_id) AS rn,
+                 count(*) OVER () AS n
+          FROM lags)
+        SELECT (SELECT count(*) FROM s1) AS n_signups,
+               max(n) AS n_converted,
+               max(CASE WHEN rn = (n + 1) // 2 THEN lag_s END) AS p50_lag_s,
+               max(CASE WHEN rn = (n * 95 + 99) // 100 THEN lag_s END)
+                 AS p95_lag_s
+        FROM r WHERE rn = (n + 1) // 2 OR rn = (n * 95 + 99) // 100""")
     )
   )
 }
