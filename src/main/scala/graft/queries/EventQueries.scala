@@ -1100,8 +1100,11 @@ object EventQueries {
         val e = Tables.events(s, dir)
         val s1 = e.filter(col("event_type") === "signup")
           .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+        // No broadcast hint on s1: the signup table is per-user (unbounded
+        // at scale) — the equi-join shuffles on user_id, and AQE still
+        // broadcasts it when it measures small.
         val p1 = e.filter(col("event_type") === "purchase")
-          .join(broadcast(s1), "user_id")
+          .join(s1, "user_id")
           .filter(col("ts") >= col("s_ts"))
           .groupBy("user_id").agg(min(col("ts")).as("p_ts"))
         val lags = s1.join(p1, Seq("user_id"))
