@@ -36,7 +36,13 @@ object GraphOps {
       maxIter: Int = 50,
       // Regime cut-over, exposed for tests (forcing 0 exercises the
       // iterative path on small graphs; the default is the prod value).
-      smallLabelThreshold: Long = 500000L
+      smallLabelThreshold: Long = 500000L,
+      // Upper bound on |V| when the caller knows it statically (e.g. a
+      // bounded id window): skips the regime-probe count() — one fewer
+      // serial driver-blocking job, which matters because serial segments
+      // take a CPU-theft stall at full strength while 32-way stages
+      // average it out.
+      sizeHint: Option[Long] = None
   ): DataFrame = {
     // TWO REGIMES by |V|. When the LABEL table fits comfortably in one
     // task's memory (≤500k vertices ≈ 8 MB of longs — the same order as
@@ -55,7 +61,7 @@ object GraphOps {
     // size-based call a planner makes for broadcast-vs-shuffle joins.
     // Requires integral vertex ids (true for all graft callers); any
     // other id type uses the iterative path, which is type-agnostic.
-    val nVerts = vertices.count()
+    val nVerts = sizeHint.getOrElse(vertices.count())
     val integralIds = vertices.schema("id").dataType match {
       case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
            org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => true

@@ -212,7 +212,9 @@ object PipelineQueries {
           .select(col("id_a").as("src"), col("id_b").as("dst"))
         val verts = emb(s, dir).filter(col("vec_id") < 300)
           .select(col("vec_id").as("id"))
-        GraphOps.connectedComponents(verts, pairs)
+        // |V| is statically bounded by the id window — skip the regime
+        // probe count (one fewer serial driver-blocking job).
+        GraphOps.connectedComponents(verts, pairs, sizeHint = Some(300L))
           .select(col("id").as("vec_id"), col("label").as("component"))
           .orderBy("vec_id")
       },
