@@ -1088,6 +1088,63 @@ object EventQueries {
         ORDER BY event_type, day""")
     ),
     QueryDef(
+      "window_bollinger",
+      // Rolling Bollinger bands with a FULLY INTEGER outlier predicate:
+      // the 30-day RANGE frame carries (n, Σx, Σx²) in exact longs, and
+      // the |x − mean| > 2σ test is algebraically cleared of divisions —
+      // (x·n − Σx)² > 4·(n·Σx² − (Σx)²) — so the flag never touches a
+      // float; mean and σ surface as display columns only, rounded from
+      // the same exact longs. One event_type shuffle serves the daily
+      // aggregate and the window.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(sum(floor(col("value") * 100 + 0.5).cast("long")).as("x"))
+          .withColumn("xi", datediff(col("day"), lit("1990-01-01").cast("date")))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("xi"))
+          .rangeBetween(-29, 0)
+        val dev = col("x") * col("n") - col("s1")
+        val disc = col("n") * col("s2") - col("s1") * col("s1")
+        daily.select(col("event_type"), col("day"), col("x"),
+            count(lit(1)).over(w).as("n"),
+            sum(col("x")).over(w).as("s1"),
+            sum(col("x") * col("x")).over(w).as("s2"))
+          .select(col("event_type"), col("day"), col("n"),
+            (floor(col("s1").cast("double") / col("n").cast("double") / 100.0
+              * 10000 + 0.5) / 10000).as("mean"),
+            (floor(sqrt(disc.cast("double")) / col("n").cast("double") / 100.0
+              * 10000 + 0.5) / 10000).as("sigma"),
+            (dev * dev > lit(4L) * disc).as("is_outlier"))
+          .orderBy("event_type", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(make_timestamp(epoch_ns(ts) // 1000) AS DATE) AS day,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+          FROM events GROUP BY 1, 2),
+        d2 AS (
+          SELECT event_type, day, x,
+                 datediff('day', DATE '1990-01-01', day) AS xi
+          FROM daily),
+        s AS (
+          SELECT event_type, day, x,
+                 count(*) OVER w AS n,
+                 CAST(sum(x) OVER w AS BIGINT) AS s1,
+                 CAST(sum(x * x) OVER w AS BIGINT) AS s2
+          FROM d2
+          WINDOW w AS (PARTITION BY event_type ORDER BY xi
+                       RANGE BETWEEN 29 PRECEDING AND CURRENT ROW))
+        SELECT event_type, day, n,
+               floor(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) / 100.0
+                 * 10000 + 0.5) / 10000 AS mean,
+               floor(sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                 / CAST(n AS DOUBLE) / 100.0 * 10000 + 0.5) / 10000 AS sigma,
+               (x * n - s1) * (x * n - s1) > 4 * (n * s2 - s1 * s1)
+                 AS is_outlier
+        FROM s ORDER BY event_type, day""")
+    ),
+    QueryDef(
       "events_conversion_lag",
       // Signup→purchase conversion latency: exact GLOBAL p50/p95 of the
       // per-user lag. The global order statistic uses the TWO-PHASE

@@ -519,6 +519,36 @@ object PipelineQueries {
       }
     ),
     QueryDef(
+      "dedup_cluster_sizes",
+      // Duplication-family size histogram — the corpus-health report a
+      // dedup pass is judged by (how much mass sits in large families vs
+      // singletons). Reuses the CACHED cluster labeling (mine-once/
+      // derive-many: dedupClusters memoizes the checkpointed label
+      // table), so this is two tiny aggregations over an already-
+      // materialized RDD.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit}
+        GraphOps.dedupClusters(docs(s, dir), threshold = 0.95)
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz"))
+          .agg(count(lit(1)).as("n_clusters"))
+          .orderBy("sz")
+      },
+      Some(s"""
+        WITH RECURSIVE $pairCte,
+        e2 AS (SELECT id_a AS a, id_b AS b FROM pairs
+               UNION ALL SELECT id_b, id_a FROM pairs),
+        walk(node, label) AS (
+          SELECT doc_id, doc_id FROM documents
+          UNION
+          SELECT e2.b, walk.label FROM walk JOIN e2 ON e2.a = walk.node),
+        comp AS (SELECT node AS doc_id, min(label) AS component
+                 FROM walk GROUP BY node),
+        szs AS (SELECT component, count(*) AS sz FROM comp GROUP BY component)
+        SELECT sz, count(*) AS n_clusters FROM szs GROUP BY sz ORDER BY sz""")
+    ),
+    QueryDef(
       "graph_triangles",
       // Triangle census of the near-dup graph (same cached τ=0.95 pair
       // mining): triangles measure how CLIQUE-LIKE duplication families

@@ -534,6 +534,59 @@ object TextQueries {
       Some(bpeEncodeOracle(6))
     ),
     QueryDef(
+      "text_ngram_novelty",
+      // Marginal-content curve: per doc, the fraction of its distinct
+      // 13-grams whose FIRST corpus appearance (min doc_id) is this doc
+      // — the "how much new content does each document add" metric
+      // behind dedup-ordering and data-mixing decisions. Same gram
+      // machinery as dedup_substring (distinct (doc, gram) pairs →
+      // per-gram min → join back); every join is an equi-join on the
+      // gram, and the 100 TB path ships gram digests instead of strings.
+      (s, dir) => {
+        val docsDf = s.read.parquet(s"$dir/documents.parquet")
+        val grams = docsDf
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .where(size(col("ts")) >= 13)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ts) - 12), i -> array_join(slice(ts, i, 13), ' '))"))
+            .as("gram"))
+          .distinct()
+        val firstDoc = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+        val perDoc = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        val novel = grams.join(firstDoc, "gram")
+          .filter(col("doc_id") === col("first_doc"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+        docsDf.select("doc_id")
+          .join(perDoc, Seq("doc_id"), "left")
+          .join(novel, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+            coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+            round(coalesce(col("n_novel"), lit(0L)).cast("double")
+              / col("n_grams").cast("double"), 4).as("novelty"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, array_to_string(ts[i : i + 12], ' ') AS gram
+          FROM toks, unnest(generate_series(1, len(ts) - 12)) AS u(i)
+          WHERE len(ts) >= 13),
+        fd AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram),
+        pd AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        nv AS (SELECT g.doc_id, count(*) AS n_novel
+               FROM g JOIN fd USING (gram)
+               WHERE g.doc_id = fd.first_doc GROUP BY g.doc_id)
+        SELECT d.doc_id,
+               CAST(coalesce(pd.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(nv.n_novel, 0) AS BIGINT) AS n_novel,
+               round(CAST(coalesce(nv.n_novel, 0) AS DOUBLE)
+                 / CAST(pd.n_grams AS DOUBLE), 4) AS novelty
+        FROM documents d
+          LEFT JOIN pd USING (doc_id) LEFT JOIN nv USING (doc_id)
+        ORDER BY d.doc_id""")
+    ),
+    QueryDef(
       "sample_weighted_k",
       // Weighted sampling WITHOUT RNG state — Efraimidis–Spirakis
       // reservoir as a pure top-k: each doc draws u from a deterministic
