@@ -255,6 +255,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("Window"))
   }
 
+  test("text_ngram_novelty stays on gram equi-joins — no cartesian anywhere") {
+    val plan = planOf("text_ngram_novelty")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+  }
+
+  test("window_bollinger is join-free: one shuffle family serves agg and window") {
+    val plan = planOf("window_bollinger")
+    assert(!plan.contains("Join"), s"bollinger planned a join:\n$plan")
+    assert(plan.contains("Window"))
+  }
+
   test("basket_repurchase joins facts on the shared key and broadcasts the part dim") {
     val plan = planOf("basket_repurchase")
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
