@@ -519,6 +519,53 @@ object PipelineQueries {
       }
     ),
     QueryDef(
+      "dedup_cross_source_matrix",
+      // Cross-source contamination matrix — the curation report behind
+      // "how much of source A duplicates source B" (web-dump overlap,
+      // mirror detection, license triage). Pure DERIVE from the cached
+      // τ=0.8 pair mine (mine-once/derive-many): join each pair end to
+      // its source label (two broadcast-sized lookups of (doc_id,
+      // source)), canonicalize the unordered source pair, count. No new
+      // shuffle of the corpus — only of the pair list.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, least, greatest, lit}
+        val src = docs(s, dir).select(col("doc_id"), col("source"))
+        DedupOps.ngramJaccardCachedUnsorted(docs(s, dir), threshold = 0.8)
+          .select("id_a", "id_b")
+          .join(src.withColumnRenamed("doc_id", "id_a")
+            .withColumnRenamed("source", "src_a"), "id_a")
+          .join(src.withColumnRenamed("doc_id", "id_b")
+            .withColumnRenamed("source", "src_b"), "id_b")
+          .select(least(col("src_a"), col("src_b")).as("source_a"),
+            greatest(col("src_a"), col("src_b")).as("source_b"))
+          .groupBy("source_a", "source_b")
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("source_a", "source_b")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(list_filter(
+            string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
+          FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs08 AS (
+          SELECT id_a, id_b FROM shared
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8)
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs
+        FROM pairs08
+          JOIN documents da ON da.doc_id = id_a
+          JOIN documents db ON db.doc_id = id_b
+        GROUP BY 1, 2 ORDER BY source_a, source_b""")
+    ),
+    QueryDef(
       "dedup_cluster_sizes",
       // Duplication-family size histogram — the corpus-health report a
       // dedup pass is judged by (how much mass sits in large families vs
