@@ -17,7 +17,7 @@ final case class QueryDef(
 object Catalog {
   /** All registered queries across the operator modules. */
   def all: Seq[QueryDef] =
-    Relational.queries ++ AnalyticsQueries.queries ++ WarehouseQueries.queries ++ TextQueries.queries ++
+    Relational.queries ++ AnalyticsQueries.queries ++ WarehouseQueries.queries ++ StatQueries.queries ++ TextQueries.queries ++
       VectorQueries.queries ++ EventQueries.queries ++
       PipelineQueries.queries ++ UdfQueries.queries ++
       TypedQueries.queries ++ StreamingQueries.queries ++ OpsQueries.queries

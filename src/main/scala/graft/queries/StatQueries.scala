@@ -1,0 +1,380 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ops.SparkOps
+
+/** Distribution / robust-statistics / curation-audit operators added in
+  * round 8: equi-depth histograms (distributed ntile), ratio-to-report
+  * window shares, cohort LTV curves, time-constrained funnels, MAD-based
+  * robust outlier flagging, blocking-based fuzzy entity matching,
+  * incremental partial-aggregate merge, embedding-norm corpus QA, and
+  * deterministic per-document keyword ranking.
+  *
+  * All oracles follow the cross-engine determinism rules (see
+  * Tables.moneySum and the repo float-rules): money in integer cent
+  * quanta, thresholds as pure integer comparisons, doubles only in a
+  * final projection with identical op order on both engines.
+  */
+object StatQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def cents(c: org.apache.spark.sql.Column) =
+    floor(c * 100 + 0.5).cast("long")
+
+  def queries: Seq[QueryDef] = Seq(
+    QueryDef(
+      "histogram_equi_depth",
+      // Equi-DEPTH (quantile) histogram of order value — the complement of
+      // agg_histogram's equi-width buckets. The global decile assignment is
+      // SparkOps.distributedNtile: range-repartition + per-partition rank +
+      // broadcast offsets, never a single-partition global window. The
+      // oracle runs plain ntile(10) over the same TOTAL order (cents,
+      // orderkey) — equality proves the two-phase ranking reproduces SQL
+      // ntile bucket-for-bucket.
+      (s, dir) => {
+        val o = t(s, dir, "orders")
+          .select(col("o_orderkey"), cents(col("o_totalprice")).as("cts"))
+        SparkOps.distributedNtile(o, 10, "bucket", col("cts"), col("o_orderkey"))
+          .groupBy("bucket")
+          .agg(
+            count(lit(1)).as("n"),
+            (min(col("cts")) / 100.0).as("lo"),
+            (max(col("cts")) / 100.0).as("hi"))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH c AS (SELECT o_orderkey,
+                          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cts
+                   FROM orders),
+        b AS (SELECT cts, ntile(10) OVER (ORDER BY cts, o_orderkey) AS bucket
+              FROM c)
+        SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n,
+               min(cts) / 100.0 AS lo, max(cts) / 100.0 AS hi
+        FROM b GROUP BY bucket ORDER BY bucket""")
+    ),
+    QueryDef(
+      "window_share_of_total",
+      // Ratio-to-report: each nation's share of its region's revenue. The
+      // share is a window sum over the ALREADY-AGGREGATED nation rollup
+      // (≤25 rows), so the window is trivially small no matter the fact
+      // table size; dims broadcast into the fact join. Cent-quanta longs
+      // divide as doubles only in the final projection.
+      (s, dir) => {
+        val rev = t(s, dir, "orders")
+          .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+        rev
+          .withColumn("region_c", sum(col("rev_c")).over(Window.partitionBy(col("r_name"))))
+          .select(col("r_name"), col("n_name"), col("rev_c"),
+            round(col("rev_c") / col("region_c"), 6).as("share"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT r_name, n_name,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS rev_c
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2)
+        SELECT r_name, n_name, rev_c,
+               round(rev_c / CAST(sum(rev_c) OVER (PARTITION BY r_name)
+                 AS BIGINT), 6) AS share
+        FROM rev ORDER BY r_name, n_name""")
+    ),
+    QueryDef(
+      "cohort_ltv_curve",
+      // Cumulative revenue per acquisition cohort by month age — the LTV
+      // curve behind retention_cohort's counts. The cumsum window runs per
+      // cohort over month-grain ages (≤ ~90 rows per cohort), exact long
+      // cents; the only big shuffle is the first-order groupBy on custkey,
+      // which the revenue join reuses (same key, one exchange).
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_custkey"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("om"),
+          cents(col("o_totalprice")).as("cts"))
+        val first = o.groupBy("o_custkey").agg(min(col("om")).as("cohort"))
+        o.join(first, "o_custkey")
+          .groupBy(col("cohort"),
+            months_between(col("om"), col("cohort")).cast("int").as("age"))
+          .agg(count(lit(1)).as("n_orders"), sum(col("cts")).as("rev_c"))
+          .withColumn("cum_rev_c", sum(col("rev_c")).over(
+            Window.partitionBy(col("cohort")).orderBy(col("age"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .select(col("cohort"), col("age"), col("n_orders"), col("cum_rev_c"))
+          .orderBy("cohort", "age")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey,
+                 CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cts
+          FROM orders),
+        f AS (SELECT o_custkey, min(om) AS cohort FROM o GROUP BY 1),
+        g AS (SELECT cohort, date_diff('month', cohort, om) AS age,
+                     count(*) AS n_orders,
+                     CAST(sum(cts) AS BIGINT) AS rev_c
+              FROM o JOIN f USING (o_custkey) GROUP BY 1, 2)
+        SELECT cohort, CAST(age AS INTEGER) AS age, n_orders,
+               CAST(sum(rev_c) OVER (PARTITION BY cohort ORDER BY age
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_rev_c
+        FROM g ORDER BY cohort, age""")
+    ),
+    QueryDef(
+      "events_funnel_windowed",
+      // Time-constrained funnel: each stage must land within 7 days of the
+      // previous stage's first hit (the attribution-window variant of
+      // events_funnel). Same scale shape: every join keys on user_id, the
+      // shrinking stage tables broadcast.
+      (s, dir) => {
+        val e = Tables.events(s, dir).select("user_id", "event_type", "ts")
+        val s1 = e.filter(col("event_type") === "signup")
+          .groupBy("user_id").agg(min("ts").as("signup_ts"))
+        val s2 = e.filter(col("event_type") === "click")
+          .join(broadcast(s1), "user_id")
+          .filter(col("ts") >= col("signup_ts") &&
+            col("ts") <= col("signup_ts") + expr("INTERVAL 7 DAYS"))
+          .groupBy("user_id").agg(min("ts").as("click_ts"))
+        val s3 = e.filter(col("event_type") === "purchase")
+          .join(broadcast(s2), "user_id")
+          .filter(col("ts") >= col("click_ts") &&
+            col("ts") <= col("click_ts") + expr("INTERVAL 7 DAYS"))
+          .groupBy("user_id").agg(min("ts").as("purchase_ts"))
+        Seq(("1_signup", s1), ("2_click_7d", s2), ("3_purchase_7d", s3))
+          .map { case (stage, df) =>
+            df.agg(count(lit(1)).as("n_users"))
+              .select(lit(stage).as("stage"), col("n_users"))
+          }
+          .reduce(_ unionByName _)
+          .orderBy("stage")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, make_timestamp(epoch_ns(ts) // 1000) AS ts
+          FROM events),
+        s1 AS (SELECT user_id, min(ts) AS signup_ts FROM e
+               WHERE event_type = 'signup' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS click_ts
+               FROM e JOIN s1 USING (user_id)
+               WHERE event_type = 'click' AND e.ts >= s1.signup_ts
+                 AND e.ts <= s1.signup_ts + INTERVAL 7 DAY
+               GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS purchase_ts
+               FROM e JOIN s2 USING (user_id)
+               WHERE event_type = 'purchase' AND e.ts >= s2.click_ts
+                 AND e.ts <= s2.click_ts + INTERVAL 7 DAY
+               GROUP BY e.user_id)
+        SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+        UNION ALL SELECT '2_click_7d', count(*) FROM s2
+        UNION ALL SELECT '3_purchase_7d', count(*) FROM s3
+        ORDER BY stage""")
+    ),
+    QueryDef(
+      "events_anomaly_mad",
+      // Robust outlier flagging: |v − median| > 3·1.4826·MAD per event
+      // type — the median/MAD twin of anomaly_zscore (robust to the very
+      // outliers a mean/stddev gate absorbs). Medians run on exact cent
+      // quanta doubled so the even-count midpoint stays integral; the flag
+      // is the pure integer comparison dev2·20000 > mad22·44478
+      // (⇔ |v−med| > 4.4478·MAD), so no accumulated float ever decides a
+      // boundary row. Per-type medians broadcast back onto the events.
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("event_type"), cents(col("value")).as("vc"))
+        val med = e.groupBy("event_type")
+          .agg(expr("cast(2 * percentile(vc, 0.5D) as bigint)").as("m2"))
+        val dev = e.join(broadcast(med), "event_type")
+          .withColumn("dev2", abs(col("vc") * 2 - col("m2")))
+        val mad = dev.groupBy("event_type")
+          .agg(expr("cast(2 * percentile(dev2, 0.5D) as bigint)").as("mad22"))
+        dev.join(broadcast(mad), "event_type")
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("dev2") * 20000 > col("mad22") * 44478, 1L)
+              .otherwise(0L)).as("n_out"),
+            min(col("m2")).as("med_c2"),
+            min(col("mad22")).as("mad_c22"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (SELECT event_type,
+                          CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+                   FROM events),
+        med AS (SELECT event_type,
+                       CAST(2 * quantile_cont(vc, 0.5) AS BIGINT) AS m2
+                FROM e GROUP BY 1),
+        dev AS (SELECT e.event_type, abs(vc * 2 - m2) AS dev2, m2
+                FROM e JOIN med USING (event_type)),
+        mad AS (SELECT event_type,
+                       CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad22
+                FROM dev GROUP BY 1)
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CASE WHEN dev2 * 20000 > mad22 * 44478
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+               min(m2) AS med_c2, min(mad22) AS mad_c22
+        FROM dev JOIN mad USING (event_type)
+        GROUP BY event_type ORDER BY event_type""")
+    ),
+    QueryDef(
+      "join_fuzzy_blocked",
+      // Blocking-based fuzzy entity matching: candidate pairs only WITHIN
+      // a (nation, segment) block — the standard record-linkage shape that
+      // turns an O(n²) fuzzy self-join into per-block quadratics (≤ ~150
+      // rows per block at sf0.1; block count grows with data, block size
+      // with skew only). Levenshtein is exact integer DP in both engines;
+      // key_a < key_b halves the pair space and kills self-pairs.
+      (s, dir) => {
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
+        val a = c.toDF("key_a", "name_a", "nk", "seg")
+        val b = c.toDF("key_b", "name_b", "nk", "seg")
+        a.join(b, Seq("nk", "seg"))
+          .filter(col("key_a") < col("key_b") &&
+            levenshtein(col("name_a"), col("name_b")) <= 2)
+          .groupBy(col("nk").as("c_nationkey"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("c_nationkey")
+      },
+      Some("""
+        SELECT a.c_nationkey AS c_nationkey, count(*) AS n_pairs
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+         AND levenshtein(a.c_name, b.c_name) <= 2
+        GROUP BY 1 ORDER BY 1""")
+    ),
+    QueryDef(
+      "agg_incremental_merge",
+      // Incremental warehouse pattern: two batch windows aggregate to
+      // per-key PARTIAL states (count, long-cent sum), the partials union
+      // and re-aggregate — the algebraic-merge shape that lets a daily job
+      // fold yesterday's materialized state with today's delta instead of
+      // rescanning history. Equality with the oracle's full-history
+      // aggregate is the mergeability proof (long sums are associative).
+      (s, dir) => {
+        val o = t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("cts"))
+        val cut = lit("1996-01-01").cast("date")
+        def partial(df: DataFrame) = df.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), sum(col("cts")).as("rev_c"))
+        partial(o.filter(col("o_orderdate") < cut))
+          .unionByName(partial(o.filter(col("o_orderdate") >= cut)))
+          .groupBy("o_custkey")
+          .agg(sum(col("n")).as("n_orders"), sum(col("rev_c")).as("rev_c"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        SELECT o_custkey, count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS rev_c
+        FROM orders GROUP BY o_custkey ORDER BY o_custkey""")
+    ),
+    QueryDef(
+      "embedding_norm_profile",
+      // Corpus QA for embeddings: per-label histogram of L2 norms (0.1-wide
+      // buckets) — the drift/outlier profile a training pipeline checks
+      // before ANN indexing. The fold runs left-to-right with identical
+      // IEEE ops in both engines (see float-rules), so the bucket edge is
+      // decided on bit-identical doubles.
+      (s, dir) => {
+        val norm = sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double")))
+        t(s, dir, "embeddings")
+          .select(col("label"), floor(norm * 10).cast("long").as("bucket"))
+          .groupBy("label", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("label", "bucket")
+      },
+      Some("""
+        WITH n AS (
+          SELECT label,
+                 CAST(floor(sqrt(list_sum(list_transform(embedding,
+                   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 10)
+                   AS BIGINT) AS bucket
+          FROM embeddings)
+        SELECT label, bucket, count(*) AS n
+        FROM n GROUP BY 1, 2 ORDER BY label, bucket""")
+    ),
+    QueryDef(
+      "text_keyword_rank",
+      // Per-document keyword extraction, float-free: terms rank by
+      // (tf DESC, df ASC, term ASC) — exactly the tf·idf ordering for a
+      // fixed tf (higher df ⇒ lower idf) without a cross-engine ln().
+      // df computes over the WHOLE corpus (one shuffle on term, vocab-
+      // sized result broadcasts); the per-doc top-3 window partitions by
+      // doc_id, so no global sort. Output limited to doc_id < 50.
+      (s, dir) => {
+        val toks = t(s, dir, "documents").select(
+          col("doc_id"),
+          explode(expr(
+            "filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z]{3,}$')"))
+            .as("term"))
+        val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+        val w = Window.partitionBy(col("doc_id"))
+          .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+        tf.filter(col("doc_id") < 50)
+          .join(broadcast(df), "term")
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 3)
+          .select(col("doc_id"), col("rnk"), col("term"), col("tf"), col("df"))
+          .orderBy("doc_id", "rnk")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                   x -> regexp_full_match(x, '[a-z]{3,}'))) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        r AS (SELECT doc_id, term, tf, df,
+                     row_number() OVER (PARTITION BY doc_id
+                       ORDER BY tf DESC, df ASC, term ASC) AS rnk
+              FROM tf JOIN df USING (term) WHERE doc_id < 50)
+        SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term, tf, df
+        FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""")
+    ),
+    QueryDef(
+      "events_seasonality",
+      // Hour-of-day seasonality profile per event type — the batch shape
+      // behind capacity planning and anomaly baselines. 24×5 output rows;
+      // one partial-aggregated shuffle. Average forms from exact long cents
+      // with double division only in the final projection.
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(hour(col("ts")).as("hod"), col("event_type"),
+            cents(col("value")).as("vc"))
+          .groupBy("hod", "event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            round(sum(col("vc")).cast("double") / count(lit(1)).cast("double"), 4)
+              .as("avg_cents"))
+          .orderBy("hod", "event_type"),
+      Some("""
+        WITH e AS (
+          SELECT extract(hour FROM make_timestamp(epoch_ns(ts) // 1000)) AS hod,
+                 event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+          FROM events)
+        SELECT CAST(hod AS INTEGER) AS hod, event_type, count(*) AS n,
+               round(CAST(sum(vc) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
+                 AS avg_cents
+        FROM e GROUP BY 1, 2 ORDER BY hod, event_type""")
+    )
+  )
+}

@@ -335,4 +335,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!reuse.contains("Generate") && !reuse.contains("parquet"),
       s"cluster-label reuse re-plans the mine (lazy cache entry):\n$reuse")
   }
+
+  test("histogram_equi_depth ranks without a single-partition global window") {
+    // The decile assignment must be the two-phase distributedNtile: every
+    // Window in the plan partitions by the synthetic partition id (or runs
+    // over the cluster-sized offsets row set) — a bare `Window [ntile(...)
+    // ORDER BY ...]` with no partition spec funnels the data through ONE
+    // task and dies at scale.
+    val plan = planOf("histogram_equi_depth")
+    val globalNtile = plan.split("\n").filter(l =>
+      l.contains("ntile(") && l.contains("Window"))
+    assert(globalNtile.isEmpty,
+      s"SQL ntile window present — expected two-phase ranking:\n${globalNtile.mkString("\n")}")
+  }
+
+  test("window_share_of_total broadcasts the dims and windows over the rollup only") {
+    val plan = planOf("window_share_of_total")
+    assert(plan.contains("BroadcastHashJoin"), s"dims should broadcast in:\n$plan")
+    // The ratio window runs AFTER the groupBy: Window must sit above the
+    // final aggregate, never over the raw fact rows.
+    val idxWindow = plan.indexOf("Window")
+    val idxAgg = plan.lastIndexOf("HashAggregate")
+    assert(idxWindow >= 0 && idxWindow < idxAgg,
+      s"window should apply to the aggregated rollup in:\n$plan")
+  }
+
+  test("events_anomaly_mad broadcasts the per-type medians back onto events") {
+    val plan = planOf("events_anomaly_mad")
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      s"both median joins (med, mad) should broadcast in:\n$plan")
+  }
+
+  test("join_fuzzy_blocked joins on the block keys, not a cartesian") {
+    val plan = planOf("join_fuzzy_blocked")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
+    // levenshtein must be a post-join filter (block equi-keys drive the
+    // join), visible as a join condition or filter — not a join strategy.
+    assert(plan.contains("levenshtein"), s"levenshtein predicate missing in:\n$plan")
+  }
+
+  test("text_keyword_rank broadcasts the vocab-sized df table and windows per doc") {
+    val plan = planOf("text_keyword_rank")
+    assert(plan.contains("BroadcastHashJoin"), s"df join should broadcast in:\n$plan")
+    assert(plan.contains("row_number"), s"per-doc ranking window in:\n$plan")
+  }
 }
