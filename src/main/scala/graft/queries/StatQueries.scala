@@ -323,8 +323,13 @@ object StatQueries {
           explode(expr(
             "filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z]{3,}$')"))
             .as("term"))
+        // tf is consumed twice (df derives from it + the ranked filter);
+        // materialize once so the explode+shuffle doesn't run per branch.
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-        val df = toks.groupBy("term").agg(countDistinct("doc_id").as("df"))
+          .localCheckpoint(true)
+        // tf holds one row per (doc, term) — so document frequency is a
+        // plain count per term, no second tokenize/explode pass.
+        val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
         val w = Window.partitionBy(col("doc_id"))
           .orderBy(col("tf").desc, col("df").asc, col("term").asc)
         tf.filter(col("doc_id") < 50)
