@@ -103,6 +103,29 @@ object StreamingQueries {
         ORDER BY 1, 2, 3""")
     ),
     QueryDef(
+      "stream_stream_left_join",
+      // Left-outer stream–stream join: matched purchases carry their
+      // click, unmatched purchases emit (-1, -1) once the watermark closes
+      // their state (flush-wave staging makes the finite replay emit ALL
+      // outer rows — see StreamingOps.streamStreamLeftJoin). Oracle = the
+      // batch left join over the real events.
+      (s, dir) => StreamingOps.streamStreamLeftJoin(s, dir),
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 make_timestamp(epoch_ns(ts) // 1000) AS ts
+          FROM events)
+        SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+               coalesce(c.event_id, -1) AS click_id,
+               coalesce(epoch_us(p.ts) - epoch_us(c.ts), -1) AS gap_us
+        FROM e p LEFT JOIN e c
+          ON c.event_type = 'click'
+         AND c.user_id = p.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        WHERE p.event_type = 'purchase'
+        ORDER BY 1, 2, 3""")
+    ),
+    QueryDef(
       "stream_topk",
       (s, dir) => StreamingOps.streamTopK(s, dir, 10),
       Some("""

@@ -309,6 +309,96 @@ object StreamingOps {
       .orderBy("user_id", "click_id", "purchase_id")
   }
 
+  /** LEFT OUTER stream–stream join: every purchase emits — matched rows as
+    * they join, UNMATCHED rows with a null right side once the watermark
+    * proves no matching click can still arrive (click_ts ∈ [p−1h, p] and
+    * clicks are ≤1h late ⇒ the purchase's state can close when the
+    * watermark passes purchase_ts). Outer emission is watermark-DRIVEN, so
+    * a finite replay needs the watermark pushed past the last real event
+    * or tail purchases never emit their null rows: the staging appends two
+    * flush waves of sentinel events (user −1/−2, max ts + 3h/4h, one click
+    * + one purchase each so BOTH sides' event-time maxima advance — the
+    * query watermark is the min across watermarked inputs). Wave 1 advances
+    * the watermark at its batch end; wave 2 is the data batch that runs
+    * WITH the advanced watermark and evicts + emits every closed outer row
+    * (same engine behavior lateDataDrop documents: a no-data batch alone
+    * does not finalize). Sentinel rows filter out of the result by user id;
+    * their own outer rows sit above the final watermark and never emit.
+    * Nulls project to −1 sentinels so both engines hash identically.
+    */
+  def streamStreamLeftJoin(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageOuterDir(spark, dir)
+    def src = spark.readStream
+      .schema(eventsStagedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("click_user") === col("purchase_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("purchase_user").as("user_id"), col("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"),
+        coalesce(unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")),
+          lit(-1L)).as("gap_us"))
+    runToTable(joined, "append")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
+  /** Events + two flush waves of watermark-advancing sentinel rows (see
+    * [[streamStreamLeftJoin]]); mtime-ordered files make the wave order
+    * deterministic under `maxFilesPerTrigger=1`.
+    */
+  private def stageOuterDir(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val hash = Integer.toHexString(dir.hashCode)
+    val watch = Paths.get(
+      System.getProperty("java.io.tmpdir"), s"graft_stream_outer_v2_$hash")
+    graft.ops.SparkOps.stageOnce(Paths.get(s"$dir/events.parquet"), watch) {
+      if (Files.exists(watch)) {
+        Files.walk(watch).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      }
+      Files.createDirectories(watch)
+      val ev = eventsBatch(spark, dir)
+      val maxUs = ev.agg(max(unix_micros(col("ts")))).head.getLong(0)
+      def writeWave(df: DataFrame, name: String, mtime: Long): Unit = {
+        val scratch = Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_stream_outer_v2_${hash}_$name")
+        df.coalesce(1).write.mode("overwrite").parquet(scratch.toString)
+        val part = Files.list(scratch).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part written for wave $name"))
+        val dst = watch.resolve(s"$name.parquet")
+        Files.copy(part, dst)
+        Files.setLastModifiedTime(dst, FileTime.fromMillis(mtime))
+      }
+      def flushWave(uid: Long, idBase: Long, plusUs: Long): DataFrame =
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row(idBase, new java.sql.Timestamp(0L), uid, "click", 0.0, "{}"),
+            org.apache.spark.sql.Row(idBase + 1, new java.sql.Timestamp(0L), uid, "purchase", 0.0, "{}")), 1),
+          eventsStagedSchema)
+          .withColumn("ts", timestamp_micros(lit(maxUs + plusUs)))
+          .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+            col("value"), col("props"))
+      val t0 = (System.currentTimeMillis() / 1000) * 1000 - 300000
+      writeWave(ev, "0_data", t0)
+      writeWave(flushWave(-1L, -10L, 3L * 3600L * 1000000L), "1_flush", t0 + 60000)
+      writeWave(flushWave(-2L, -20L, 4L * 3600L * 1000000L), "2_evict", t0 + 120000)
+    }
+  }
+
   /** Streaming top-k: complete-mode aggregation with ORDER BY + LIMIT
     * INSIDE the streaming query — the engine re-ranks the maintained
     * aggregate state on every trigger (sort+limit over streaming relations

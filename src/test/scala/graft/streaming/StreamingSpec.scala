@@ -153,4 +153,30 @@ class StreamingSpec extends AnyFunSuite {
         col("last.value").as("last_value"))
     assert(state.exceptAll(batch).isEmpty && batch.exceptAll(state).isEmpty)
   }
+
+  test("left-outer stream-stream join emits ALL unmatched purchases as outer rows") {
+    // The flush-wave staging must push the watermark past every real
+    // purchase: every purchase without a click in [p-1h, p] appears with
+    // the (-1, -1) sentinel right side. A missing eviction batch (the
+    // lateDataDrop failure mode) would silently drop the tail's outer rows
+    // and this equality breaks.
+    val got = StreamingOps.streamStreamLeftJoin(spark, "/root/testdata/sf0.001")
+    val e = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("pts"))
+    val c = e.filter(col("event_type") === "click")
+      .select(col("event_id").as("cid"), col("user_id"), col("ts").as("cts"))
+    val oracle = p.join(
+        c.withColumnRenamed("user_id", "cu"),
+        col("cu") === col("user_id") && col("cts") <= col("pts") &&
+          col("cts") >= col("pts") - expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("user_id"), col("purchase_id"),
+        coalesce(col("cid"), lit(-1L)).as("click_id"),
+        coalesce(unix_micros(col("pts")) - unix_micros(col("cts")), lit(-1L))
+          .as("gap_us"))
+    assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty)
+    // and the outer rows genuinely exist in the replay output
+    assert(got.filter(col("click_id") === -1L).count() > 0)
+  }
 }
