@@ -46,7 +46,11 @@ object ExplainAll {
     "embedding_quantize" -> "int8 quantization entirely inside WholeStageCodegen: per-vector folds are expressions (no aggregation node, no join); the only exchange is the final range sort.",
     "orders_pareto" -> "Global revenue-ordered cumsum WITHOUT a single-partition window: range-partition by (rev desc, key), per-partition sums, ≤8-row offset scan broadcast back — the two-phase distributed prefix sum.",
     "graph_triangles" -> "Triangle census: canonical-orientation wedge join + closing-edge LeftSemi — every step an equi-join on vertex keys, no cartesian.",
-    "embedding_top_pc" -> "PCA power iteration: per round one broadcast of the 64-dim v (a literal array), map-side quantized dots, one d-key aggregation — the d×d covariance never exists."
+    "embedding_top_pc" -> "PCA power iteration: per round one broadcast of the 64-dim v (a literal array), map-side quantized dots, one d-key aggregation — the d×d covariance never exists.",
+    "histogram_equi_depth" -> "Equi-depth deciles via distributedNtile: range-repartition + per-partition rank + broadcast offsets — no single-partition ntile window anywhere in the plan.",
+    "events_anomaly_mad" -> "Median/MAD robust gate: both per-type median tables broadcast back onto events; the outlier flag is a pure integer comparison inside codegen.",
+    "join_fuzzy_blocked" -> "Record-linkage blocking: candidates from the (nation, segment) equi-join only; Levenshtein evaluates post-join as a filter — no cartesian, no nested loop.",
+    "text_keyword_rank" -> "Keyword ranking: one tokenize/explode pass materialized; corpus df derives from the tf table and broadcasts; the top-3 window partitions by doc_id."
   )
 
   def main(args: Array[String]): Unit = {
