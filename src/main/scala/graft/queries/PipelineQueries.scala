@@ -566,6 +566,44 @@ object PipelineQueries {
         GROUP BY 1, 2 ORDER BY source_a, source_b""")
     ),
     QueryDef(
+      "graph_degree_histogram",
+      // Degree distribution of the τ=0.8 near-dup graph — the structural
+      // corpus-health view (hub documents = template/boilerplate families).
+      // Pure derive from the cached pair mine: explode each pair to both
+      // endpoints, two small aggregations; only the pair list shuffles,
+      // never the corpus.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, explode, array, lit}
+        DedupOps.ngramJaccardCachedUnsorted(docs(s, dir), threshold = 0.8)
+          .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("degree"))
+          .groupBy("degree")
+          .agg(count(lit(1)).as("n_docs"))
+          .orderBy("degree")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(list_filter(
+            string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
+          FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        pairs08 AS (
+          SELECT id_a, id_b FROM shared
+          JOIN sizes sa ON sa.doc_id = id_a
+          JOIN sizes sb ON sb.doc_id = id_b
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+        ends AS (SELECT id_a AS doc_id FROM pairs08
+                 UNION ALL SELECT id_b FROM pairs08),
+        deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY 1)
+        SELECT degree, count(*) AS n_docs
+        FROM deg GROUP BY degree ORDER BY degree""")
+    ),
+    QueryDef(
       "dedup_cluster_sizes",
       // Duplication-family size histogram — the corpus-health report a
       // dedup pass is judged by (how much mass sits in large families vs

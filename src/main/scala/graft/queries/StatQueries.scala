@@ -380,6 +380,71 @@ object StatQueries {
                round(CAST(sum(vc) AS DOUBLE) / CAST(count(*) AS DOUBLE), 4)
                  AS avg_cents
         FROM e GROUP BY 1, 2 ORDER BY hod, event_type""")
+    ),
+    QueryDef(
+      "window_yoy_growth",
+      // Year-over-year growth per calendar month: the monthly rollup
+      // self-joins on month − 12 (gap-safe — a missing month yields the −1
+      // sentinel, where lag(12) would silently compare the wrong month).
+      // The rollup is calendar-bounded (≤ ~84 rows at ANY fact size), so
+      // the self-join broadcasts; the only data-sized work is the month
+      // groupBy. Growth is one long/long→double division, −1 when no
+      // prior-year month exists.
+      (s, dir) => {
+        val m = t(s, dir, "orders")
+          .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("m"))
+          .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+        val prev = m.select(add_months(col("m"), 12).as("m"),
+          col("rev_c").as("prev_rev_c"))
+        m.join(broadcast(prev), Seq("m"), "left_outer")
+          .select(col("m"), col("rev_c"),
+            coalesce(col("prev_rev_c"), lit(-1L)).as("prev_rev_c"),
+            when(col("prev_rev_c").isNull, lit(-1.0))
+              .otherwise(round(col("rev_c") / col("prev_rev_c"), 6)).as("growth"))
+          .orderBy("m")
+      },
+      Some("""
+        WITH m AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS rev_c
+          FROM orders GROUP BY 1)
+        SELECT m.m, m.rev_c,
+               coalesce(p.rev_c, -1) AS prev_rev_c,
+               CASE WHEN p.rev_c IS NULL THEN -1.0
+                    ELSE round(m.rev_c / p.rev_c, 6) END AS growth
+        FROM m LEFT JOIN m p ON p.m + INTERVAL 12 MONTH = m.m
+        ORDER BY m.m""")
+    ),
+    QueryDef(
+      "scan_merge_schema",
+      // Schema-evolution scan: two parquet generations with different
+      // column sets (an old write without o_orderpriority, a new one with
+      // it) read back through mergeSchema — the source-level twin of
+      // union_evolve (which merges at the plan level). Columns missing in a
+      // generation surface as NULLs; the aggregate proves both the merged
+      // schema and the null semantics.
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_merge_schema"
+        val o = t(s, dir, "orders")
+        o.filter(col("o_orderkey") % 2 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=0")
+        o.filter(col("o_orderkey") % 2 === 1)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_orderpriority"))
+          .write.mode("overwrite").parquet(s"$tmp/gen=1")
+        s.read.option("mergeSchema", "true").parquet(tmp)
+          .groupBy(col("o_orderstatus"),
+            coalesce(col("o_orderpriority"), lit("<missing>")).as("prio"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("o_orderstatus", "prio")
+      },
+      Some("""
+        SELECT o_orderstatus,
+               CASE WHEN o_orderkey % 2 = 0 THEN '<missing>'
+                    ELSE o_orderpriority END AS prio,
+               count(*) AS n
+        FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, prio""")
     )
   )
 }

@@ -200,6 +200,44 @@ object TextQueries {
         ORDER BY n DESC, bigram LIMIT 20""")
     ),
     QueryDef(
+      "ngram_lm_prob",
+      // Bigram language-model estimation: P(w2|w1) = c(w1,w2) / c(w1·) for
+      // the corpus's top-20 bigrams — the MLE table an n-gram LM / quality
+      // filter trains. One bigram explode feeds BOTH counts (the w1
+      // continuation total derives from the bigram table itself, no second
+      // pass); the vocab-sized n1 table broadcasts; ratio is one
+      // long/long→double division at the projection. Top-20 under the
+      // total order (n12 DESC, w1, w2) → TakeOrderedAndProject.
+      (s, dir) => {
+        val bi = s.read.parquet(s"$dir/documents.parquet")
+          .select(split(col("text"), " ").as("ts"))
+          .where(size(col("ts")) >= 2)
+          .select(explode(expr(
+            "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("b"))
+          .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val n12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+        val n1 = n12.groupBy("w1").agg(sum(col("n12")).as("n1"))
+        n12.join(broadcast(n1), "w1")
+          .select(col("w1"), col("w2"), col("n12"), col("n1"),
+            round(col("n12").cast("double") / col("n1").cast("double"), 6).as("p"))
+          .orderBy(col("n12").desc, col("w1"), col("w2"))
+          .limit(20)
+      },
+      Some("""
+        WITH toks AS (SELECT string_split(text, ' ') AS ts FROM documents),
+        bi AS (
+          SELECT unnest(list_transform(range(2, len(ts) + 1),
+                   i -> struct_pack(w1 := ts[i - 1], w2 := ts[i]))) AS b
+          FROM toks WHERE len(ts) >= 2),
+        n12 AS (SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n12
+                FROM bi GROUP BY 1, 2),
+        n1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM n12 GROUP BY 1)
+        SELECT w1, w2, n12, n1,
+               round(CAST(n12 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS p
+        FROM n12 JOIN n1 USING (w1)
+        ORDER BY n12 DESC, w1, w2 LIMIT 20""")
+    ),
+    QueryDef(
       "dedup_substring",
       // Exact duplicated-substring detection (Lee et al.'s dedup signal at
       // token 13-gram granularity): count, per document, the 13-grams that
