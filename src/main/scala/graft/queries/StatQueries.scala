@@ -240,9 +240,12 @@ object StatQueries {
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
         val a = c.toDF("key_a", "name_a", "nk", "seg")
         val b = c.toDF("key_b", "name_b", "nk", "seg")
+        // Bounded variant: the threshold overload runs the banded DP and
+        // early-exits at distance > 2 (O(k·n) per pair, not O(n²)) —
+        // returns −1 beyond the bound, so ≥0 ⇔ distance ≤ 2.
         a.join(b, Seq("nk", "seg"))
           .filter(col("key_a") < col("key_b") &&
-            levenshtein(col("name_a"), col("name_b")) <= 2)
+            levenshtein(col("name_a"), col("name_b"), 2) >= 0)
           .groupBy(col("nk").as("c_nationkey"))
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("c_nationkey")
