@@ -448,6 +448,142 @@ object StatQueries {
                     ELSE o_orderpriority END AS prio,
                count(*) AS n
         FROM orders GROUP BY 1, 2 ORDER BY o_orderstatus, prio""")
+    ),
+    QueryDef(
+      "snapshot_diff",
+      // Lakehouse time travel: two materialized snapshot versions of a
+      // per-customer rollup (v0 = history before the cut, v1 = full) and
+      // the row-level diff between them — the audit that answers "what did
+      // this batch change". Versions write as real parquet snapshots and
+      // re-read (nothing diffs in memory); the diff is a single full-outer
+      // join on the key. Snapshot tables are key-grain (not fact-grain), so
+      // the join shuffles the small rollups only.
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_snapshots"
+        val o = t(s, dir, "orders").select(
+          col("o_custkey"), col("o_orderdate"),
+          cents(col("o_totalprice")).as("cts"))
+        val cut = lit("1997-01-01").cast("date")
+        def rollup(df: DataFrame) = df.groupBy("o_custkey")
+          .agg(count(lit(1)).as("n"), sum(col("cts")).as("rev_c"))
+        rollup(o.filter(col("o_orderdate") < cut))
+          .write.mode("overwrite").parquet(s"$tmp/v=0")
+        rollup(o).write.mode("overwrite").parquet(s"$tmp/v=1")
+        val v0 = s.read.parquet(s"$tmp/v=0")
+          .select(col("o_custkey"), col("n").as("n_v0"), col("rev_c").as("rev_v0"))
+        val v1 = s.read.parquet(s"$tmp/v=1")
+          .select(col("o_custkey"), col("n").as("n_v1"), col("rev_c").as("rev_v1"))
+        v1.join(v0, Seq("o_custkey"), "left_outer")
+          .select(col("o_custkey"),
+            coalesce(col("n_v0"), lit(0L)).as("n_v0"), col("n_v1"),
+            (col("rev_v1") - coalesce(col("rev_v0"), lit(0L))).as("delta_rev_c"),
+            when(col("n_v0").isNull, lit("added"))
+              .when(col("n_v1") > col("n_v0"), lit("changed"))
+              .otherwise(lit("unchanged")).as("status"))
+          .orderBy("o_custkey")
+      },
+      Some("""
+        WITH o AS (
+          SELECT o_custkey, o_orderdate,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cts
+          FROM orders),
+        d AS (
+          SELECT o_custkey,
+                 CAST(sum(CASE WHEN o_orderdate < DATE '1997-01-01'
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_v0,
+                 count(*) AS n_v1,
+                 CAST(sum(CASE WHEN o_orderdate >= DATE '1997-01-01'
+                          THEN cts ELSE 0 END) AS BIGINT) AS delta_rev_c
+          FROM o GROUP BY 1)
+        SELECT o_custkey, n_v0, n_v1, delta_rev_c,
+               CASE WHEN n_v0 = 0 THEN 'added'
+                    WHEN n_v1 > n_v0 THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM d ORDER BY o_custkey""")
+    ),
+    QueryDef(
+      "events_peak_detection",
+      // Local-maxima detection on the daily series: a day is a peak when
+      // its total strictly exceeds BOTH neighbors (lag/lead over the
+      // per-type day series — calendar-bounded rows, exact long cents).
+      // The classic changepoint/alerting primitive next to zscore/CUSUM.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(sum(cents(col("value"))).as("tot_c"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        daily
+          .withColumn("prev_c", lag(col("tot_c"), 1).over(w))
+          .withColumn("next_c", lead(col("tot_c"), 1).over(w))
+          .filter(col("prev_c").isNotNull && col("next_c").isNotNull &&
+            col("tot_c") > col("prev_c") && col("tot_c") > col("next_c"))
+          .select(col("event_type"), col("day"), col("tot_c"),
+            (col("tot_c") - col("prev_c")).as("rise_c"),
+            (col("tot_c") - col("next_c")).as("fall_c"))
+          .orderBy("event_type", "day")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT event_type,
+                 date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) AS day,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS tot_c
+          FROM events GROUP BY 1, 2),
+        x AS (
+          SELECT event_type, day, tot_c,
+                 lag(tot_c) OVER (PARTITION BY event_type ORDER BY day) AS prev_c,
+                 lead(tot_c) OVER (PARTITION BY event_type ORDER BY day) AS next_c
+          FROM daily)
+        SELECT event_type, day, tot_c,
+               tot_c - prev_c AS rise_c, tot_c - next_c AS fall_c
+        FROM x
+        WHERE prev_c IS NOT NULL AND next_c IS NOT NULL
+          AND tot_c > prev_c AND tot_c > next_c
+        ORDER BY event_type, day""")
+    ),
+    QueryDef(
+      "text_vocab_growth",
+      // Heaps'-law vocabulary growth at character-13-gram grain (the
+      // corpus's word vocabulary is tiny, so grams carry the curve): new
+      // distinct grams contributed per 10-doc bucket and the cumulative
+      // vocabulary — the corpus-scaling curve behind tokenizer sizing and
+      // data-mixing plans. First occurrence = min doc_id per gram (one
+      // gram-keyed shuffle with map-side partial min; the 100 TB path
+      // ships xxhash64 digests, same plan); the cumulative sum runs over
+      // REPORT-grain buckets (fixed count, not data-sized), so the window
+      // is bounded at any corpus size.
+      (s, dir) => {
+        val first = t(s, dir, "documents")
+          .filter(length(col("text")) >= 13)
+          .select(col("doc_id"),
+            explode(expr(
+              "transform(sequence(1, length(text) - 12), i -> substr(text, i, 13))"))
+              .as("tok"))
+          .groupBy("tok")
+          .agg(min(col("doc_id")).as("first_doc"))
+        val buckets = first
+          .groupBy((col("first_doc") / 10).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("new_toks"))
+        buckets
+          .withColumn("cum_vocab", sum(col("new_toks")).over(
+            Window.orderBy(col("bucket"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .orderBy("bucket")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, length(text) - 11),
+                   i -> substr(text, i, 13))) AS tok
+          FROM documents WHERE length(text) >= 13),
+        first AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+        nb AS (SELECT first_doc // 10 AS bucket, count(*) AS new_toks
+               FROM first GROUP BY 1)
+        SELECT bucket, new_toks,
+               CAST(sum(new_toks) OVER (ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+        FROM nb ORDER BY bucket""")
     )
   )
 }
