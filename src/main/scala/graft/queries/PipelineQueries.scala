@@ -312,6 +312,43 @@ object PipelineQueries {
       }
     ),
     QueryDef(
+      "lang_id_confusion",
+      // Classifier-eval confusion matrix: labeled `lang` × predicted
+      // language from the stopword scorer — the calibration view a
+      // curation pipeline checks before trusting the cheap classifier as
+      // a filter. Reuses TextOps.langId (same scoring, same deterministic
+      // tie order) + one broadcast-sized label join and a 25-cell rollup.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit}
+        TextOps.langId(docs(s, dir))
+          .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+          .groupBy(col("lang"), col("pred_lang"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("lang", "pred_lang")
+      },
+      Some {
+        val langs = Seq("en", "es", "de", "fr", "zh")
+        def lst(l: String) =
+          TextOps.stopwords(l).map(w => s"'$w'").mkString("(", ", ", ")")
+        val scores = langs
+          .map(l => s"len(list_filter(toks, t -> t IN ${lst(l)})) AS s_$l")
+          .mkString(", ")
+        val cases = langs.map { l =>
+          val ge = langs.filterNot(_ == l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+          s"WHEN $ge THEN '$l'"
+        }.mkString(" ")
+        s"""
+        WITH t AS (
+          SELECT doc_id, lang, list_distinct(list_filter(
+            string_split_regex(lower(text), '\\s+'), t -> t <> '')) AS toks
+          FROM documents),
+        s AS (SELECT doc_id, lang, $scores FROM t),
+        p AS (SELECT lang, CASE $cases ELSE 'unk' END AS pred_lang FROM s)
+        SELECT lang, pred_lang, count(*) AS n
+        FROM p GROUP BY 1, 2 ORDER BY lang, pred_lang"""
+      }
+    ),
+    QueryDef(
       "quality_score",
       (s, dir) => TextOps.qualityScore(docs(s, dir)),
       Some {

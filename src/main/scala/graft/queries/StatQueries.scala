@@ -584,6 +584,117 @@ object StatQueries {
                CAST(sum(new_toks) OVER (ORDER BY bucket
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
         FROM nb ORDER BY bucket""")
+    ),
+    QueryDef(
+      "events_stickiness",
+      // DAU/MAU stickiness per month — the engagement ratio next to
+      // events_active_users' rolling WAU. All counting stays integer
+      // (distinct user-days once, then three exact aggregates); the only
+      // division is the final ratio. The distinct is the one data-sized
+      // shuffle; everything after is month-grain.
+      (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"),
+            date_trunc("day", col("ts")).as("day"),
+            date_trunc("month", col("ts")).cast("date").as("month"))
+          .distinct()
+        val dau = ud.groupBy("month", "day").agg(count(lit(1)).as("dau"))
+          .groupBy("month")
+          .agg(sum(col("dau")).as("sum_dau"), count(lit(1)).as("n_days"))
+        val mau = ud.select("month", "user_id").distinct()
+          .groupBy("month").agg(count(lit(1)).as("mau"))
+        dau.join(mau, "month")
+          .select(col("month"), col("sum_dau"), col("n_days"), col("mau"),
+            round(col("sum_dau").cast("double") /
+              (col("n_days") * col("mau")).cast("double"), 6).as("stickiness"))
+          .orderBy("month")
+      },
+      Some("""
+        WITH ud AS (
+          SELECT DISTINCT user_id,
+                 date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) AS day,
+                 CAST(date_trunc('month', make_timestamp(epoch_ns(ts) // 1000))
+                   AS DATE) AS month
+          FROM events),
+        dau AS (
+          SELECT month, CAST(sum(dau) AS BIGINT) AS sum_dau,
+                 count(*) AS n_days
+          FROM (SELECT month, day, count(*) AS dau FROM ud GROUP BY 1, 2)
+          GROUP BY 1),
+        mau AS (
+          SELECT month, count(*) AS mau
+          FROM (SELECT DISTINCT month, user_id FROM ud) GROUP BY 1)
+        SELECT month, sum_dau, n_days, mau,
+               round(CAST(sum_dau AS DOUBLE) /
+                 CAST(n_days * mau AS DOUBLE), 6) AS stickiness
+        FROM dau JOIN mau USING (month) ORDER BY month""")
+    ),
+    QueryDef(
+      "window_drawdown",
+      // Maximum drawdown per year of the cumulative daily revenue series —
+      // running max minus running sum, the risk metric shape (same pattern
+      // as inventory shortfall / SLA debt). The windows run over the DAY
+      // rollup — calendar-bounded (~2.4k rows at ANY fact size, like the
+      // gap-fill spine), so the unpartitioned window is bounded by time,
+      // not data; the only data-sized step is the day groupBy.
+      (s, dir) => {
+        val daily = t(s, dir, "orders")
+          .groupBy(col("o_orderdate").as("day"))
+          .agg(sum(cents(col("o_totalprice"))).as("rev_c"))
+        val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+        daily
+          .withColumn("cum_c", sum(col("rev_c")).over(w))
+          .withColumn("peak_c", max(col("cum_c")).over(w))
+          .withColumn("dd_c", col("peak_c") - col("cum_c"))
+          .groupBy(year(col("day")).as("yr"))
+          .agg(count(lit(1)).as("n_days"), max(col("dd_c")).as("max_drawdown_c"))
+          .orderBy("yr")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT o_orderdate AS day,
+                 CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS rev_c
+          FROM orders GROUP BY 1),
+        x AS (
+          SELECT day, rev_c,
+                 CAST(sum(rev_c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) AS cum_c
+          FROM daily),
+        y AS (
+          SELECT day,
+                 CAST(max(cum_c) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                   AS BIGINT) - cum_c AS dd_c
+          FROM x)
+        SELECT CAST(year(day) AS INTEGER) AS yr, count(*) AS n_days,
+               max(dd_c) AS max_drawdown_c
+        FROM y GROUP BY 1 ORDER BY yr""")
+    ),
+    QueryDef(
+      "events_burst_histogram",
+      // Burst profile for abuse/bot detection: each user's maximum
+      // events-per-minute, histogrammed — the rate-limit calibration view.
+      // Two keyed aggregations (user×minute, then user), both partial
+      // map-side; no window, no join.
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), date_trunc("minute", col("ts")).as("m"))
+          .agg(count(lit(1)).as("n"))
+          .groupBy("user_id")
+          .agg(max(col("n")).as("max_per_min"))
+          .groupBy("max_per_min")
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy("max_per_min"),
+      Some("""
+        WITH um AS (
+          SELECT user_id,
+                 date_trunc('minute', make_timestamp(epoch_ns(ts) // 1000)) AS m,
+                 count(*) AS n
+          FROM events GROUP BY 1, 2),
+        mx AS (SELECT user_id, CAST(max(n) AS BIGINT) AS max_per_min
+               FROM um GROUP BY 1)
+        SELECT max_per_min, count(*) AS n_users
+        FROM mx GROUP BY 1 ORDER BY max_per_min""")
     )
   )
 }

@@ -238,6 +238,50 @@ object TextQueries {
         ORDER BY n12 DESC, w1, w2 LIMIT 20""")
     ),
     QueryDef(
+      "token_oov_rate",
+      // Tokenizer-coverage audit: per-language out-of-vocabulary token
+      // rate against the corpus's top-16 vocabulary — the metric that
+      // decides vocab size / mixture reweighting before training. One
+      // token-keyed count table feeds BOTH the vocab top-k and the
+      // per-lang rollup (materialized once); the 16-row vocab broadcasts;
+      // rate is the single final division.
+      (s, dir) => {
+        val tc = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("lang"), explode(expr(
+            "filter(split(lower(text), '\\\\s+'), t -> t <> '')")).as("tok"))
+          .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+          .localCheckpoint(true)
+        val vocab = tc.groupBy("tok").agg(sum(col("n")).as("tot"))
+          .orderBy(col("tot").desc, col("tok")).limit(16)
+          .select(col("tok"), lit(1).as("inv"))
+        tc.join(broadcast(vocab), Seq("tok"), "left_outer")
+          .groupBy("lang")
+          .agg(sum(col("n")).as("total_toks"),
+            sum(when(col("inv").isNull, col("n")).otherwise(0L)).as("oov_toks"))
+          .select(col("lang"), col("total_toks"), col("oov_toks"),
+            round(col("oov_toks").cast("double") / col("total_toks").cast("double"), 6)
+              .as("oov_rate"))
+          .orderBy("lang")
+      },
+      Some("""
+        WITH tc AS (
+          SELECT lang, tok, count(*) AS n
+          FROM (SELECT lang, unnest(list_filter(
+                  string_split_regex(lower(text), '\s+'), t -> t <> '')) AS tok
+                FROM documents)
+          GROUP BY 1, 2),
+        vocab AS (
+          SELECT tok FROM (SELECT tok, sum(n) AS tot FROM tc GROUP BY 1)
+          ORDER BY tot DESC, tok LIMIT 16)
+        SELECT lang, CAST(sum(n) AS BIGINT) AS total_toks,
+               CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                        THEN n ELSE 0 END) AS BIGINT) AS oov_toks,
+               round(CAST(sum(CASE WHEN tok NOT IN (SELECT tok FROM vocab)
+                        THEN n ELSE 0 END) AS DOUBLE) /
+                     CAST(sum(n) AS DOUBLE), 6) AS oov_rate
+        FROM tc GROUP BY lang ORDER BY lang""")
+    ),
+    QueryDef(
       "dedup_substring",
       // Exact duplicated-substring detection (Lee et al.'s dedup signal at
       // token 13-gram granularity): count, per document, the 13-grams that
