@@ -11,6 +11,9 @@ final case class LineItemLite(
     l_quantity: Double,
     l_extendedprice: Double)
 
+final case class OrderLite(o_orderkey: Long, o_custkey: Long, o_totalprice: Double)
+final case class CustomerLite(c_custkey: Long, c_mktsegment: String)
+
 /** Mergeable typed aggregators — Aggregator[IN, BUF, OUT] gets partial
   * (map-side) aggregation from Catalyst, unlike mapGroups which shuffles
   * every row. BUFs are associative, so partition order cannot change
@@ -73,6 +76,67 @@ object TypedQueries {
                floor((sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total_price
         FROM lineitem WHERE l_quantity > 25.0
         GROUP BY l_returnflag ORDER BY l_returnflag""")
+    ),
+    QueryDef(
+      "typed_joinwith",
+      // Dataset.joinWith: the typed pair join — each side keeps its
+      // case-class identity through the join (Dataset[(OrderLite,
+      // CustomerLite)]), the segment dim broadcasts exactly like the
+      // untyped plan, and the money math quantizes per row inside the
+      // typed lambda before the (untyped, partial-aggregating) rollup.
+      (s, dir) => {
+        import s.implicits._
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .as[OrderLite]
+        val c = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .as[CustomerLite]
+        o.joinWith(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .map { case (ord, cust) =>
+            (cust.c_mktsegment,
+              math.floor(ord.o_totalprice * 10000 + 0.5).toLong)
+          }
+          .toDF("c_mktsegment", "q")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            (floor((sum(col("q")) + 50) / 100) / 100.0).as("total_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n,
+               floor((sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total_price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1 ORDER BY c_mktsegment""")
+    ),
+    QueryDef(
+      "typed_reducegroups",
+      // groupByKey + reduceGroups: the typed associative reduction.
+      // Catalyst wraps the reduce function in a ReduceAggregator, so it
+      // DOES partial-aggregate map-side (unlike mapGroups, which ships
+      // every row) — the accumulator is an associative+commutative
+      // (count, long-quanta) pair, so batching and partition order cannot
+      // change the result.
+      (s, dir) => {
+        import s.implicits._
+        val ds = s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_suppkey"), col("l_returnflag"),
+            col("l_quantity"), col("l_extendedprice"))
+          .as[LineItemLite]
+        ds.map(li => (li.l_suppkey, 1L,
+            math.floor(li.l_extendedprice * 10000 + 0.5).toLong))
+          .groupByKey(_._1)
+          .reduceGroups((a, b) => (a._1, a._2 + b._2, a._3 + b._3))
+          .map(_._2)
+          .toDF("l_suppkey", "n", "q")
+          .select(col("l_suppkey"), col("n"),
+            (floor((col("q") + 50) / 100) / 100.0).as("total_price"))
+          .orderBy("l_suppkey")
+      },
+      Some("""
+        SELECT l_suppkey, count(*) AS n,
+               floor((sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total_price
+        FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""")
     ),
     QueryDef(
       "map_funcs",

@@ -160,6 +160,49 @@ object VectorQueries {
         FROM x GROUP BY label, i ORDER BY label, i""")
     ),
     QueryDef(
+      "embedding_centroid_distances",
+      // Cluster-separation audit: pairwise L2 distance between per-label
+      // centroids — the view that says whether labels are embedding-
+      // separable before training a probe. The centroid table is
+      // (labels × dim) rows — cluster-sized, not corpus-sized — and it
+      // materializes ONCE (both join sides read the checkpoint, not the
+      // corpus explode). All arithmetic on exact 1e-6 quanta until the
+      // final sqrt of an exact long.
+      (s, dir) => {
+        val cent = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+          .select(col("label"), (col("pos") + 1).as("i"),
+            floor(col("x").cast("double") * 1000000 + 0.5).cast("long").as("x_e6"))
+          .groupBy("label", "i")
+          .agg(count(lit(1)).as("n"), sum(col("x_e6")).as("sx"))
+          .select(col("label"), col("i"), floor(col("sx") / col("n")).as("m"))
+          .localCheckpoint(true)
+        val a = cent.toDF("label_a", "i", "ma")
+        val b = cent.toDF("label_b", "i", "mb")
+        a.join(b, "i")
+          .filter(col("label_a") < col("label_b"))
+          .groupBy("label_a", "label_b")
+          .agg(sum((col("ma") - col("mb")) * (col("ma") - col("mb"))).as("ss"))
+          .select(col("label_a"), col("label_b"),
+            floor(sqrt(col("ss").cast("double"))).cast("long").as("dist_e6"))
+          .orderBy("label_a", "label_b")
+      },
+      Some("""
+        WITH x AS (
+          SELECT label, generate_subscripts(embedding, 1) AS i,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x_e6
+          FROM embeddings),
+        cent AS (
+          SELECT label, i,
+                 CAST(floor(CAST(sum(x_e6) AS DOUBLE) / count(*)) AS BIGINT) AS m
+          FROM x GROUP BY label, i)
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(floor(sqrt(CAST(sum((a.m - b.m) * (a.m - b.m)) AS DOUBLE)))
+                 AS BIGINT) AS dist_e6
+        FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+        GROUP BY 1, 2 ORDER BY label_a, label_b""")
+    ),
+    QueryDef(
       "similarity_topk_native",
       // Same query through the native codegen'd Catalyst expression
       // (graft.functions.CosineSimilarity) — identical accumulation order,
