@@ -375,6 +375,28 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("levenshtein"), s"levenshtein predicate missing in:\n$plan")
   }
 
+  test("typed_reducegroups partial-aggregates map-side (ReduceAggregator, not mapGroups)") {
+    // reduceGroups must plan as a two-phase aggregate (partial before the
+    // exchange, final after) — the property that distinguishes it from
+    // mapGroups, which ships every row. Object aggregates render as
+    // ObjectHashAggregate/SortAggregate pairs.
+    val plan = planOf("typed_reducegroups")
+    val aggs = "(ObjectHashAggregate|SortAggregate|HashAggregate)".r
+      .findAllIn(plan).length
+    assert(aggs >= 2, s"expected partial+final aggregate pair in:\n$plan")
+    assert(!plan.contains("MapGroups"), s"mapGroups shape leaked into:\n$plan")
+  }
+
+  test("embedding_centroid_distances joins two reads of ONE materialized centroid table") {
+    // Both join sides must scan the localCheckpoint RDD — a plan that
+    // re-explodes the corpus per side doubles the data-sized work.
+    val plan = planOf("embedding_centroid_distances")
+    assert("Scan ExistingRDD".r.findAllIn(plan).length >= 2,
+      s"expected both sides to read the checkpointed centroids in:\n$plan")
+    assert(!plan.contains("Generate"),
+      s"corpus posexplode re-ran inside the pair join:\n$plan")
+  }
+
   test("text_keyword_rank broadcasts the vocab-sized df table and windows per doc") {
     val plan = planOf("text_keyword_rank")
     assert(plan.contains("BroadcastHashJoin"), s"df join should broadcast in:\n$plan")
