@@ -695,6 +695,34 @@ object StatQueries {
                FROM um GROUP BY 1)
         SELECT max_per_min, count(*) AS n_users
         FROM mx GROUP BY 1 ORDER BY max_per_min""")
+    ),
+    QueryDef(
+      "customers_growth_curve",
+      // New-customer acquisition curve: first-order month per customer →
+      // monthly new customers + cumulative base (the growth-accounting
+      // twin of text_vocab_growth's first-occurrence shape). One custkey
+      // shuffle for the min; the cumulative window runs over the
+      // calendar-bounded month rollup.
+      (s, dir) => {
+        val firstM = t(s, dir, "orders")
+          .groupBy("o_custkey")
+          .agg(min(date_trunc("month", col("o_orderdate")).cast("date")).as("m"))
+        firstM.groupBy("m").agg(count(lit(1)).as("new_customers"))
+          .withColumn("cum_customers", sum(col("new_customers")).over(
+            Window.orderBy(col("m"))
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .orderBy("m")
+      },
+      Some("""
+        WITH f AS (
+          SELECT o_custkey,
+                 min(CAST(date_trunc('month', o_orderdate) AS DATE)) AS m
+          FROM orders GROUP BY 1),
+        nm AS (SELECT m, count(*) AS new_customers FROM f GROUP BY 1)
+        SELECT m, new_customers,
+               CAST(sum(new_customers) OVER (ORDER BY m
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_customers
+        FROM nm ORDER BY m""")
     )
   )
 }
