@@ -586,6 +586,116 @@ object WarehouseQueries {
         ORDER BY n DESC, path
         LIMIT 10""")
     ),
+    QueryDef(
+      "basket_association_rules",
+      // Directed association rules over part-type co-purchase: support,
+      // confidence, lift per a→b. Directed pairs come straight from the
+      // distinct (order, type) self-join (≤30 per order — categories, not
+      // items, keep the expansion bounded); the per-type counts and the
+      // one-row order total broadcast. Every metric is an exact-count
+      // ratio with identical double op order in both engines.
+      (s, dir) => {
+        val p = broadcast(t(s, dir, "part").select("p_partkey", "p_type"))
+        val ot = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
+          .join(p, col("l_partkey") === col("p_partkey"))
+          .select("l_orderkey", "p_type").distinct()
+          .localCheckpoint(true)
+        val totals = ot.select("l_orderkey").distinct()
+          .agg(count(lit(1)).as("n_total"))
+        val perType = ot.groupBy(col("p_type")).agg(count(lit(1)).as("n_t"))
+        val a = ot.toDF("ok", "antecedent")
+        val b = ot.toDF("ok", "consequent")
+        a.join(b, "ok")
+          .filter(col("antecedent") =!= col("consequent"))
+          .groupBy("antecedent", "consequent")
+          .agg(count(lit(1)).as("n_ab"))
+          .join(broadcast(perType.toDF("antecedent", "n_a")), "antecedent")
+          .join(broadcast(perType.toDF("consequent", "n_b")), "consequent")
+          .crossJoin(broadcast(totals))
+          .select(col("antecedent"), col("consequent"), col("n_ab"),
+            round(col("n_ab").cast("double") / col("n_total").cast("double"), 6)
+              .as("support"),
+            round(col("n_ab").cast("double") / col("n_a").cast("double"), 6)
+              .as("confidence"),
+            round((col("n_ab").cast("double") * col("n_total").cast("double")) /
+              (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+              .as("lift"))
+          .orderBy("antecedent", "consequent")
+      },
+      Some("""
+        WITH ot AS (
+          SELECT DISTINCT l_orderkey, p_type
+          FROM lineitem JOIN part ON l_partkey = p_partkey),
+        tot AS (SELECT count(DISTINCT l_orderkey) AS n_total FROM ot),
+        pt AS (SELECT p_type, count(*) AS n_t FROM ot GROUP BY 1),
+        ab AS (
+          SELECT a.p_type AS antecedent, b.p_type AS consequent,
+                 count(*) AS n_ab
+          FROM ot a JOIN ot b
+            ON a.l_orderkey = b.l_orderkey AND a.p_type <> b.p_type
+          GROUP BY 1, 2)
+        SELECT antecedent, consequent, n_ab,
+               round(CAST(n_ab AS DOUBLE) / CAST(n_total AS DOUBLE), 6)
+                 AS support,
+               round(CAST(n_ab AS DOUBLE) / CAST(pa.n_t AS DOUBLE), 6)
+                 AS confidence,
+               round((CAST(n_ab AS DOUBLE) * CAST(n_total AS DOUBLE)) /
+                     (CAST(pa.n_t AS DOUBLE) * CAST(pb.n_t AS DOUBLE)), 6)
+                 AS lift
+        FROM ab
+          JOIN pt pa ON pa.p_type = antecedent
+          JOIN pt pb ON pb.p_type = consequent, tot
+        ORDER BY antecedent, consequent""")
+    ),
+    QueryDef(
+      "experiment_readout",
+      // A/B experiment readout: deterministic variant assignment
+      // (user_id parity — the hash-mod keying every RNG-free splitter
+      // here uses), conversion + revenue per arm. Counting stays integer;
+      // rates and ARPU are final-projection divisions. The shape every
+      // growth team ships daily.
+      (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            floor(col("value") * 100 + 0.5).cast("long").as("vc"),
+            when(col("user_id") % 2 === 0, "A").otherwise("B").as("variant"))
+        val users = e.select("variant", "user_id").distinct()
+          .groupBy("variant").agg(count(lit(1)).as("n_users"))
+        val conv = e.filter(col("event_type") === "purchase")
+          .select("variant", "user_id").distinct()
+          .groupBy("variant").agg(count(lit(1)).as("converters"))
+        val rev = e.filter(col("event_type") === "purchase")
+          .groupBy("variant").agg(sum(col("vc")).as("rev_c"))
+        users.join(conv, "variant").join(rev, "variant")
+          .select(col("variant"), col("n_users"), col("converters"),
+            round(col("converters").cast("double") / col("n_users").cast("double"), 6)
+              .as("conv_rate"),
+            col("rev_c"),
+            round(col("rev_c").cast("double") / col("n_users").cast("double"), 4)
+              .as("arpu_cents"))
+          .orderBy("variant")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc,
+                 CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+          FROM events),
+        u AS (SELECT variant, count(DISTINCT user_id) AS n_users
+              FROM e GROUP BY 1),
+        c AS (SELECT variant, count(DISTINCT user_id) AS converters
+              FROM e WHERE event_type = 'purchase' GROUP BY 1),
+        r AS (SELECT variant, CAST(sum(vc) AS BIGINT) AS rev_c
+              FROM e WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT variant, n_users, converters,
+               round(CAST(converters AS DOUBLE) / CAST(n_users AS DOUBLE), 6)
+                 AS conv_rate,
+               rev_c,
+               round(CAST(rev_c AS DOUBLE) / CAST(n_users AS DOUBLE), 4)
+                 AS arpu_cents
+        FROM u JOIN c USING (variant) JOIN r USING (variant)
+        ORDER BY variant""")
+    ),
     // ------------------------------------------------- market basket pairs
     QueryDef(
       "basket_type_pairs",
