@@ -50,7 +50,11 @@ object ExplainAll {
     "histogram_equi_depth" -> "Equi-depth deciles via distributedNtile: range-repartition + per-partition rank + broadcast offsets — no single-partition ntile window anywhere in the plan.",
     "events_anomaly_mad" -> "Median/MAD robust gate: both per-type median tables broadcast back onto events; the outlier flag is a pure integer comparison inside codegen.",
     "join_fuzzy_blocked" -> "Record-linkage blocking: candidates from the (nation, segment) equi-join only; Levenshtein evaluates post-join as a filter — no cartesian, no nested loop.",
-    "text_keyword_rank" -> "Keyword ranking: one tokenize/explode pass materialized; corpus df derives from the tf table and broadcasts; the top-3 window partitions by doc_id."
+    "text_keyword_rank" -> "Keyword ranking: one tokenize/explode pass materialized; corpus df derives from the tf table and broadcasts; the top-3 window partitions by doc_id.",
+    "typed_reducegroups" -> "Typed reduceGroups: ReduceAggregator plans a partial+final aggregate pair — map-side combine like the untyped rollup, unlike mapGroups which ships every row.",
+    "basket_association_rules" -> "Association rules: distinct (order, type) materialized once; directed pairs from its self-join on the order key; per-type counts and the one-row total broadcast into the metric projection.",
+    "stream_stream_left_join" -> "Left-outer stream-stream join: both sides watermarked, time-bound condition bounds click state; outer rows emit on watermark passage (flush-wave staged replay proves full emission).",
+    "text_vocab_growth" -> "Vocab growth: gram-keyed min (map-side partial) is the only data-sized shuffle; the cumulative window runs over report-grain buckets."
   )
 
   def main(args: Array[String]): Unit = {
