@@ -624,6 +624,102 @@ object Relational {
         SELECT s_nationkey AS nationkey FROM supplier
         ORDER BY nationkey""")
     ),
+    QueryDef(
+      "set_ops_multiset",
+      // Multiset set ops — exceptAll/intersectAll preserve duplicate
+      // COUNTS (bag semantics), where except/intersect collapse to
+      // distinct. Both lower to aggregate+generate plans (no
+      // sort-merge-distinct), summarized per key with an op tag.
+      (s, dir) => {
+        val l = t(s, dir, "orders").select(col("o_orderstatus"))
+        val r = t(s, dir, "orders")
+          .filter(col("o_totalprice") > 150000)
+          .select(col("o_orderstatus"))
+        val ex = l.exceptAll(r).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+        val in = l.intersectAll(r).groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+        ex.unionByName(in).orderBy("op", "o_orderstatus")
+      },
+      Some("""
+        WITH l AS (SELECT o_orderstatus FROM orders),
+        r AS (SELECT o_orderstatus FROM orders WHERE o_totalprice > 150000),
+        ex AS (SELECT o_orderstatus FROM l EXCEPT ALL SELECT o_orderstatus FROM r),
+        i AS (SELECT o_orderstatus FROM l INTERSECT ALL SELECT o_orderstatus FROM r)
+        SELECT o_orderstatus, count(*) AS n, 'except_all' AS op
+        FROM ex GROUP BY 1
+        UNION ALL
+        SELECT o_orderstatus, count(*) AS n, 'intersect_all' AS op
+        FROM i GROUP BY 1
+        ORDER BY op, o_orderstatus""")
+    ),
+    QueryDef(
+      "join_lateral_topk",
+      // SQL LATERAL (correlated subquery join): each customer's single
+      // top order — the per-row top-1 expressed in the SQL surface.
+      // Catalyst decorrelates the LATERAL into a ranked join (no
+      // per-row re-execution); the same semantics the DataFrame side
+      // expresses as topk_per_group_native.
+      (s, dir) => {
+        t(s, dir, "orders").createOrReplaceTempView("orders_lat")
+        t(s, dir, "customer").createOrReplaceTempView("customer_lat")
+        s.sql("""
+          SELECT c.c_custkey, t.o_orderkey, t.cents
+          FROM customer_lat c,
+          LATERAL (SELECT o_orderkey,
+                          CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                   FROM orders_lat o
+                   WHERE o.o_custkey = c.c_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+          WHERE c.c_custkey <= 100
+          ORDER BY c_custkey""")
+      },
+      Some("""
+        SELECT c.c_custkey, t.o_orderkey, t.cents
+        FROM customer c,
+        LATERAL (SELECT o_orderkey,
+                        CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+                 FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) t
+        WHERE c.c_custkey <= 100
+        ORDER BY c_custkey""")
+    ),
+    QueryDef(
+      "scan_binaryfile",
+      // binaryFile source — the ingestion path for opaque media blobs
+      // (the multimodal family's upstream). Twenty documents stage as
+      // individual .txt files once (mtime-cached like the streaming
+      // dirs); the source lists the directory in parallel and yields
+      // (path, modificationTime, length, content). Output proves both
+      // the listing and the byte-exact content read.
+      (s, dir) => {
+        import java.nio.file.{Files, Paths}
+        val hash = Integer.toHexString(dir.hashCode)
+        val target = Paths.get(
+          System.getProperty("java.io.tmpdir"), s"graft_binfiles_$hash")
+        O.stageOnce(Paths.get(s"$dir/documents.parquet"), target) {
+          Files.createDirectories(target)
+          t(s, dir, "documents").filter(col("doc_id") < 20)
+            .select(col("doc_id"), col("text")).collect()
+            .foreach { row =>
+              Files.write(target.resolve(f"doc_${row.getLong(0)}%04d.txt"),
+                row.getString(1).getBytes("UTF-8"))
+            }
+        }
+        s.read.format("binaryFile").load(s"$target/*.txt")
+          .select(
+            regexp_extract(col("path"), "doc_(\\d+)\\.txt", 1).cast("long")
+              .as("doc_id"),
+            col("length").as("n_bytes"),
+            md5(col("content")).as("digest"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+               md5(text) AS digest
+        FROM documents WHERE doc_id < 20 ORDER BY doc_id""")
+    ),
     // --------------------------------------------------------- scalar fns
     QueryDef(
       "str_funcs",
