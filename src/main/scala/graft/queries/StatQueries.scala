@@ -723,6 +723,72 @@ object StatQueries {
                CAST(sum(new_customers) OVER (ORDER BY m
                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_customers
         FROM nm ORDER BY m""")
+    ),
+    QueryDef(
+      "events_autocorr",
+      // Lag-k autocorrelation (k = 1, 7) of the daily revenue series — the
+      // seasonality/persistence diagnostic behind forecasting and anomaly
+      // baselines. The series is the calendar-bounded day rollup; each lag
+      // pairs by an exact date join (gap-safe, like window_yoy_growth).
+      // Pearson over the paired (x, y) forms from exact long-cent
+      // component sums, cast to double ONLY in the final formula with
+      // identical op order both engines; 1e-6 quantized output.
+      (s, dir) => {
+        val daily = Tables.events(s, dir)
+          .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
+          .agg(sum(cents(col("value"))).as("v"))
+          .localCheckpoint(true)
+        val lags = Seq(1, 7).map { k =>
+          val lead = daily.select(date_add(col("day"), k).as("day"),
+            col("v").as("x"))
+          lead.join(daily.select(col("day"), col("v").as("y")), "day")
+            .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+              sum(col("y")).as("sy"),
+              sum(col("x") * col("x")).as("sxx"),
+              sum(col("y") * col("y")).as("syy"),
+              sum(col("x") * col("y")).as("sxy"))
+            .select(lit(k).as("lag"),
+              col("n"),
+              floor(
+                ((col("n").cast("double") * col("sxy").cast("double") -
+                  col("sx").cast("double") * col("sy").cast("double")) /
+                  (sqrt(col("n").cast("double") * col("sxx").cast("double") -
+                    col("sx").cast("double") * col("sx").cast("double")) *
+                   sqrt(col("n").cast("double") * col("syy").cast("double") -
+                    col("sy").cast("double") * col("sy").cast("double"))))
+                  * 1000000 + 0.5).cast("long").as("corr_e6"))
+        }
+        lags.reduce(_ unionByName _).orderBy("lag")
+      },
+      Some("""
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', make_timestamp(epoch_ns(ts) // 1000))
+                   AS DATE) AS day,
+                 CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS v
+          FROM events GROUP BY 1),
+        p AS (
+          SELECT k.lag AS lag, a.v AS x, b.v AS y
+          FROM (VALUES (1), (7)) k(lag)
+          JOIN daily a ON TRUE
+          JOIN daily b ON b.day = a.day + CAST(k.lag AS INTEGER)),
+        c AS (
+          SELECT lag, count(*) AS n,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(y * y) AS BIGINT) AS syy,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM p GROUP BY 1)
+        SELECT CAST(lag AS INTEGER) AS lag, n,
+               CAST(floor(
+                 ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) -
+                   CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) /
+                  (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) -
+                    CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) *
+                   sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) -
+                    CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+                 * 1000000 + 0.5) AS BIGINT) AS corr_e6
+        FROM c ORDER BY lag""")
     )
   )
 }
