@@ -1217,6 +1217,91 @@ object EventQueries {
                max(CASE WHEN rn = (n * 95 + 99) // 100 THEN lag_s END)
                  AS p95_lag_s
         FROM r WHERE rn = (n + 1) // 2 OR rn = (n * 95 + 99) // 100""")
+    ),
+    QueryDef(
+      "events_attribution_multitouch",
+      // Linear multi-touch attribution: each purchase splits 1e6 credit
+      // units EQUALLY across the user's clicks in the prior 7 days
+      // (events_attribution is the last-touch twin). Channels derive from
+      // the props key (k mod 3). Credit per click is pure integer floor
+      // division, so credit rounding stays deterministic; the pair join
+      // keys on user_id with a time-band filter (per-user pairs bounded by
+      // activity, never a cartesian).
+      (s, dir) => {
+        val e = Tables.events(s, dir).select(col("user_id"), col("ts"),
+          col("event_type"),
+          (get_json_object(col("props"), "$.k").cast("long") % 3).as("ch"))
+        val p2 = e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("pts"))
+          .withColumn("pk", concat_ws("_", col("user_id"),
+            unix_micros(col("pts"))))
+        val c = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts").as("cts"), col("ch"))
+        val pairs = p2.join(c, "user_id")
+          .filter(col("cts") <= col("pts") &&
+            col("cts") >= col("pts") - expr("INTERVAL 7 DAYS"))
+        val perP = pairs.groupBy("pk").agg(count(lit(1)).as("n_c"))
+        val perPCh = pairs.groupBy("pk", "ch").agg(count(lit(1)).as("c_ch"))
+        perPCh.join(perP, "pk")
+          .select(col("ch"), col("pk"),
+            expr("c_ch * 1000000 div n_c").as("credit_e6"))
+          .groupBy("ch")
+          .agg(countDistinct(col("pk")).as("n_purchases"),
+            sum(col("credit_e6")).as("credit_e6"))
+          .orderBy("ch")
+      },
+      Some("""
+        WITH e AS (
+          SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+                 event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 AS ch
+          FROM events),
+        p AS (SELECT user_id, ts AS pts,
+                     user_id || '_' || epoch_us(ts) AS pk
+              FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT user_id, ts AS cts, ch FROM e WHERE event_type = 'click'),
+        pairs AS (
+          SELECT pk, ch FROM p JOIN c USING (user_id)
+          WHERE cts <= pts AND cts >= pts - INTERVAL 7 DAY),
+        np AS (SELECT pk, count(*) AS n_c FROM pairs GROUP BY 1),
+        nch AS (SELECT pk, ch, count(*) AS c_ch FROM pairs GROUP BY 1, 2)
+        SELECT ch, count(DISTINCT pk) AS n_purchases,
+               CAST(sum((c_ch * 1000000) // n_c) AS BIGINT) AS credit_e6
+        FROM nch JOIN np USING (pk)
+        GROUP BY ch ORDER BY ch""")
+    ),
+    QueryDef(
+      "events_powerlaw_alpha",
+      // Power-law MLE over the user-activity distribution: α = 1 +
+      // n / Σ ln(xᵢ/xmin) for users with xᵢ ≥ xmin = 2 — the heavy-tail
+      // diagnostic behind engagement skew and salting decisions. Each
+      // ln-term quantizes to a 1e-6 long BEFORE the sum (the
+      // events_user_entropy precedent: order-independent summation, only
+      // ln-on-integer parity remains); the final α is one double formula.
+      (s, dir) => {
+        val x = Tables.events(s, dir)
+          .groupBy("user_id").agg(count(lit(1)).as("x"))
+          .filter(col("x") >= 2)
+        x.withColumn("term_e6",
+            floor((log(col("x").cast("double")) - log(lit(2.0))) * 1e6 + 0.5)
+              .cast("long"))
+          .agg(count(lit(1)).as("n_users"), sum(col("term_e6")).as("st"))
+          .select(col("n_users"),
+            round(lit(1.0) + col("n_users").cast("double") /
+              (col("st").cast("double") / 1e6), 4).as("alpha"))
+      },
+      Some("""
+        WITH x AS (
+          SELECT user_id, count(*) AS x FROM events
+          GROUP BY 1 HAVING count(*) >= 2),
+        t AS (
+          SELECT CAST(floor((ln(CAST(x AS DOUBLE)) - ln(2.0)) * 1e6 + 0.5)
+                   AS BIGINT) AS term_e6
+          FROM x)
+        SELECT count(*) AS n_users,
+               round(1.0 + CAST(count(*) AS DOUBLE) /
+                 (CAST(sum(term_e6) AS DOUBLE) / 1e6), 4) AS alpha
+        FROM t""")
     )
   )
 }
