@@ -272,6 +272,59 @@ object AnalyticsQueries {
         ORDER BY user_id, session_start""")
     ),
     QueryDef(
+      "sessionize_session_window",
+      // The same 30-min sessionization through Spark's NATIVE batch
+      // session_window operator (the engine's merging-session-window
+      // aggregate, not a window-function rewrite) — one groupBy, no lag/
+      // running-sum chain. Same-session rule is identical (next event
+      // strictly inside prev + gap), so it shares the gaps-and-islands
+      // oracle with sessionize_batch.
+      (s, dir) =>
+        Tables.events(s, dir)
+          .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"),
+            col("session_window.start").as("session_start"), col("n_events"))
+          .orderBy("user_id", "session_start"),
+      Some("""
+        WITH e AS (
+          SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
+        marked AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                        OR ts >= lag(ts) OVER w + INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END AS new_session
+          FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        sessions AS (
+          SELECT user_id, ts,
+                 sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+        FROM sessions GROUP BY user_id, sid
+        ORDER BY user_id, session_start""")
+    ),
+    QueryDef(
+      "variant_funcs",
+      // Spark 4 VARIANT surface: parse_json into the binary semi-
+      // structured type, typed path extraction with variant_get — the
+      // open-schema ingestion path that replaces string-JSON reparsing
+      // per access. Missing paths yield NULL, not errors.
+      (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_id"),
+            expr("variant_get(parse_json(props), '$.k', 'int')").as("k_val"),
+            expr("variant_get(parse_json(props), '$.missing', 'int')")
+              .as("missing_val"))
+          .orderBy("event_id"),
+      Some("""
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+               CAST(json_extract_string(props, '$.missing') AS INTEGER)
+                 AS missing_val
+        FROM events ORDER BY event_id""")
+    ),
+    QueryDef(
       "agg_skew_salted",
       (s, dir) => {
         // Two-stage skew-salted aggregation: stage 1 spreads each hot group
