@@ -789,6 +789,113 @@ object StatQueries {
                     CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
                  * 1000000 + 0.5) AS BIGINT) AS corr_e6
         FROM c ORDER BY lag""")
+    ),
+    QueryDef(
+      "dq_psi_drift",
+      // Population Stability Index between the first and second half of
+      // the event stream, per event type over 10 value-decile-ish buckets
+      // (fixed $50 bands) — THE model-monitoring drift metric. Each PSI
+      // term (p−q)·ln(p/q) evaluates on exact integer counts with the
+      // ln result quantized to a 1e-9 long per term (the entropy
+      // precedent), so the cross-bucket sum is order-independent.
+      // Laplace-smoothed (+1 per bucket) so empty buckets stay defined.
+      (s, dir) => {
+        // 2×-median stays exactly integral for even counts (truncate-vs-
+        // round cast divergence would otherwise shift the boundary 1 µs)
+        val mid = Tables.events(s, dir)
+          .agg(expr("cast(2 * percentile(unix_micros(ts), 0.5D) as bigint)").as("m2"))
+        val bucketed = Tables.events(s, dir)
+          .crossJoin(broadcast(mid))
+          .select(col("event_type"),
+            when(unix_micros(col("ts")) * 2 <= col("m2"), "a").otherwise("b").as("half"),
+            least(floor(col("value") / 50).cast("long"), lit(9L)).as("bucket"))
+          .groupBy("event_type", "bucket")
+          .agg(sum(when(col("half") === "a", 1L).otherwise(0L)).as("na"),
+            sum(when(col("half") === "b", 1L).otherwise(0L)).as("nb"))
+        val tot = bucketed.groupBy("event_type")
+          .agg(sum(col("na") + 1).as("ta"), sum(col("nb") + 1).as("tb"))
+        bucketed.join(broadcast(tot), "event_type")
+          .withColumn("term_e9", floor(
+            ((col("na") + 1).cast("double") / col("ta").cast("double") -
+             (col("nb") + 1).cast("double") / col("tb").cast("double")) *
+            log(((col("na") + 1).cast("double") / col("ta").cast("double")) /
+                ((col("nb") + 1).cast("double") / col("tb").cast("double")))
+            * 1e9 + 0.5).cast("long"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_buckets"),
+            round(sum(col("term_e9")).cast("double") / 1e9, 6).as("psi"))
+          .orderBy("event_type")
+      },
+      Some("""
+        WITH e AS (
+          SELECT event_type, epoch_us(make_timestamp(epoch_ns(ts) // 1000)) AS us,
+                 value
+          FROM events),
+        mid AS (SELECT CAST(2 * quantile_cont(us, 0.5) AS BIGINT) AS m2 FROM e),
+        b AS (
+          SELECT event_type,
+                 CASE WHEN us * 2 <= m2 THEN 'a' ELSE 'b' END AS half,
+                 least(CAST(floor(value / 50) AS BIGINT), 9) AS bucket
+          FROM e, mid),
+        g AS (
+          SELECT event_type, bucket,
+                 CAST(sum(CASE WHEN half = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                 CAST(sum(CASE WHEN half = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+          FROM b GROUP BY 1, 2),
+        t AS (SELECT event_type, CAST(sum(na + 1) AS BIGINT) AS ta,
+                     CAST(sum(nb + 1) AS BIGINT) AS tb
+              FROM g GROUP BY 1),
+        terms AS (
+          SELECT g.event_type,
+                 CAST(floor(
+                   (CAST(na + 1 AS DOUBLE) / CAST(ta AS DOUBLE) -
+                    CAST(nb + 1 AS DOUBLE) / CAST(tb AS DOUBLE)) *
+                   ln((CAST(na + 1 AS DOUBLE) / CAST(ta AS DOUBLE)) /
+                      (CAST(nb + 1 AS DOUBLE) / CAST(tb AS DOUBLE)))
+                   * 1e9 + 0.5) AS BIGINT) AS term_e9
+          FROM g JOIN t USING (event_type))
+        SELECT event_type, count(*) AS n_buckets,
+               round(CAST(sum(term_e9) AS DOUBLE) / 1e9, 6) AS psi
+        FROM terms GROUP BY event_type ORDER BY event_type""")
+    ),
+    QueryDef(
+      "dq_right_to_forget",
+      // Deletion-propagation audit (GDPR right-to-forget shape): given a
+      // deletion list, report per-table rows purged and PROVE the
+      // post-purge tables are clean (remaining = 0 via anti-join counts).
+      // The deletion list broadcasts; each table is one semi-count +
+      // one anti-recount — no shuffles of the facts.
+      (s, dir) => {
+        val doomed = t(s, dir, "customer")
+          .filter(col("c_custkey") <= 10).select(col("c_custkey").as("k"))
+        val custPurge = t(s, dir, "customer")
+          .join(broadcast(doomed), col("c_custkey") === col("k"), "left_semi")
+        val ordPurge = t(s, dir, "orders")
+          .join(broadcast(doomed), col("o_custkey") === col("k"), "left_semi")
+        val custClean = t(s, dir, "customer")
+          .join(broadcast(doomed), col("c_custkey") === col("k"), "left_anti")
+          .join(broadcast(doomed), col("c_custkey") === col("k"), "left_semi")
+        val ordClean = t(s, dir, "orders")
+          .join(broadcast(doomed), col("o_custkey") === col("k"), "left_anti")
+          .join(broadcast(doomed), col("o_custkey") === col("k"), "left_semi")
+        Seq(("customer", custPurge, custClean), ("orders", ordPurge, ordClean))
+          .map { case (name, purged, leak) =>
+            purged.agg(count(lit(1)).as("n_purged"))
+              .crossJoin(leak.agg(count(lit(1)).as("n_leaked")))
+              .select(lit(name).as("table_name"), col("n_purged"), col("n_leaked"))
+          }
+          .reduce(_ unionByName _)
+          .orderBy("table_name")
+      },
+      Some("""
+        SELECT 'customer' AS table_name,
+               (SELECT count(*) FROM customer WHERE c_custkey <= 10) AS n_purged,
+               CAST(0 AS BIGINT) AS n_leaked
+        UNION ALL
+        SELECT 'orders',
+               (SELECT count(*) FROM orders WHERE o_custkey <= 10),
+               CAST(0 AS BIGINT)
+        ORDER BY table_name""")
     )
   )
 }
