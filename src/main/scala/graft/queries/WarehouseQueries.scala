@@ -587,6 +587,69 @@ object WarehouseQueries {
         LIMIT 10""")
     ),
     QueryDef(
+      "orders_basket_size",
+      // Basket-size distribution: line count per order, histogrammed —
+      // the order-composition profile behind picking/packing capacity and
+      // join-size estimates. Two partial-agg shuffles, no window.
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("basket"))
+          .groupBy("basket")
+          .agg(count(lit(1)).as("n_orders"))
+          .orderBy("basket"),
+      Some("""
+        WITH b AS (SELECT l_orderkey, count(*) AS basket
+                   FROM lineitem GROUP BY 1)
+        SELECT basket, count(*) AS n_orders
+        FROM b GROUP BY 1 ORDER BY basket""")
+    ),
+    QueryDef(
+      "market_concentration_hhi",
+      // Herfindahl–Hirschman concentration per part type: Σ over
+      // suppliers of (revenue share)² — the market-structure metric (and
+      // the skew diagnostic that motivates salting). Each squared share
+      // quantizes to a 1e-9 long BEFORE the cross-supplier sum (order-
+      // independent); shares form from exact cent totals with identical
+      // division order in both engines.
+      (s, dir) => {
+        val rev = t(s, dir, "lineitem")
+          .join(broadcast(t(s, dir, "part").select("p_partkey", "p_type")),
+            col("l_partkey") === col("p_partkey"))
+          .groupBy(col("p_type"), col("l_suppkey"))
+          .agg(sum(floor(col("l_extendedprice") * 100 + 0.5).cast("long")).as("rev_c"))
+        val tot = rev.groupBy("p_type").agg(sum(col("rev_c")).as("tot_c"))
+        rev.join(broadcast(tot), "p_type")
+          .withColumn("term_e9", floor(
+            (col("rev_c").cast("double") / col("tot_c").cast("double")) *
+            (col("rev_c").cast("double") / col("tot_c").cast("double"))
+            * 1e9 + 0.5).cast("long"))
+          .groupBy("p_type")
+          .agg(count(lit(1)).as("n_suppliers"),
+            round(sum(col("term_e9")).cast("double") / 1e9, 6).as("hhi"))
+          .orderBy("p_type")
+      },
+      Some("""
+        WITH rev AS (
+          SELECT p_type, l_suppkey,
+                 CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                   AS BIGINT) AS rev_c
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+        tot AS (SELECT p_type, CAST(sum(rev_c) AS BIGINT) AS tot_c
+                FROM rev GROUP BY 1),
+        terms AS (
+          SELECT rev.p_type,
+                 CAST(floor(
+                   (CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE)) *
+                   (CAST(rev_c AS DOUBLE) / CAST(tot_c AS DOUBLE))
+                   * 1e9 + 0.5) AS BIGINT) AS term_e9
+          FROM rev JOIN tot USING (p_type))
+        SELECT p_type, count(*) AS n_suppliers,
+               round(CAST(sum(term_e9) AS DOUBLE) / 1e9, 6) AS hhi
+        FROM terms GROUP BY p_type ORDER BY p_type""")
+    ),
+    QueryDef(
       "basket_association_rules",
       // Directed association rules over part-type co-purchase: support,
       // confidence, lift per a→b. Directed pairs come straight from the
