@@ -26,6 +26,50 @@ object StatQueries {
   private def cents(c: org.apache.spark.sql.Column) =
     floor(c * 100 + 0.5).cast("long")
 
+  /** Per-nation counts of lev≤2 name pairs within (nation, segment) —
+    * both regimes exact (see join_fuzzy_blocked's doc; public so the
+    * regime-equality spec can force each path).
+    */
+  def fuzzyNamePairs(c: DataFrame, pigeonhole: Boolean): DataFrame = {
+    val candidates =
+      if (!pigeonhole) {
+        val a = c.toDF("key_a", "name_a", "nk", "seg")
+        val b = c.toDF("key_b", "name_b", "nk", "seg")
+        a.join(b, Seq("nk", "seg"))
+          .filter(col("key_a") < col("key_b"))
+          .select("nk", "key_a", "key_b", "name_a", "name_b")
+      } else {
+        def pieces(shifts: String) = expr(
+          s"""flatten(transform(sequence(0, 2), i ->
+                transform($shifts, sh ->
+                  struct(i AS idx,
+                    substring(c_name,
+                      1 + i * (length(c_name) div 3) + sh,
+                      length(c_name) div 3) AS piece))))""")
+        val probes = c.select(col("c_custkey").as("key_a"),
+            col("c_name").as("name_a"), col("c_nationkey").as("nk"),
+            col("c_mktsegment").as("seg"),
+            explode(pieces("array(0)")).as("p"))
+          .select(col("key_a"), col("name_a"), col("nk"), col("seg"),
+            col("p.idx").as("idx"), col("p.piece").as("piece"))
+        val shifted = c.select(col("c_custkey").as("key_b"),
+            col("c_name").as("name_b"), col("c_nationkey").as("nk"),
+            col("c_mktsegment").as("seg"),
+            explode(pieces("sequence(-2, 2)")).as("p"))
+          .select(col("key_b"), col("name_b"), col("nk"), col("seg"),
+            col("p.idx").as("idx"), col("p.piece").as("piece"))
+        probes.join(shifted, Seq("nk", "seg", "idx", "piece"))
+          .filter(col("key_a") < col("key_b"))
+          .select("nk", "key_a", "key_b", "name_a", "name_b")
+          .distinct()
+      }
+    candidates
+      .filter(levenshtein(col("name_a"), col("name_b"), 2) >= 0)
+      .groupBy(col("nk").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("c_nationkey")
+  }
+
   def queries: Seq[QueryDef] = Seq(
     QueryDef(
       "histogram_equi_depth",
@@ -229,26 +273,29 @@ object StatQueries {
     ),
     QueryDef(
       "join_fuzzy_blocked",
-      // Blocking-based fuzzy entity matching: candidate pairs only WITHIN
-      // a (nation, segment) block — the standard record-linkage shape that
-      // turns an O(n²) fuzzy self-join into per-block quadratics (≤ ~150
-      // rows per block at sf0.1; block count grows with data, block size
-      // with skew only). Levenshtein is exact integer DP in both engines;
-      // key_a < key_b halves the pair space and kills self-pairs.
+      // Fuzzy entity matching, TWO-REGIME (the pagerank/ccViaForest
+      // precedent — both regimes exact, so the switch is invisible in
+      // results):
+      //  * small blocks → direct per-(nation, segment)-block quadratic
+      //    with the bounded-threshold levenshtein (banded DP, early-exit
+      //    at distance > 2; −1 beyond the bound ⇒ ≥0 ⇔ ≤2). Cheapest
+      //    while block sizes are modest — no candidate machinery.
+      //  * big table → PIGEONHOLE candidate generation (PartEnum-style):
+      //    split each name into 3 contiguous pieces; ≤2 edits damage at
+      //    most 2 of them, so some piece of `a` appears VERBATIM in `b`
+      //    at the same index shifted ±2 by earlier ins/dels (piece 0
+      //    never shifts — nothing precedes it). Candidates become an
+      //    EQUI-join on (nation, segment, piece_idx, piece) — high-
+      //    cardinality keys whose blocks stay bounded as the table grows,
+      //    where the bare (nation, segment) quadratic explodes linearly
+      //    with data. distinct-before-verify stops multi-piece double
+      //    counting; the exact lev filter kills the spurious candidates
+      //    Spark's negative-index substring semantics can produce.
       (s, dir) => {
         val c = t(s, dir, "customer")
-          .select(col("c_custkey"), col("c_name"), col("c_nationkey"), col("c_mktsegment"))
-        val a = c.toDF("key_a", "name_a", "nk", "seg")
-        val b = c.toDF("key_b", "name_b", "nk", "seg")
-        // Bounded variant: the threshold overload runs the banded DP and
-        // early-exits at distance > 2 (O(k·n) per pair, not O(n²)) —
-        // returns −1 beyond the bound, so ≥0 ⇔ distance ≤ 2.
-        a.join(b, Seq("nk", "seg"))
-          .filter(col("key_a") < col("key_b") &&
-            levenshtein(col("name_a"), col("name_b"), 2) >= 0)
-          .groupBy(col("nk").as("c_nationkey"))
-          .agg(count(lit(1)).as("n_pairs"))
-          .orderBy("c_nationkey")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_mktsegment"))
+        fuzzyNamePairs(c, pigeonhole = c.limit(200001).count() > 200000)
       },
       Some("""
         SELECT a.c_nationkey AS c_nationkey, count(*) AS n_pairs

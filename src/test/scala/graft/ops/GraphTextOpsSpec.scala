@@ -288,4 +288,16 @@ class GraphTextOpsSpec extends AnyFunSuite {
     val hashed = growth(grams.select(col("doc_id"), xxhash64(col("tok")).as("tok")))
     assert(raw.exceptAll(hashed).isEmpty && hashed.exceptAll(raw).isEmpty)
   }
+
+  test("fuzzy-match pigeonhole regime equals the direct quadratic on real names") {
+    // Both regimes are exact for lev<=2; this forces the big-table
+    // pigeonhole path (never taken at test SFs) and proves it loses no
+    // pair against the straightforward per-block quadratic.
+    val c = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"))
+    val direct = graft.queries.StatQueries.fuzzyNamePairs(c, pigeonhole = false)
+    val pigeon = graft.queries.StatQueries.fuzzyNamePairs(c, pigeonhole = true)
+    assert(direct.exceptAll(pigeon).isEmpty && pigeon.exceptAll(direct).isEmpty)
+  }
 }
