@@ -233,6 +233,9 @@ object StatQueries {
       // is the pure integer comparison dev2·20000 > mad22·44478
       // (⇔ |v−med| > 4.4478·MAD), so no accumulated float ever decides a
       // boundary row. Per-type medians broadcast back onto the events.
+      // percentile() here buffers per GROUP (5 bounded types — fine); for
+      // unbounded groups swap in the sort-based positional selection of
+      // agg_median_selection / dq_psi_drift's boundary.
       (s, dir) => {
         val e = Tables.events(s, dir)
           .select(col("event_type"), cents(col("value")).as("vc"))
@@ -779,7 +782,10 @@ object StatQueries {
       // pairs by an exact date join (gap-safe, like window_yoy_growth).
       // Pearson over the paired (x, y) forms from exact long-cent
       // component sums, cast to double ONLY in the final formula with
-      // identical op order both engines; 1e-6 quantized output.
+      // identical op order both engines; 1e-6 quantized output. Headroom:
+      // Σx² in long cents holds to ~3e9 cents/day over 2.4k days; a
+      // larger warehouse scales the quanta to dollars (corr is
+      // scale-invariant) before this query.
       (s, dir) => {
         val daily = Tables.events(s, dir)
           .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
@@ -847,10 +853,31 @@ object StatQueries {
       // precedent), so the cross-bucket sum is order-independent.
       // Laplace-smoothed (+1 per bucket) so empty buckets stay defined.
       (s, dir) => {
-        // 2×-median stays exactly integral for even counts (truncate-vs-
-        // round cast divergence would otherwise shift the boundary 1 µs)
-        val mid = Tables.events(s, dir)
-          .agg(expr("cast(2 * percentile(unix_micros(ts), 0.5D) as bigint)").as("m2"))
+        // Boundary = 2× the median event time, exactly integral (truncate-
+        // vs-round cast divergence would otherwise shift the boundary 1 µs)
+        // — found by TWO-PHASE positional selection over (us, event_id)
+        // (the conversion-lag shape: range-partition, ≤8-row offset scan,
+        // per-partition ranks), NOT the buffering percentile() aggregate,
+        // which holds every value of the group in memory.
+        val ev = Tables.events(s, dir)
+          .select(unix_micros(col("ts")).as("us"), col("event_id"))
+        val parts = ev.repartitionByRange(8, col("us"), col("event_id"))
+          .withColumn("pid", spark_partition_id())
+        val offsets = parts.groupBy("pid").agg(count(lit(1)).as("pn"))
+          .select(col("pid"),
+            coalesce(sum(col("pn")).over(Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("off"),
+            sum(col("pn")).over(Window.orderBy("pid")
+              .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+              .as("nn"))
+        val mid = parts.join(broadcast(offsets), "pid")
+          .withColumn("rn", col("off") + row_number().over(
+            Window.partitionBy("pid").orderBy(col("us"), col("event_id"))))
+          .filter(col("rn") === expr("(nn + 1) div 2") ||
+            col("rn") === expr("(nn + 2) div 2"))
+          .agg(sum(col("us") *
+            when(expr("(nn + 1) div 2 = (nn + 2) div 2"), 2L).otherwise(1L))
+            .as("m2"))
         val bucketed = Tables.events(s, dir)
           .crossJoin(broadcast(mid))
           .select(col("event_type"),
