@@ -49,7 +49,7 @@ object ExplainAll {
     "embedding_top_pc" -> "PCA power iteration: per round one broadcast of the 64-dim v (a literal array), map-side quantized dots, one d-key aggregation — the d×d covariance never exists.",
     "histogram_equi_depth" -> "Equi-depth deciles via distributedNtile: range-repartition + per-partition rank + broadcast offsets — no single-partition ntile window anywhere in the plan.",
     "events_anomaly_mad" -> "Median/MAD robust gate: both per-type median tables broadcast back onto events; the outlier flag is a pure integer comparison inside codegen.",
-    "join_fuzzy_blocked" -> "Record-linkage blocking: candidates from the (nation, segment) equi-join only; Levenshtein evaluates post-join as a filter — no cartesian, no nested loop.",
+    "join_fuzzy_blocked" -> "Two-regime record linkage: below 200k rows candidates come from the (nation, segment) equi-join; above, the PartEnum pigeonhole piece-join bounds blocks. Levenshtein (threshold overload, banded DP) evaluates post-join as a filter — no cartesian, no nested loop.",
     "text_keyword_rank" -> "Keyword ranking: one tokenize/explode pass materialized; corpus df derives from the tf table and broadcasts; the top-3 window partitions by doc_id.",
     "typed_reducegroups" -> "Typed reduceGroups: ReduceAggregator plans a partial+final aggregate pair — map-side combine like the untyped rollup, unlike mapGroups which ships every row.",
     "basket_association_rules" -> "Association rules: distinct (order, type) materialized once; directed pairs from its self-join on the order key; per-type counts and the one-row total broadcast into the metric projection.",
