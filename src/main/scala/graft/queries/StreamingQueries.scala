@@ -126,6 +126,28 @@ object StreamingQueries {
         ORDER BY 1, 2, 3""")
     ),
     QueryDef(
+      "stream_stream_full_join",
+      // Full-outer stream–stream join: matched pairs plus BOTH sides'
+      // unmatched rows with (-1) sentinels, each emitted when the
+      // watermark proves no partner can arrive (flush-wave staging — see
+      // StreamingOps.streamStreamLeftJoin). Oracle = the batch full join.
+      (s, dir) => StreamingOps.streamStreamFullJoin(s, dir),
+      Some("""
+        WITH e AS (
+          SELECT event_id, user_id, event_type,
+                 make_timestamp(epoch_ns(ts) // 1000) AS ts
+          FROM events),
+        p AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'purchase'),
+        c AS (SELECT event_id, user_id, ts FROM e WHERE event_type = 'click')
+        SELECT coalesce(p.user_id, c.user_id) AS user_id,
+               coalesce(p.event_id, -1) AS purchase_id,
+               coalesce(c.event_id, -1) AS click_id
+        FROM p FULL JOIN c
+          ON c.user_id = p.user_id
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        ORDER BY 1, 2, 3""")
+    ),
+    QueryDef(
       "stream_topk",
       (s, dir) => StreamingOps.streamTopK(s, dir, 10),
       Some("""

@@ -354,6 +354,42 @@ object StreamingOps {
       .orderBy("user_id", "purchase_id", "click_id")
   }
 
+  /** FULL OUTER stream–stream join: both sides emit — matched pairs as
+    * they join, unmatched PURCHASES and unmatched CLICKS each with a null
+    * other side once the watermark closes their state. Same flush-wave
+    * staging as [[streamStreamLeftJoin]]; clicks can match any purchase in
+    * [click, click + 1h], so click state closes when the watermark passes
+    * click_ts + 1h — within the staged margin. Output keys both sides'
+    * event ids with −1 sentinels.
+    */
+  def streamStreamFullJoin(spark: SparkSession, dir: String): DataFrame = {
+    val staged = stageOuterDir(spark, dir)
+    def src = spark.readStream
+      .schema(eventsStagedSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("purchase_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("click_user") === col("purchase_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(
+        coalesce(col("purchase_user"), col("click_user")).as("user_id"),
+        coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+        coalesce(col("click_id"), lit(-1L)).as("click_id"))
+    runToTable(joined, "append")
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "purchase_id", "click_id")
+  }
+
   /** Events + two flush waves of watermark-advancing sentinel rows (see
     * [[streamStreamLeftJoin]]); mtime-ordered files make the wave order
     * deterministic under `maxFilesPerTrigger=1`.

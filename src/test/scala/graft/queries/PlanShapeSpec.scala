@@ -397,6 +397,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"corpus posexplode re-ran inside the pair join:\n$plan")
   }
 
+  test("dq_psi_drift finds the median boundary by selection, not a buffering percentile") {
+    // The global-median boundary must come from the two-phase positional
+    // selection (range partition + offsets + per-partition row_number) —
+    // a percentile() aggregate would buffer every event time in one
+    // aggregation buffer.
+    val plan = planOf("dq_psi_drift")
+    assert(!plan.contains("percentile"), s"buffering percentile in:\n$plan")
+    assert(plan.contains("row_number"), s"positional selection missing in:\n$plan")
+  }
+
   test("text_keyword_rank broadcasts the vocab-sized df table and windows per doc") {
     val plan = planOf("text_keyword_rank")
     assert(plan.contains("BroadcastHashJoin"), s"df join should broadcast in:\n$plan")
