@@ -28,40 +28,64 @@ object StatQueries {
 
   /** Per-nation counts of lev≤2 name pairs within (nation, segment) —
     * both regimes exact (see join_fuzzy_blocked's doc; public so the
-    * regime-equality spec can force each path).
+    * regime-equality and random-corruption specs can force each path).
+    *
+    * Pigeonhole geometry is defined by the PROBE's length La (pieces of
+    * length La div 3 at positions i·(La div 3)); the index side cannot
+    * know La, so it extracts pieces for every plausible probe length
+    * L = its own length + dl, dl ∈ [−2, 2] (lev≤2 bounds the length gap),
+    * each at shifts sh ∈ [−2, 2] (insertions/deletions before a piece
+    * displace its image by at most the edit count). Probes shorter than 9
+    * have sub-3-char pieces whose matches explode; those names route
+    * through a direct quadratic pool (both sides ≤ 10 chars), and the
+    * pigeonhole keeps only pairs whose longer name is ≥ 11 — the two
+    * pools partition the pair space by greatest length, so nothing is
+    * counted twice and nothing is lost (a <9 name can only pair with a
+    * ≤ 10 name under lev≤2).
     */
   def fuzzyNamePairs(c: DataFrame, pigeonhole: Boolean): DataFrame = {
+    def quadratic(in: DataFrame) = {
+      val a = in.toDF("key_a", "name_a", "nk", "seg")
+      val b = in.toDF("key_b", "name_b", "nk", "seg")
+      a.join(b, Seq("nk", "seg"))
+        .filter(col("key_a") < col("key_b"))
+        .select("nk", "key_a", "key_b", "name_a", "name_b")
+    }
     val candidates =
-      if (!pigeonhole) {
-        val a = c.toDF("key_a", "name_a", "nk", "seg")
-        val b = c.toDF("key_b", "name_b", "nk", "seg")
-        a.join(b, Seq("nk", "seg"))
-          .filter(col("key_a") < col("key_b"))
-          .select("nk", "key_a", "key_b", "name_a", "name_b")
-      } else {
-        def pieces(shifts: String) = expr(
-          s"""flatten(transform(sequence(0, 2), i ->
-                transform($shifts, sh ->
-                  struct(i AS idx,
-                    substring(c_name,
-                      1 + i * (length(c_name) div 3) + sh,
-                      length(c_name) div 3) AS piece))))""")
-        val probes = c.select(col("c_custkey").as("key_a"),
+      if (!pigeonhole) quadratic(c)
+      else {
+        val shortPairs = quadratic(c.filter(length(col("c_name")) <= 10))
+        val probes = c.filter(length(col("c_name")) >= 9)
+          .select(col("c_custkey").as("key_a"),
             col("c_name").as("name_a"), col("c_nationkey").as("nk"),
             col("c_mktsegment").as("seg"),
-            explode(pieces("array(0)")).as("p"))
+            explode(expr(
+              """transform(sequence(0, 2), i ->
+                   struct(i AS idx,
+                     substring(c_name, 1 + i * (length(c_name) div 3),
+                       length(c_name) div 3) AS piece))""")).as("p"))
           .select(col("key_a"), col("name_a"), col("nk"), col("seg"),
             col("p.idx").as("idx"), col("p.piece").as("piece"))
         val shifted = c.select(col("c_custkey").as("key_b"),
             col("c_name").as("name_b"), col("c_nationkey").as("nk"),
             col("c_mktsegment").as("seg"),
-            explode(pieces("sequence(-2, 2)")).as("p"))
+            explode(expr(
+              """flatten(flatten(transform(sequence(-2, 2), dl ->
+                   transform(sequence(0, 2), i ->
+                     transform(sequence(-2, 2), sh ->
+                       struct(i AS idx,
+                         substring(c_name,
+                           1 + i * ((length(c_name) + dl) div 3) + sh,
+                           (length(c_name) + dl) div 3) AS piece))))))"""))
+              .as("p"))
           .select(col("key_b"), col("name_b"), col("nk"), col("seg"),
             col("p.idx").as("idx"), col("p.piece").as("piece"))
-        probes.join(shifted, Seq("nk", "seg", "idx", "piece"))
-          .filter(col("key_a") < col("key_b"))
+        val longPairs = probes.join(shifted, Seq("nk", "seg", "idx", "piece"))
+          .filter(col("key_a") < col("key_b") &&
+            greatest(length(col("name_a")), length(col("name_b"))) >= 11)
           .select("nk", "key_a", "key_b", "name_a", "name_b")
           .distinct()
+        shortPairs.unionByName(longPairs)
       }
     candidates
       .filter(levenshtein(col("name_a"), col("name_b"), 2) >= 0)

@@ -300,4 +300,45 @@ class GraphTextOpsSpec extends AnyFunSuite {
     val pigeon = graft.queries.StatQueries.fuzzyNamePairs(c, pigeonhole = true)
     assert(direct.exceptAll(pigeon).isEmpty && pigeon.exceptAll(direct).isEmpty)
   }
+
+  test("pigeonhole candidates lose no pair under random <=2-edit corruptions") {
+    // Adversarial recall property: corrupt base strings with random
+    // combinations of substitutions / insertions / deletions (<=2 edits,
+    // including the shift-inducing ins+del mixes the piece-join's ±2
+    // offsets exist for) and check regime equality on every corpus.
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdefghij"
+    def edit(str: String): String = rnd.nextInt(3) match {
+      case 0 if str.nonEmpty => // substitute
+        val i = rnd.nextInt(str.length)
+        str.updated(i, alpha(rnd.nextInt(alpha.length)))
+      case 1 => // insert
+        val i = rnd.nextInt(str.length + 1)
+        str.substring(0, i) + alpha(rnd.nextInt(alpha.length)) + str.substring(i)
+      case _ if str.length > 1 => // delete
+        val i = rnd.nextInt(str.length)
+        str.substring(0, i) + str.substring(i + 1)
+      case _ => str
+    }
+    for (trial <- 0 until 3) {
+      val bases = (0 until 40).map(i =>
+        (0 until 15).map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+      val rows = bases.zipWithIndex.flatMap { case (b, i) =>
+        val corrupted = (1 to 2).map { j =>
+          val nEdits = 1 + rnd.nextInt(2)
+          (1 to nEdits).foldLeft(b)((acc, _) => edit(acc))
+        }
+        (b +: corrupted).zipWithIndex.map { case (name, j) =>
+          (i * 10L + j, name, 1, "SEG")
+        }
+      }
+      val c = rows.toDF("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+      val direct = graft.queries.StatQueries.fuzzyNamePairs(c, pigeonhole = false)
+      val pigeon = graft.queries.StatQueries.fuzzyNamePairs(c, pigeonhole = true)
+      assert(direct.exceptAll(pigeon).isEmpty && pigeon.exceptAll(direct).isEmpty,
+        s"trial $trial: pigeonhole missed pairs")
+    }
+  }
 }
