@@ -249,6 +249,37 @@ object StatQueries {
         ORDER BY stage""")
     ),
     QueryDef(
+      "events_funnel_unordered",
+      // Set-completion (unordered adoption) funnel: how many users have
+      // done ANY k of the three key actions, irrespective of order — the
+      // feature-adoption counterpart of the ordered events_funnel. One
+      // distinct + one groupBy; the cumulative "at least k" view derives
+      // from the tiny k-histogram.
+      (s, dir) => {
+        val depth = Tables.events(s, dir)
+          .filter(col("event_type").isin("signup", "click", "purchase"))
+          .select("user_id", "event_type").distinct()
+          .groupBy("user_id").agg(count(lit(1)).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("n_users"))
+        depth
+          .withColumn("n_users_at_least", sum(col("n_users")).over(
+            Window.orderBy(col("k").desc)
+              .rowsBetween(Window.unboundedPreceding, 0)))
+          .orderBy("k")
+      },
+      Some("""
+        WITH d AS (
+          SELECT user_id, count(DISTINCT event_type) AS k
+          FROM events
+          WHERE event_type IN ('signup', 'click', 'purchase')
+          GROUP BY 1),
+        h AS (SELECT k, count(*) AS n_users FROM d GROUP BY 1)
+        SELECT k, n_users,
+               CAST(sum(n_users) OVER (ORDER BY k DESC
+                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_users_at_least
+        FROM h ORDER BY k""")
+    ),
+    QueryDef(
       "events_anomaly_mad",
       // Robust outlier flagging: |v − median| > 3·1.4826·MAD per event
       // type — the median/MAD twin of anomaly_zscore (robust to the very
