@@ -99,6 +99,22 @@ object Relational {
                CAST(43.0 AS DOUBLE) AS clean_total""")
     ),
     QueryDef(
+      "scan_csv_gzip",
+      // Compressed-source round-trip: the CSV codec path (gzip per-file
+      // compression; splittability is the documented tradeoff — gz files
+      // read whole-file, so at scale the writer sizes files to partition
+      // targets or uses a splittable codec).
+      (s, dir) => {
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_gz_nation"
+        val src = t(s, dir, "nation")
+        src.coalesce(1).write.mode("overwrite")
+          .option("header", "true").option("compression", "gzip").csv(tmp)
+        s.read.schema(src.schema).option("header", "true").csv(tmp)
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")
+    ),
+    QueryDef(
       "scan_json",
       (s, dir) => {
         val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_region"

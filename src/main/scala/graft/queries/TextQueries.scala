@@ -238,6 +238,63 @@ object TextQueries {
         ORDER BY n12 DESC, w1, w2 LIMIT 20""")
     ),
     QueryDef(
+      "text_lm_score",
+      // Perplexity-style quality filter: score each document by its mean
+      // Laplace-smoothed bigram log-probability under the corpus's own
+      // bigram LM — the classic "train a cheap LM on the corpus, drop
+      // docs it finds surprising" curation gate (kenlm-filter shape).
+      // Each bigram's ln term quantizes to a 1e-6 long IN THE LM TABLE
+      // (one value per distinct bigram — order-independent sums per doc);
+      // the LM is vocab²-bounded and broadcasts. Scores for doc_id < 50.
+      (s, dir) => {
+        val bi = s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+          .where(size(col("ts")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, ts[i] AS w2))")).as("b"))
+          .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+        val n12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+        val n1 = n12.groupBy("w1").agg(sum(col("n12")).as("n1"))
+        val v = n12.select("w2").distinct().agg(count(lit(1)).as("vsz"))
+        val lm = n12.join(n1, "w1").crossJoin(v)
+          .select(col("w1"), col("w2"),
+            floor(log((col("n12") + 1).cast("double") /
+              (col("n1") + col("vsz")).cast("double")) * 1e6 + 0.5)
+              .cast("long").as("term_e6"))
+        bi.filter(col("doc_id") < 50)
+          .join(broadcast(lm), Seq("w1", "w2"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            round((sum(col("term_e6")).cast("double") / 1e6) /
+              count(lit(1)).cast("double"), 4).as("avg_logprob"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts
+                   FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        bi AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(2, len(ts) + 1),
+                   i -> struct_pack(w1 := ts[i - 1], w2 := ts[i]))) AS b
+          FROM t),
+        bt AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bi),
+        n12 AS (SELECT w1, w2, count(*) AS n12 FROM bt GROUP BY 1, 2),
+        n1 AS (SELECT w1, CAST(sum(n12) AS BIGINT) AS n1 FROM n12 GROUP BY 1),
+        v AS (SELECT count(DISTINCT w2) AS vsz FROM n12),
+        lm AS (
+          SELECT w1, w2,
+                 CAST(floor(ln(CAST(n12 + 1 AS DOUBLE) /
+                   CAST(n1 + vsz AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+                   AS term_e6
+          FROM n12 JOIN n1 USING (w1), v)
+        SELECT doc_id, count(*) AS n_bigrams,
+               round((CAST(sum(term_e6) AS DOUBLE) / 1e6) /
+                 CAST(count(*) AS DOUBLE), 4) AS avg_logprob
+        FROM bt JOIN lm USING (w1, w2)
+        WHERE doc_id < 50
+        GROUP BY doc_id ORDER BY doc_id""")
+    ),
+    QueryDef(
       "token_oov_rate",
       // Tokenizer-coverage audit: per-language out-of-vocabulary token
       // rate against the corpus's top-16 vocabulary — the metric that
