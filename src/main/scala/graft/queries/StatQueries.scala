@@ -43,7 +43,16 @@ object StatQueries {
     * counted twice and nothing is lost (a <9 name can only pair with a
     * ≤ 10 name under lev≤2).
     */
-  def fuzzyNamePairs(c: DataFrame, pigeonhole: Boolean): DataFrame = {
+  def fuzzyNamePairs(c: DataFrame, pigeonhole: Boolean): DataFrame =
+    fuzzyNameVerifiedPairs(c, pigeonhole)
+      .groupBy(col("nk").as("c_nationkey"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("c_nationkey")
+
+  /** The verified pair list behind [[fuzzyNamePairs]] — the edge set an
+    * entity-resolution clustering consumes.
+    */
+  def fuzzyNameVerifiedPairs(c: DataFrame, pigeonhole: Boolean): DataFrame = {
     def quadratic(in: DataFrame) = {
       val a = in.toDF("key_a", "name_a", "nk", "seg")
       val b = in.toDF("key_b", "name_b", "nk", "seg")
@@ -87,11 +96,8 @@ object StatQueries {
           .distinct()
         shortPairs.unionByName(longPairs)
       }
-    candidates
-      .filter(levenshtein(col("name_a"), col("name_b"), 2) >= 0)
-      .groupBy(col("nk").as("c_nationkey"))
-      .agg(count(lit(1)).as("n_pairs"))
-      .orderBy("c_nationkey")
+    candidates.filter(levenshtein(col("name_a"), col("name_b"), 2) >= 0)
+      .select("nk", "key_a", "key_b")
   }
 
   def queries: Seq[QueryDef] = Seq(
@@ -363,6 +369,50 @@ object StatQueries {
          AND a.c_custkey < b.c_custkey
          AND levenshtein(a.c_name, b.c_name) <= 2
         GROUP BY 1 ORDER BY 1""")
+    ),
+    QueryDef(
+      "er_fuzzy_clusters",
+      // Entity resolution end-to-end: the verified fuzzy pair list
+      // (join_fuzzy_blocked's edge set) feeds connected components →
+      // cluster-size histogram — "how many distinct entities hide behind
+      // these near-identical names". Same CC machinery as the text
+      // near-dup family (min-label propagation, pointer jumping); the
+      // oracle walks the identical lev-pair graph with a recursive CTE.
+      (s, dir) => {
+        import graft.ops.GraphOps
+        val c = t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+            col("c_mktsegment"))
+        val pairs = fuzzyNameVerifiedPairs(c,
+          pigeonhole = c.limit(200001).count() > 200000)
+          .select(col("key_a"), col("key_b"))
+        val verts = pairs.select(col("key_a").as("id"))
+          .unionByName(pairs.select(col("key_b").as("id"))).distinct()
+        GraphOps.connectedComponents(verts,
+            pairs.toDF("src", "dst"))
+          .groupBy(col("label")).agg(count(lit(1)).as("sz"))
+          .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
+          .orderBy("sz")
+      },
+      Some("""
+        WITH RECURSIVE lp AS (
+          SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+          FROM customer a JOIN customer b
+            ON a.c_nationkey = b.c_nationkey
+           AND a.c_mktsegment = b.c_mktsegment
+           AND a.c_custkey < b.c_custkey
+           AND levenshtein(a.c_name, b.c_name) <= 2),
+        e2 AS (SELECT id_a AS a, id_b AS b FROM lp
+               UNION ALL SELECT id_b, id_a FROM lp),
+        verts AS (SELECT DISTINCT a AS node FROM e2),
+        walk(node, label) AS (
+          SELECT node, node FROM verts
+          UNION
+          SELECT e2.b, walk.label FROM walk JOIN e2 ON e2.a = walk.node),
+        comp AS (SELECT node, min(label) AS component FROM walk GROUP BY node),
+        szs AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+        SELECT sz, count(*) AS n_clusters
+        FROM szs GROUP BY 1 ORDER BY sz""")
     ),
     QueryDef(
       "agg_incremental_merge",
