@@ -383,13 +383,18 @@ object StatQueries {
         val c = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
             col("c_mktsegment"))
-        val pairs = fuzzyNameVerifiedPairs(c,
-          pigeonhole = c.limit(200001).count() > 200000)
+        val n = c.limit(200001).count()
+        // Materialize the verified pair list ONCE: vertices (distinct
+        // endpoints), the CC edge pass, and the regime probe would each
+        // re-run the lev join otherwise. |V| ≤ |customer| gives the CC a
+        // free sizeHint (skips its probe count — one fewer serial job).
+        val pairs = fuzzyNameVerifiedPairs(c, pigeonhole = n > 200000)
           .select(col("key_a"), col("key_b"))
+          .localCheckpoint(true)
         val verts = pairs.select(col("key_a").as("id"))
           .unionByName(pairs.select(col("key_b").as("id"))).distinct()
         GraphOps.connectedComponents(verts,
-            pairs.toDF("src", "dst"))
+            pairs.toDF("src", "dst"), sizeHint = Some(n))
           .groupBy(col("label")).agg(count(lit(1)).as("sz"))
           .groupBy(col("sz")).agg(count(lit(1)).as("n_clusters"))
           .orderBy("sz")
