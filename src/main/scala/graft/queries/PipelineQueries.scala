@@ -755,6 +755,27 @@ object PipelineQueries {
         FROM documents ORDER BY doc_id""")
     ),
     QueryDef(
+      "multimodal_dedup",
+      // Content-digest dedup over the OPAQUE binary column (the
+      // imagededup exact tier): md5 per payload, digest groups with a
+      // deterministic keeper — byte-level identity needs no decode, so it
+      // runs before any codec work at full ingest rate. Only the 16-byte
+      // digest + ids shuffle.
+      (s, dir) => {
+        import org.apache.spark.sql.functions.{col, count, lit, md5, min}
+        graft.ops.MultimodalOps.mediaTable(s, dir).toDF()
+          .select(col("doc_id"), md5(col("media")).as("digest"))
+          .groupBy("digest")
+          .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+          .filter(col("n_copies") > 1)
+          .orderBy("digest")
+      },
+      Some("""
+        SELECT md5(text) AS digest, count(*) AS n_copies,
+               min(doc_id) AS keep_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY digest""")
+    ),
+    QueryDef(
       "multimodal_pipeline",
       // The full decode→resize→feature chain end-to-end on the opaque
       // binary column, all stages partition-wise (mapPartitions with
