@@ -101,13 +101,13 @@ object DedupOps {
     * [[clearCaches]] to unpersist and drop this session's entries.
     */
   private val repCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), (DataFrame, DataFrame)]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (DataFrame, DataFrame)]()
 
   private val prefixCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Double), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), DataFrame]()
 
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Double), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), DataFrame]()
 
   /** Unpersist and drop every cached mining artifact (dup grouping, prefix
     * projections, pair lists) built on `spark`; see the cache contract
@@ -115,9 +115,9 @@ object DedupOps {
     * which is keyed the same way and derives from the same inputs.
     */
   def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val sid = System.identityHashCode(spark)
+    val sid = SparkOps.sessionId(spark)
     def drop[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V])(
-        sessionOf: K => Int)(discard: V => Unit): Unit = {
+        sessionOf: K => String)(discard: V => Unit): Unit = {
       val it = m.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
@@ -132,8 +132,8 @@ object DedupOps {
     TextOps.clearMergeCache(sid)
   }
 
-  private def corpusKey(docs: DataFrame): (Int, Int) =
-    (System.identityHashCode(docs.sparkSession),
+  private def corpusKey(docs: DataFrame): (String, Int) =
+    (SparkOps.sessionId(docs.sparkSession),
       docs.queryExecution.logical.semanticHash())
 
   /** Exact-duplicate grouping of the corpus (cached; see [[repCache]]).
@@ -233,7 +233,7 @@ object DedupOps {
     */
   def prefixTokenIndex(docs: DataFrame, threshold: Double): DataFrame = {
     val (repIx, _) = reps(docs)
-    val key = (System.identityHashCode(docs.sparkSession),
+    val key = (SparkOps.sessionId(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), threshold)
     memoize(prefixCache, key) {
       val p = repIx.select(
@@ -390,7 +390,7 @@ object DedupOps {
     */
   private def cachedPairsWithCounts(
       docs: DataFrame, threshold: Double): DataFrame = {
-    val key = (System.identityHashCode(docs.sparkSession),
+    val key = (SparkOps.sessionId(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), threshold)
     memoize(pairsCache, key) {
       val df = (cachedPairsAtOrBelow(docs, threshold) match {
@@ -578,7 +578,7 @@ object DedupOps {
     * LARGEST threshold still ≤ τ (fewest extra rows to re-verify).
     */
   private def cachedPairsAtOrBelow(docs: DataFrame, threshold: Double): Option[DataFrame] = {
-    val sid = System.identityHashCode(docs.sparkSession)
+    val sid = SparkOps.sessionId(docs.sparkSession)
     val h = docs.queryExecution.logical.semanticHash()
     import scala.jdk.CollectionConverters._
     pairsCache.entrySet().asScala.toSeq

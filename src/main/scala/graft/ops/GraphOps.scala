@@ -252,14 +252,14 @@ object GraphOps {
     * equivalent (the cached frame is already localCheckpoint-materialized).
     */
   private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Double), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), DataFrame]()
 
   /** Drop this session's cached labelings (the checkpointed RDDs are
     * released by the context cleaner once unreferenced). Invoked by
     * [[graft.ops.DedupOps.clearCaches]] — same cache contract: keys hash
     * the plan, so entries are valid only while source files are immutable.
     */
-  private[ops] def clearLabelCache(sessionId: Int): Unit = {
+  private[ops] def clearLabelCache(sessionId: String): Unit = {
     val it = labelCache.entrySet().iterator()
     while (it.hasNext) {
       if (it.next().getKey._1 == sessionId) it.remove()
@@ -271,7 +271,7 @@ object GraphOps {
     * component (= min doc_id reachable).
     */
   def dedupClusters(docs: DataFrame, threshold: Double): DataFrame = {
-    val key = (System.identityHashCode(docs.sparkSession),
+    val key = (SparkOps.sessionId(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), threshold)
     val labels = labelCache.computeIfAbsent(key, _ => {
       val edges = DedupOps.ngramJaccardCachedUnsorted(docs, threshold)

@@ -171,13 +171,13 @@ object SimilarityOps {
     * hash the plan, valid while source files are immutable).
     */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int),
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int),
       (Int, Array[Array[Double]])]()
 
   /** Drop this session's trained quantizers (driver-memory arrays only —
     * nothing to unpersist). Invoked by [[DedupOps.clearCaches]].
     */
-  private[ops] def clearCentroidCache(sessionId: Int): Unit = {
+  private[ops] def clearCentroidCache(sessionId: String): Unit = {
     val it = centroidCache.entrySet().iterator()
     while (it.hasNext) {
       if (it.next().getKey._1 == sessionId) it.remove()
@@ -192,7 +192,7 @@ object SimilarityOps {
       nProbe: Int = 0,
       replication: Int = 3
   ): DataFrame = {
-    val cacheKey = (System.identityHashCode(emb.sparkSession),
+    val cacheKey = (SparkOps.sessionId(emb.sparkSession),
       emb.queryExecution.logical.semanticHash(), nCentroids, replication)
     val (nc, trained) = centroidCache.computeIfAbsent(cacheKey, _ => {
       // scale-aware defaults: nc ~ sqrt(n) rounded to a power of two (the

@@ -24,6 +24,20 @@ final case class SparkEnv(spark: SparkSession, dir: String)
   */
 object SparkOps {
 
+  /** Stable unique id for a live `SparkSession`, used to scope the mining
+    * caches (DedupOps/GraphOps/SimilarityOps/TextOps). A UUID is issued
+    * per session instance and held weakly: unlike
+    * `System.identityHashCode`, an id is never reused after the session is
+    * GC'd, so a new session can never read a dead session's cached
+    * artifacts even if its plans hash identically. (Spark 4 exposes
+    * `sessionUUID` only on the classic subclass — this helper stays
+    * engine-agnostic.)
+    */
+  private val sessionIdMap = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, String]())
+  def sessionId(spark: org.apache.spark.sql.SparkSession): String =
+    sessionIdMap.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
+
   // ------------------------------------------------------------- sources
 
   /** Scan a named parquet table from the environment's dataset dir. */

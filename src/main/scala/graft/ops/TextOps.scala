@@ -464,10 +464,10 @@ object TextOps {
     * duplicate training whose loser is discarded.
     */
   private val mergeCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Seq[(Int, String, String, Long)]]
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[(Int, String, String, Long)]]
 
   /** Drop this session's cached merge tables (driver-side values only). */
-  private[ops] def clearMergeCache(sessionId: Int): Unit = {
+  private[ops] def clearMergeCache(sessionId: String): Unit = {
     val it = mergeCache.entrySet().iterator()
     while (it.hasNext) if (it.next().getKey._1 == sessionId) it.remove()
   }
@@ -478,7 +478,7 @@ object TextOps {
     */
   def bpeMerges(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
     if (k <= 0) return Nil // no rules to train — skip the corpus aggregate
-    val key = (System.identityHashCode(docs.sparkSession),
+    val key = (SparkOps.sessionId(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), k)
     val cached = mergeCache.get(key)
     if (cached != null) cached

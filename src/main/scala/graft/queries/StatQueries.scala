@@ -383,12 +383,18 @@ object StatQueries {
         val c = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
             col("c_mktsegment"))
-        val n = c.limit(200001).count()
+        val probe = c.limit(200001).count()
+        // The regime probe is capped (cheap), but the CC sizeHint must be
+        // the TRUE vertex bound: a capped hint would understate |V| above
+        // the cap and force the small-graph forest path on an arbitrarily
+        // large pair graph. In the big regime pay one exact count; in the
+        // small regime the probe IS exact.
+        val n = if (probe > 200000) c.count() else probe
         // Materialize the verified pair list ONCE: vertices (distinct
         // endpoints), the CC edge pass, and the regime probe would each
         // re-run the lev join otherwise. |V| ≤ |customer| gives the CC a
         // free sizeHint (skips its probe count — one fewer serial job).
-        val pairs = fuzzyNameVerifiedPairs(c, pigeonhole = n > 200000)
+        val pairs = fuzzyNameVerifiedPairs(c, pigeonhole = probe > 200000)
           .select(col("key_a"), col("key_b"))
           .localCheckpoint(true)
         val verts = pairs.select(col("key_a").as("id"))
@@ -588,7 +594,7 @@ object StatQueries {
       // generation surface as NULLs; the aggregate proves both the merged
       // schema and the null semantics.
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_merge_schema"
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_merge_schema_${Integer.toHexString(dir.hashCode)}"
         val o = t(s, dir, "orders")
         o.filter(col("o_orderkey") % 2 === 0)
           .select(col("o_orderkey"), col("o_orderstatus"))
@@ -619,7 +625,7 @@ object StatQueries {
       // join on the key. Snapshot tables are key-grain (not fact-grain), so
       // the join shuffles the small rollups only.
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_snapshots"
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_snapshots_${Integer.toHexString(dir.hashCode)}"
         val o = t(s, dir, "orders").select(
           col("o_custkey"), col("o_orderdate"),
           cents(col("o_totalprice")).as("cts"))

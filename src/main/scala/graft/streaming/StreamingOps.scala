@@ -153,19 +153,22 @@ object StreamingOps {
 
   /** Exact distinct users per tumbling window — the streaming
     * unique-visitors metric, as TWO CHAINED STATEFUL operators in one
-    * query (Spark 3.4+ multi-stateful support): a watermarked
-    * dropDuplicates on (day, user) whose state evicts at the horizon,
-    * feeding the windowed count of survivors. The dedup emits each
-    * (day, user) exactly once, so the downstream count IS the exact
-    * distinct — no per-window user sets in the aggregation state.
+    * query (Spark 3.4+ multi-stateful support): stage 1 reduces to one
+    * row per (day-window, user) and emits it once the watermark closes
+    * the window; stage 2 re-windows on the emitted `window` struct (which
+    * carries the event-time attribute, SPARK-40925) and counts survivors
+    * — that count IS the exact distinct, with no per-window user sets in
+    * stage-2 state. Both stages' state is keyed by a watermarked window
+    * and evicts at the horizon. (A dropDuplicates on derived (day, user)
+    * keys would NOT bound state: neither key carries the event-time
+    * attribute, so dedup state never evicts.)
     */
   def tumblingUniques(spark: SparkSession, dir: String): DataFrame = {
     val uniques = replayEvents(spark, dir)
       .withWatermark("ts", "1 hour")
-      .select(col("ts"), col("user_id"),
-        date_trunc("day", col("ts")).as("day"))
-      .dropDuplicates("day", "user_id")
-      .groupBy(window(col("ts"), "1 day"))
+      .groupBy(window(col("ts"), "1 day"), col("user_id"))
+      .agg(count(lit(1)).as("hits"))
+      .groupBy(window(col("window"), "1 day"))
       .agg(count(lit(1)).as("uniques"))
     runToTable(uniques, "append")
       .select(col("window.start").as("window_start"), col("uniques"))
