@@ -747,12 +747,41 @@ object PipelineQueries {
     // --------------------------------------------------------- multimodal
     QueryDef(
       "multimodal_stats",
-      (s, dir) => MultimodalOps.mediaStats(s, dir),
+      // REAL codec decode: one genuine PNG per document (javax.imageio,
+      // encoded executor-side), decoded with a per-partition ImageReader to
+      // (width, height, channels, R+G+B pixel sum). Geometry and pixels are
+      // closed-form in doc_id, so DuckDB replays the expected raster stats
+      // exactly — a garbage decode cannot pass this oracle.
+      (s, dir) => MultimodalOps.imageStats(s, dir),
       Some("""
-        SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-               CAST(list_sum(list_transform(range(1, length(text) + 1),
-                 i -> ascii(substr(text, i, 1)))) % 1000000007 AS BIGINT) AS checksum
-        FROM documents ORDER BY doc_id""")
+        WITH g AS (SELECT doc_id, 8 + doc_id % 16 AS w,
+                          8 + (doc_id * 7) % 16 AS h
+                   FROM documents)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST(w*h*(doc_id % 256) + h*(w*(w-1)//2) + w*(h*(h-1)//2)
+                    AS BIGINT) AS pixel_sum
+        FROM g ORDER BY doc_id""")
+    ),
+    QueryDef(
+      "multimodal_image_pipeline",
+      // Full real-codec chain: PNG encode -> decode -> nearest-neighbor
+      // resize to 16x16 (out(x,y) = in(x*w/16, y*h/16)) -> PNG re-encode ->
+      // decode again. Every stage is mapPartitions with per-partition codec
+      // init; NN resample keeps the raster closed-form so the re-decoded
+      // pixel sum has an exact integer oracle.
+      (s, dir) => MultimodalOps.imagePipeline(s, dir),
+      Some("""
+        WITH g AS (SELECT doc_id, 8 + doc_id % 16 AS w,
+                          8 + (doc_id * 7) % 16 AS h
+                   FROM documents)
+        SELECT doc_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+               CAST(3 AS INT) AS channels,
+               CAST(256 * (doc_id % 256)
+                    + 16 * list_sum(list_transform(range(0, 16), x -> (x*w)//16))
+                    + 16 * list_sum(list_transform(range(0, 16), y -> (y*h)//16))
+                    AS BIGINT) AS pixel_sum
+        FROM g ORDER BY doc_id""")
     ),
     QueryDef(
       "multimodal_dedup",

@@ -105,7 +105,7 @@ object Relational {
       // read whole-file, so at scale the writer sizes files to partition
       // targets or uses a splittable codec).
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_gz_nation"
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_csv_gz_nation_${Integer.toHexString(dir.hashCode)}"
         val src = t(s, dir, "nation")
         src.coalesce(1).write.mode("overwrite")
           .option("header", "true").option("compression", "gzip").csv(tmp)
@@ -117,7 +117,7 @@ object Relational {
     QueryDef(
       "scan_json",
       (s, dir) => {
-        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_region"
+        val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_json_region_${Integer.toHexString(dir.hashCode)}"
         val src = t(s, dir, "region")
         src.coalesce(1).write.mode("overwrite").json(tmp)
         s.read.schema(src.schema).json(tmp).orderBy("r_regionkey")

@@ -143,6 +143,30 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(d.feature(0) == (bytes(0) & 0xff) / 256.0f)
   }
 
+  test("real PNG codec: decode reports true raster dims, not stub constants") {
+    val s = spark
+    import s.implicits._
+    // genuine 5x3 PNG, pixel (x,y) = RGB(200, x, y), encoded with ImageIO
+    val img = new java.awt.image.BufferedImage(
+      5, 3, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 3; x <- 0 until 5) img.setRGB(x, y, (200 << 16) | (x << 8) | y)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val media = Seq(MediaRow(7L, baos.toByteArray, "png")).toDS()
+
+    val st = MultimodalOps.decodeImages(media).collect()(0)
+    assert(st.width == 5 && st.height == 3, "decoded dims must come from the raster")
+    assert(st.channels == 3)
+    // sum R+G+B = 15*200 + 3*(0+1+2+3+4) + 5*(0+1+2)
+    assert(st.pixel_sum == 15L * 200 + 3 * 10 + 5 * 3)
+
+    // NN resize to 2x2 samples src pixels (0,0),(2,0),(0,1),(2,1)
+    val rs = MultimodalOps.decodeImages(
+      MultimodalOps.resizeImages(media, side = 2)).collect()(0)
+    assert(rs.width == 2 && rs.height == 2 && rs.channels == 3)
+    assert(rs.pixel_sum == 4L * 200 + (0 + 2 + 0 + 2) + (0 + 0 + 1 + 1))
+  }
+
   test("multimodal resize normalizes payload size; frame sampling chunks it") {
     val s = spark
     import s.implicits._
