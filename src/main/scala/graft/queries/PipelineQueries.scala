@@ -177,8 +177,34 @@ object PipelineQueries {
     ),
     QueryDef(
       "dedup_simhash",
+      // Exact SQL oracle: the token hash is md5-lower64 (DuckDB's
+      // md5_number_lower — see SimHash64), so the oracle rebuilds every
+      // signature bit-for-bit and brute-forces Hamming<=3; the 4x16-bit
+      // banding is pigeonhole-exact for d<=3, so banded == brute force.
       (s, dir) => DedupOps.simhashPairs(docs(s, dir), maxHamming = 3),
-      None
+      Some("""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, t
+          FROM (SELECT doc_id,
+                       unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+                FROM documents)
+          WHERE t <> ''),
+        h AS (SELECT doc_id, md5_number_lower(t) AS h FROM tok),
+        bits AS (
+          SELECT doc_id, r.b AS b,
+                 sum(CASE WHEN (h >> r.b) & 1 = 1 THEN 1 ELSE -1 END) AS c
+          FROM h, range(0, 64) AS r(b)
+          GROUP BY 1, 2),
+        sig AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN c > 0 THEN CAST(1 AS UBIGINT) << b
+                          ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS sh
+          FROM bits GROUP BY 1)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        ORDER BY id_a, id_b""")
     ),
     QueryDef(
       "dedup_embedding_cosine",

@@ -384,11 +384,26 @@ object TextQueries {
       "dedup_substring_hashed",
       // The 100 TB shape of dedup_substring: every exchange carries
       // xxhash64(gram) digests (8 B) instead of raw ~80 B gram strings.
-      // No SQL oracle (DuckDB can't evaluate xxhash64); its exact twin is
-      // dedup_substring and GraphTextOpsSpec pins digest ≡ string.
+      // DuckDB can't evaluate xxhash64, but digest-distinct counts equal
+      // string-distinct counts unless two 13-grams collide in 64 bits
+      // (probability ~n²/2⁶⁵ — immaterial at any graded SF, and fenced by
+      // RecallReport's set-equality grade vs the string twin), so the
+      // string twin's oracle IS this query's exact oracle.
       (s, dir) => graft.ops.TextOps.duplicatedSubstringsHashed(
         s.read.parquet(s"$dir/documents.parquet")),
-      None
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        g AS (
+          SELECT DISTINCT doc_id, array_to_string(ts[i : i + 12], ' ') AS gram
+          FROM toks, unnest(range(1, len(ts) - 11)) AS t(i)
+          WHERE len(ts) >= 13),
+        dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+        per_doc AS (
+          SELECT g.doc_id, count(*) AS n_dup_grams
+          FROM g JOIN dup USING (gram) GROUP BY g.doc_id)
+        SELECT d.doc_id, coalesce(p.n_dup_grams, 0) AS n_dup_grams
+        FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+        ORDER BY d.doc_id""")
     ),
     QueryDef(
       "agg_heavy_hitters",

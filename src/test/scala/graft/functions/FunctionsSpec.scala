@@ -113,12 +113,17 @@ class FunctionsSpec extends AnyFunSuite {
       Tuple1(Array("one")),
       Tuple1(Array("x", "y", "z", "w", "v", "u", "t"))
     ).toDF("toks")
+    // token hash = lower 64 bits of md5, little-endian (bytes 8..15 of the
+    // digest) — DuckDB's md5_number_lower, assembled here from the hex text
     val both = df.select(
       expr("simhash64(toks)").as("native"),
       expr(
         """aggregate(sequence(0, 63), cast(0 as bigint),
              (acc, i) -> acc | (cast(CASE WHEN
-                 aggregate(transform(toks, t -> xxhash64(t)), 0, (s, h) ->
+                 aggregate(transform(toks, t ->
+                     aggregate(sequence(0, 7), cast(0 as bigint), (a, j) ->
+                       a | shiftleft(cast(conv(substr(md5(t), 17 + 2*j, 2), 16, 10) as bigint), 8*j))),
+                   0, (s, h) ->
                    s + CASE WHEN (shiftright(h, i) & 1) = 1 THEN 1 ELSE -1 END)
                  > 0 THEN 1 ELSE 0 END as bigint) << i))""").as("hof")
     ).collect()

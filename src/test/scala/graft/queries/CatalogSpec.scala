@@ -30,14 +30,15 @@ class CatalogSpec extends AnyFunSuite {
     val rowsOnly = Catalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
     // Each entry is graded against an exact twin or property fence:
     // most in RecallSpec (thresholded floors; CMS one-sided bound;
-    // deflate-ratio bounds/determinism/separation),
-    // dedup_substring_hashed by the digest ≡ string equality test in
-    // GraphTextOpsSpec.
+    // deflate-ratio bounds/determinism/separation). dedup_simhash and
+    // dedup_substring_hashed graduated to exact SQL oracles in round 9
+    // (md5-lower64 token hash / digest ≡ string counts) and keep their
+    // set-equality grades as belt-and-braces.
     val accuracyGraded = Set(
-      "dedup_minhash_lsh", "dedup_simhash", "dedup_embedding_lsh",
+      "dedup_minhash_lsh", "dedup_embedding_lsh",
       "similarity_lsh_topk", "similarity_lsh_topk_banded",
       "similarity_ivf_topk", "similarity_pq_topk", "agg_approx_distinct",
-      "agg_approx_percentile", "agg_hll_merge", "dedup_substring_hashed",
+      "agg_approx_percentile", "agg_hll_merge",
       "agg_cms_freq", "text_compression_ratio")
     assert(rowsOnly == accuracyGraded,
       s"every no-oracle query needs an exact-twin grading spec; unexpected: ${(rowsOnly -- accuracyGraded).mkString(", ")}; missing: ${(accuracyGraded -- rowsOnly).mkString(", ")}")
