@@ -65,7 +65,7 @@ object RecallReport {
     val exactJaccard = pairs("dedup_ngram_jaccard")
     grade("dedup_minhash_lsh") {
       val (r, d) = recallOf(pairs("dedup_minhash_lsh"), exactJaccard)
-      Score("recall_vs_exact_jaccard_pairs", r, 0.75, d)
+      Score("recall_vs_exact_jaccard_pairs", r, 0.85, d)
     }
     grade("dedup_simhash") {
       // 4x16-bit banding pigeonholes hamming<=3: must EQUAL brute force

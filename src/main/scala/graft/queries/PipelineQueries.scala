@@ -104,7 +104,11 @@ object PipelineQueries {
     ),
     QueryDef(
       "dedup_minhash_lsh",
-      (s, dir) => DedupOps.minhashLsh(docs(s, dir), threshold = 0.8),
+      // Band/row split fit per corpus by DedupOps.autoMinHashConfig from a
+      // sampled boundary-similarity distribution (recall >= 0.85 modeled
+      // against BOTH miss sources: banding and the k-component estimate
+      // filter); candidates stay an ids-only band equi-join.
+      (s, dir) => DedupOps.minhashLshAuto(docs(s, dir), threshold = 0.8),
       None // engine-hash-based candidate generation; exact counterpart above
     ),
     QueryDef(

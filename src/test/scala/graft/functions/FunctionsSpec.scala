@@ -96,7 +96,8 @@ class FunctionsSpec extends AnyFunSuite {
     val k = 16
     val both = df.select(
       expr(s"minhash_sig(toks, $k)").as("native"),
-      expr(s"transform(sequence(0, ${k - 1}), j -> array_min(transform(toks, t -> xxhash64(j, t))))")
+      // double-hash construction: token byte-hashed once, then k long mixes
+      expr(s"transform(sequence(0, ${k - 1}), j -> array_min(transform(toks, t -> xxhash64(j, xxhash64(t)))))")
         .as("hof")
     ).collect()
     both.foreach { r =>
