@@ -518,15 +518,105 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Driver-regime bound on DISTINCT words. BPE trains on the
+    * word-frequency DICTIONARY, not the corpus — distinct `[a-z0-9]+`
+    * words grow sublinearly in corpus bytes (a natural-language vocabulary
+    * plus noise), so up to ~2M entries the dictionary is a few hundred MB
+    * of driver heap and the k merge rounds run as in-memory loops with
+    * ZERO per-step Spark jobs. This kills the trainer's storm-amplified
+    * tail: the old shape chained 2k driver-blocking jobs (pair-count top-1
+    * + re-checkpoint per merge), each serially exposed to host CPU theft;
+    * now ONE distributed aggregate (the word count — the only part that
+    * scales with corpus bytes) feeds a driver loop. Above the bound the
+    * distributed per-round loop below remains the exact same-sequence
+    * fallback — a two-regime switch like fuzzy-match/PageRank, both
+    * regimes proven equal to the reference trainer in BpePropertySpec.
+    */
+  private[ops] val DriverVocabWords = 2000000
+
   private def trainMergesUncached(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+    val vocabDf = docs
+      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+    // one bounded probe-collect: dictionary ≤ bound → train on the driver
+    val probe = vocabDf.limit(DriverVocabWords + 1).collect()
+    if (probe.length <= DriverVocabWords)
+      trainMergesDriver(probe.map(r => (r.getString(0), r.getLong(1))), k)
+    else trainMergesDistributed(vocabDf, k)
+  }
+
+  /** In-memory merge loop over the collected word dictionary — the exact
+    * two-pass convention ([[twoPassMerge]]), ties broken (count desc,
+    * sym_a, sym_b), identical sequence to [[trainMergesDistributed]].
+    */
+  private[ops] def trainMergesDriver(
+      words: Array[(String, Long)], k: Int): Seq[(Int, String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.groupMapReduce[Vector[String], Long] {
+        case (w, _) => w.map(_.toString).toVector
+      } { case (_, n) => n }(_ + _)
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var step = 1
+    var exhausted = false
+    while (step <= k && !exhausted) {
+      val pc = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          pc(p) = pc.getOrElse(p, 0L) + n
+          i += 1
+        }
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        val ((a, b), cnt) = pc.minBy { case ((x, y), c) => (-c, x, y) }
+        merges += ((step, a, b, cnt))
+        vocab = vocab.toSeq.groupMapReduce[Vector[String], Long] {
+          case (syms, _) => twoPassMerge(syms, a, b)
+        } { case (_, n) => n }(_ + _)
+        step += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** One left-to-right non-overlapping merge pass; a match may not start
+    * immediately after the previous match's replacement (its leading
+    * boundary space was consumed) — the collection-code equal of the
+    * ` a b ` → ` ab ` regexp_replace pass.
+    */
+  private def onePassMerge(syms: Vector[String], a: String, b: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    var blockedStart = -1
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b
+          && i != blockedStart) {
+        out += a + b; blockedStart = i + 2; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** The product's TWO-PASS merge convention on a symbol list (see
+    * [[bpeTrainMerges]]: pass 2 catches occurrences whose leading space
+    * the first pass consumed).
+    */
+  private[ops] def twoPassMerge(syms: Vector[String], a: String, b: String): Vector[String] =
+    onePassMerge(onePassMerge(syms, a, b), a, b)
+
+  /** Big-dictionary regime: the per-round distributed loop (one merge rule
+    * crosses the driver per iteration).
+    */
+  private[ops] def trainMergesDistributed(
+      vocabDf: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
     // localCheckpoint (eager), not persist: a persisted vocab still
     // carries the growing merge lineage, and every step's two actions
     // re-analyze/re-optimize it — per-step plans stay leaf-rooted this
     // way (see the same note in GraphOps.pagerankQuantized).
-    var vocab = docs
-      .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
-        .as("word"))
-      .groupBy("word").agg(count(lit(1)).as("n"))
+    var vocab = vocabDf
       .select(bpeSpaced(col("word")).as("ws"), col("n"))
       .localCheckpoint(true)
     val merges = Seq.newBuilder[(Int, String, String, Long)]

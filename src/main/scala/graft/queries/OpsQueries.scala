@@ -200,6 +200,41 @@ object OpsQueries {
                CAST(sum(CAST(floor(l_quantity * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS qty_q,
                floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS revenue
         FROM lineitem WHERE l_quantity >= 25""")
+    ),
+    QueryDef(
+      "ext_sql_topk",
+      // Deployment packaging proven end-to-end: this is PURE SQL TEXT on a
+      // session whose ONLY access to graft's Catalyst surface is the
+      // `spark.sql.extensions=graft.GraftExtensions` conf every harness
+      // session sets (no register() call anywhere on this path) — the
+      // injected native `ws_distinct_tokens` evaluates in the inner
+      // projection, and the rank<=5 window-top-k pattern is what the
+      // injected TopKRewrite/TopKStrategy plan as the bounded per-group
+      // heap instead of a full partition sort (plan shape asserted in
+      // GraftExtensionsSpec).
+      (s, dir) => s.sql(s"""
+        SELECT lang, doc_id, n_toks FROM (
+          SELECT lang, doc_id, n_toks,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n_toks DESC, doc_id) AS rn
+          FROM (SELECT lang, doc_id,
+                       size(ws_distinct_tokens(text)) AS n_toks
+                FROM parquet.`$dir/documents.parquet`))
+        WHERE rn <= 5
+        ORDER BY lang, n_toks DESC, doc_id"""),
+      Some("""
+        WITH t AS (
+          SELECT lang, doc_id,
+                 CAST(len(list_distinct(list_filter(
+                   string_split_regex(lower(text), '\s+'), x -> x <> ''))) AS INT) AS n_toks
+          FROM documents),
+        r AS (
+          SELECT lang, doc_id, n_toks,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY n_toks DESC, doc_id) AS rn
+          FROM t)
+        SELECT lang, doc_id, n_toks FROM r WHERE rn <= 5
+        ORDER BY lang, n_toks DESC, doc_id""")
     )
   )
 }

@@ -16,6 +16,7 @@ class GraftExtensionsSpec extends AnyFunSuite {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .master("local[2]")
       .appName("graft-extensions-test")
       .config("spark.sql.shuffle.partitions", "2")
@@ -70,6 +71,20 @@ class GraftExtensionsSpec extends AnyFunSuite {
         s"expected the injected rewrite to plan the per-group heap operators:\n$plan")
       assert(q.collect().map(r => (r.getInt(0), r.getString(1))).toSet ==
         Set((1, "b"), (2, "c")))
+    }
+  }
+
+  test("graded ext_sql_topk runs on the conf-injected session: native " +
+      "function resolves and the heap operator plans") {
+    withExtendedSession { s =>
+      val df = graft.queries.Catalog.queriesMap("ext_sql_topk")(
+        s, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+        s"registry SQL-text query must plan the per-group heap:\n$plan")
+      val rows = df.collect()
+      assert(rows.length == 25, s"5 langs x top-5, got ${rows.length}")
+      assert(rows.map(_.getInt(2)).forall(_ > 0))
     }
   }
 }

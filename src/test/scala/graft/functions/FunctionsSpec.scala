@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class FunctionsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("graft-fn-test")
     .config("spark.sql.shuffle.partitions", "4")

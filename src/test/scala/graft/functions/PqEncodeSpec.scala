@@ -18,6 +18,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class PqEncodeSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("graft-pqencode-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -21,6 +21,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class BpePropertySpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("graft-bpe-prop-test")
     .config("spark.sql.shuffle.partitions", "4")
@@ -96,6 +97,30 @@ class BpePropertySpec extends AnyFunSuite {
       val wordCounts = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
       val expected = referenceBpe(wordCounts, k)
       assert(got === expected, s"seed $seed corpus: $text")
+    }
+  }
+
+  test("BOTH trainer regimes (driver dictionary / distributed rounds) == reference") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, explode, expr, lit}
+    for (seed <- Seq(5, 23)) {
+      val rnd = new scala.util.Random(seed)
+      val words = (1 to 80).map { _ =>
+        (1 to (1 + rnd.nextInt(6))).map(_ => "abcd"(rnd.nextInt(4))).mkString
+      }
+      val k = 5
+      val wordCounts = words.groupBy(identity).map { case (w, g) => w -> g.size.toLong }
+      val expected = referenceBpe(wordCounts, k)
+      // driver regime, called directly on the dictionary
+      val drv = TextOps.trainMergesDriver(wordCounts.toArray, k)
+      assert(drv === expected, s"driver regime diverged (seed $seed)")
+      // distributed regime, forced regardless of dictionary size
+      val vocabDf = Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+        .select(explode(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+      val dist = TextOps.trainMergesDistributed(vocabDf, k)
+      assert(dist === expected, s"distributed regime diverged (seed $seed)")
     }
   }
 

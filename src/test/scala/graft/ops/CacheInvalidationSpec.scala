@@ -12,6 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class CacheInvalidationSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("graft-cache-invalidation-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -12,6 +12,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class DedupDeriveSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("graft-dedup-derive-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -9,6 +9,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class PipelineOpsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -11,6 +11,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class SparkOpsSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("graft-sparkops-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -8,6 +8,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class TopKPerGroupSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("graft-topk-test")
     .config("spark.sql.shuffle.partitions", "4")

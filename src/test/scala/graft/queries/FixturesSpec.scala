@@ -13,6 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class FixturesSpec extends AnyFunSuite {
 
   private lazy val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("fixtures-spec")
     .config("spark.sql.shuffle.partitions", "4")

@@ -13,6 +13,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class OpsQueriesSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("graft-opsqueries-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -14,6 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class RecallSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[8]")
     .appName("graft-recall-test")
     .config("spark.sql.shuffle.partitions", "8")

@@ -21,6 +21,7 @@ class RocksDbStateSpec extends AnyFunSuite {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("graft-rocksdb-state-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -15,6 +15,7 @@ case class Ev(event_id: Long, ts: Timestamp, user_id: Long, value: Double)
 class StreamingSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
     .master("local[4]")
     .appName("graft-stream-test")
     .config("spark.sql.shuffle.partitions", "4")
