@@ -102,9 +102,12 @@ object StreamingOps {
     * State-store partition count: a streaming job fixes its shuffle
     * partitioning at first checkpoint — it is a per-deployment knob sized
     * to key cardinality and throughput, NOT inherited from the batch
-    * session default. For the replay workload (tens of keys, one file) 8
-    * partitions hold; a production deployment against a firehose sets it
-    * to match its executor fleet before the first start.
+    * session default. For the replay workload (tens of keys, one staged
+    * dir) 4 partitions hold — per-micro-batch state-store commit cost is
+    * linear in partition count, so oversizing the store is pure fixed
+    * overhead (measured ~12% of family wall at 8); a production
+    * deployment against a firehose sets it to match its executor fleet
+    * before the first start.
     *
     * State-store BACKEND: the default HDFS-backed provider holds all keyed
     * state on the executor heap — fine for the replay's key counts, a
@@ -119,7 +122,7 @@ object StreamingOps {
     val spark = result.sparkSession
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = result.writeStream
         .format("memory")
@@ -607,7 +610,7 @@ object StreamingOps {
     val watch = stageSessionDir(spark, dir)
     val gapUs = 30L * 60 * 1000 * 1000
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val stream = spark.readStream
         .schema(eventsStagedSchema)
@@ -800,7 +803,7 @@ object StreamingOps {
         count(lit(1)).as("n_rows"),
         sum(floor(col("value") * 10000 + 0.5).cast("long")).as("v_q"))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     val ledger = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     try {
       val q = stream.writeStream
@@ -846,7 +849,7 @@ object StreamingOps {
         col("event_id"), col("value"))
     @volatile var version = 0
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>
