@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Regime-boundary evidence harness: runs the two-regime operators ABOVE
+  * their switch points at realistic size and records wall times plus
+  * cross-regime output equality — the measurement PLANS.md's "regime
+  * boundary" section reports. One-off by design (not part of Verify/Bench):
+  * corpora are synthesized to /tmp at 10× the grading scale or above the
+  * documented thresholds.
+  *
+  * Scaling constructions are chosen so the TRUE result structure scales
+  * linearly and is known by construction:
+  *
+  *  - 10× documents: 10 replicas of the sf corpus with every token
+  *    suffixed by a replica tag — a bijective token rename per replica, so
+  *    each replica preserves the original pairwise Jaccard structure
+  *    exactly while replicas share ZERO tokens (10 disjoint domains: true
+  *    pairs, candidate buckets, and mining cost all scale ×10, never ×100).
+  *  - 250k fuzzy names (> the 200k pigeonhole switch): planted lev≤2 trios
+  *    inside (nation, segment) blocks; both the quadratic and pigeonhole
+  *    regimes run on the SAME frame and must emit identical pair sets.
+  *  - ~11M directed edges (> the 8M single-task PageRank bound): both the
+  *    single-task LongMap loop and the join-per-round regime run 5
+  *    iterations and must be bit-identical (integer-quanta ranks).
+  *
+  * Usage: `runMain graft.RegimeBoundary [sfDir] [outPath]`
+  */
+object RegimeBoundary {
+
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outPath = args.lift(1).getOrElse("regime_boundary.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "24g"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
+
+    // ---------------------------------------------- 10x document corpus
+    val docs10xPath = s"${System.getProperty("java.io.tmpdir")}/graft_regime_docs10x"
+    if (!Files.exists(Paths.get(docs10xPath, "_SUCCESS"))) {
+      val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "text")
+      val replicas = (0 until 10).map { r =>
+        base.select(
+          (col("doc_id") + lit(r * 10000000L)).as("doc_id"),
+          // bijective per-replica token rename: suffix every token with xR
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"x$r"))), " ").as("text"))
+      }
+      replicas.reduce(_ unionByName _)
+        .repartition(32).write.mode("overwrite").parquet(docs10xPath)
+    }
+    val docs10x = spark.read.parquet(docs10xPath)
+    val n10x = docs10x.count()
+    println(s"[regime] 10x corpus: $n10x docs")
+
+    {
+      val (nPairs, tMine) = timed(
+        graft.ops.DedupOps.ngramJaccardCached(docs10x, threshold = 0.8).count())
+      results += "mine_ppjoin_10x" -> s"""{"docs": $n10x, "pairs": $nPairs, "wall_s": ${f"$tMine%.1f"}}"""
+      println(s"[regime] PPJoin exact mine 10x: $nPairs pairs in ${f"$tMine%.1f"}s")
+      val (nLsh, tLsh) = timed(
+        graft.ops.DedupOps.minhashLshAuto(docs10x, threshold = 0.8).count())
+      results += "minhash_lsh_10x" -> s"""{"docs": $n10x, "pairs": $nLsh, "wall_s": ${f"$tLsh%.1f"}}"""
+      println(s"[regime] MinHash-LSH 10x: $nLsh pairs in ${f"$tLsh%.1f"}s")
+      val (nSh, tSh) = timed(
+        graft.ops.DedupOps.simhashPairs(docs10x, maxHamming = 3).count())
+      results += "simhash_10x" -> s"""{"docs": $n10x, "pairs": $nSh, "wall_s": ${f"$tSh%.1f"}}"""
+      println(s"[regime] SimHash 10x: $nSh pairs in ${f"$tSh%.1f"}s")
+      val (nCl, tCl) = timed(
+        graft.ops.GraphOps.dedupClusters(docs10x, threshold = 0.95).count())
+      results += "dedup_clusters_10x" -> s"""{"docs": $n10x, "rows": $nCl, "wall_s": ${f"$tCl%.1f"}}"""
+      println(s"[regime] clusters (tau 0.95, derive+CC) 10x: $nCl rows in ${f"$tCl%.1f"}s")
+    }
+
+    // ------------------------------------------- 10x embeddings (ANN)
+    {
+      val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val emb10x = (0 until 10).map { r =>
+        base.select(
+          (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+          // deterministic per-replica perturbation: rotate one dimension
+          transform(col("embedding"), (x, i) =>
+            when(i === r, x * lit(0.5f) + lit(0.1f * r)).otherwise(x))
+            .as("embedding"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val nEmb = emb10x.count()
+      val (nSrp, tSrp) = timed(
+        graft.ops.DedupOps.cosineLshPairsAuto(emb10x, threshold = 0.3).count())
+      results += "srp_lsh_10x" -> s"""{"vecs": $nEmb, "pairs": $nSrp, "wall_s": ${f"$tSrp%.1f"}}"""
+      println(s"[regime] SRP-LSH pairs 10x: $nSrp in ${f"$tSrp%.1f"}s ($nEmb vecs)")
+      val (nIvf, tIvf) = timed(
+        graft.ops.SimilarityOps.ivfTopK(emb10x, queryId = 0, k = 10).count())
+      results += "ivf_topk_10x" -> s"""{"vecs": $nEmb, "rows": $nIvf, "wall_s": ${f"$tIvf%.1f"}}"""
+      println(s"[regime] IVF top-k 10x: ${f"$tIvf%.1f"}s")
+    }
+
+    // ------------------------------- fuzzy-match regimes at 250k names
+    {
+      val n = 250000L
+      val names = spark.range(n).select(
+        col("id").as("c_custkey"),
+        // planted trio: ids 3g/3g+1/3g+2 share a base name within 2 edits
+        when(col("id") % 3 === 0,
+          concat(lit("customer "), lpad((col("id") / 3).cast("string"), 9, "0")))
+          .when(col("id") % 3 === 1,
+            concat(lit("customer "),
+              lpad((col("id") / 3).cast("string"), 9, "0"), lit("x")))
+          .otherwise(
+            concat(lit("custome "), lpad((col("id") / 3).cast("string"), 9, "0")))
+          .as("c_name"),
+        ((col("id") / 3) % 25).cast("int").as("c_nationkey"),
+        concat(lit("SEG"), ((col("id") / 75) % 5).cast("string")).as("c_mktsegment"))
+        .localCheckpoint(true)
+      val (quadPairs, tQuad) = timed {
+        graft.queries.StatQueries
+          .fuzzyNameVerifiedPairs(names, pigeonhole = false)
+          .localCheckpoint(true)
+      }
+      val nQuad = quadPairs.count()
+      val (pigPairs, tPig) = timed {
+        graft.queries.StatQueries
+          .fuzzyNameVerifiedPairs(names, pigeonhole = true)
+          .localCheckpoint(true)
+      }
+      val nPig = pigPairs.count()
+      val diff = quadPairs.unionByName(pigPairs)
+        .groupBy("nk", "key_a", "key_b").agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2).count()
+      results += "fuzzy_250k" ->
+        s"""{"rows": $n, "quad_pairs": $nQuad, "quad_wall_s": ${f"$tQuad%.1f"},
+           | "pigeonhole_pairs": $nPig, "pigeonhole_wall_s": ${f"$tPig%.1f"},
+           | "pair_set_equal": ${diff == 0 && nQuad == nPig}}""".stripMargin.replace("\n", "")
+      println(s"[regime] fuzzy 250k: quad=$nQuad (${f"$tQuad%.1f"}s) " +
+        s"pigeonhole=$nPig (${f"$tPig%.1f"}s) equal=${diff == 0 && nQuad == nPig}")
+    }
+
+    // -------------------------------- PageRank regimes at ~11M directed
+    {
+      val pairs = spark.range(12000000L).select(
+        pmod(xxhash64(col("id")), lit(1000000L)).as("id_a"),
+        pmod(xxhash64(col("id") + 7777777L), lit(1000000L)).as("id_b"))
+        .filter(col("id_a") < col("id_b"))
+        .localCheckpoint(true)
+      val nDirected = pairs.count() * 2
+      val (prSingle, tSingle) = timed {
+        graft.ops.GraphOps
+          .pagerankQuantized(pairs, iterations = 5, smallEdgeThreshold = Long.MaxValue)
+          .localCheckpoint(true)
+      }
+      val nSingle = prSingle.count()
+      val (prJoin, tJoin) = timed {
+        graft.ops.GraphOps
+          .pagerankQuantized(pairs, iterations = 5, smallEdgeThreshold = 0L)
+          .localCheckpoint(true)
+      }
+      val nJoin = prJoin.count()
+      val identical = prSingle.unionByName(prJoin)
+        .groupBy(prSingle.columns.map(col): _*).agg(count(lit(1)).as("c"))
+        .filter(col("c") =!= 2).count() == 0 && nSingle == nJoin
+      results += "pagerank_11m" ->
+        s"""{"directed_edges": $nDirected, "single_task_wall_s": ${f"$tSingle%.1f"},
+           | "join_rounds_wall_s": ${f"$tJoin%.1f"}, "vertices": $nSingle,
+           | "bit_identical": $identical}""".stripMargin.replace("\n", "")
+      println(s"[regime] pagerank ${nDirected} directed: single=${f"$tSingle%.1f"}s " +
+        s"join=${f"$tJoin%.1f"}s identical=$identical")
+    }
+
+    val json = results.map { case (k, v) => s""""$k": $v""" }
+      .mkString("{\n  ", ",\n  ", "\n}")
+    Files.writeString(Paths.get(outPath), json)
+    println(json)
+    spark.stop()
+  }
+}
