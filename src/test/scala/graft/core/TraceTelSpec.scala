@@ -34,6 +34,24 @@ class TraceTelSpec extends AnyFunSuite {
     assert(Trace.getLogs.isEmpty)
   }
 
+  test("&> branches DROP Trace logs (documented ThreadLocal caveat, " +
+      "parity with the reference's Future platform)") {
+    // The reference's JVM platform runs `&>` branches on ExecutionContext
+    // threads where the ThreadLocal collector is absent, so branch logs
+    // are silently dropped (/root/reference/etl4s/src-jvm/Platform.scala:29-35
+    // — Future branches never see the caller's collector). We match that
+    // contract exactly rather than silently diverging: caller-thread logs
+    // collect, branch-thread logs do not.
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val left = Node[Int, Int] { n => Trace.log("left-branch"); n + 1 }
+    val right = Node[Int, Int] { n => Trace.log("right-branch"); n + 2 }
+    val pipeline = Node[Int, Int] { n => Trace.log("caller"); n } ~> (left &> right)
+    val t = pipeline.unsafeRunTrace(1)
+    assert(t.result == (2, 3))
+    assert(t.logs == List("caller"),
+      s"branch logs must be dropped like the reference's, got ${t.logs}")
+  }
+
   test("nested runs are isolated") {
     val inner = Node[Unit, Unit](_ => Trace.log("inner"))
     val outer = Node[Unit, List[Any]] { _ =>
