@@ -49,6 +49,28 @@ object StatQueries {
       .agg(count(lit(1)).as("n_pairs"))
       .orderBy("c_nationkey")
 
+  /** Regime criterion for the fuzzy-match family: the BLOCKED PAIR BUDGET
+    * Σ n_b·(n_b−1)/2 over (nation, segment) blocks — what the quadratic
+    * path actually evaluates — NOT total row count. Measured at 250k rows
+    * across 125 healthy 2k-row blocks (250M pairs): quadratic verifies in
+    * 4.8 s while the pigeonhole path pays 50.4 s of piece-enumeration for
+    * the identical pair set (regime_boundary.json) — a row-count switch
+    * would have picked the slow path. The pigeonhole exists for when
+    * BLOCKS explode (its candidate volume tracks piece-key cardinality,
+    * not block size²); ~2e9 budgeted pairs ≈ 40 s of banded-lev verify at
+    * 32 cores is where the curves cross. One tiny aggregate job (block
+    * counts) prices the decision, and both regimes stay exact.
+    */
+  private[queries] val FuzzyPairBudget = 2000000000L
+  private[queries] def fuzzyRegime(c: DataFrame): (Boolean, Long) = {
+    val row = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * (col("n") - 1) / 2).cast("long").as("budget"),
+        sum(col("n")).cast("long").as("rows"))
+      .head()
+    (row.getLong(0) > FuzzyPairBudget, row.getLong(1))
+  }
+
   /** The verified pair list behind [[fuzzyNamePairs]] — the edge set an
     * entity-resolution clustering consumes.
     */
@@ -359,7 +381,7 @@ object StatQueries {
         val c = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
             col("c_mktsegment"))
-        fuzzyNamePairs(c, pigeonhole = c.limit(200001).count() > 200000)
+        fuzzyNamePairs(c, pigeonhole = fuzzyRegime(c)._1)
       },
       Some("""
         SELECT a.c_nationkey AS c_nationkey, count(*) AS n_pairs
@@ -383,18 +405,15 @@ object StatQueries {
         val c = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
             col("c_mktsegment"))
-        val probe = c.limit(200001).count()
-        // The regime probe is capped (cheap), but the CC sizeHint must be
-        // the TRUE vertex bound: a capped hint would understate |V| above
-        // the cap and force the small-graph forest path on an arbitrarily
-        // large pair graph. In the big regime pay one exact count; in the
-        // small regime the probe IS exact.
-        val n = if (probe > 200000) c.count() else probe
+        // One block-count aggregate prices the regime AND yields the exact
+        // row count — the CC sizeHint gets the TRUE vertex bound for free
+        // (|V| ≤ |customer|; an understated hint would force the
+        // small-graph forest path on an arbitrarily large pair graph).
+        val (pigeonhole, n) = fuzzyRegime(c)
         // Materialize the verified pair list ONCE: vertices (distinct
-        // endpoints), the CC edge pass, and the regime probe would each
-        // re-run the lev join otherwise. |V| ≤ |customer| gives the CC a
-        // free sizeHint (skips its probe count — one fewer serial job).
-        val pairs = fuzzyNameVerifiedPairs(c, pigeonhole = probe > 200000)
+        // endpoints) and the CC edge pass would each re-run the lev join
+        // otherwise.
+        val pairs = fuzzyNameVerifiedPairs(c, pigeonhole = pigeonhole)
           .select(col("key_a"), col("key_b"))
           .localCheckpoint(true)
         val verts = pairs.select(col("key_a").as("id"))
