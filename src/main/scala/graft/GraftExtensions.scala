@@ -53,6 +53,8 @@ object GraftExtensions {
     "cosine_sim" -> ((exprs: Seq[Expression]) =>
       CosineSimilarity(exprs.head, exprs(1))),
     "sorted_intersect_count" -> ((exprs: Seq[Expression]) =>
-      SortedIntersectCount(exprs.head, exprs(1)))
+      SortedIntersectCount(exprs.head, exprs(1))),
+    "sig_agree_count" -> ((exprs: Seq[Expression]) =>
+      SigAgreeCount(exprs.head, exprs(1)))
   )
 }

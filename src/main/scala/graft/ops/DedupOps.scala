@@ -298,10 +298,12 @@ object DedupOps {
     * Runs over the DISTINCT-SET index (identical sets have identical
     * signatures, so banding, collision, and the estimate are unchanged —
     * within-group pairs band-collide trivially and estimate exactly 1.0,
-    * emitted by expansion). At distinct-set cardinality the signature
-    * frame is small enough to recompute for each of its three consumers,
-    * so nothing persists and no storage pressure accumulates across a
-    * session — at warehouse scale, persist the signature frame explicitly.
+    * emitted by expansion). The signature frame has THREE consumers
+    * (banding, and both sides of the estimate join); it is
+    * localCheckpoint-materialized once — at the auto-fit k the signature
+    * pass is the map-side cost, and recomputing it per consumer tripled
+    * it. The frame is k longs per distinct set (MBs here; at warehouse
+    * scale checkpoint to reliable storage — same call shape).
     *
     * Shuffle discipline: the band join moves only (band, hash, id) triples
     * — never token or signature arrays — so a band collision storm costs
@@ -322,6 +324,7 @@ object DedupOps {
     val sig = minhashSignature(
         repIx.select(col("rep_id").as("doc_id"), col("stoks").as("toks")), "toks", k)
       .select(col("doc_id").as("rep_id"), col("sig"))
+      .localCheckpoint(true)
     val repPairs = minhashLshFrom(sig, threshold, bands, rowsPerBand, k)
     expandSelfPairs(repPairs, docRep, Seq("est_jaccard"))
       .unionAll(withinGroupPairs(repIx, docRep, "est_jaccard"))
@@ -454,12 +457,16 @@ object DedupOps {
       .select("id_a", "id_b")
       .distinct()
 
+    // estimate = agreeing lanes / k, via the native lane counter — this
+    // runs once per candidate pair (millions of rows on a dense corpus),
+    // where the interpreted zip_with chain dominated the whole pipeline
+    // at auto-fit k (see SigAgreeCount).
+    graft.functions.SigAgreeCount.register(sig.sparkSession)
     candidates
       .join(sig.select(col("rep_id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sig.select(col("rep_id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        (size(expr("filter(zip_with(sig_a, sig_b, (x, y) -> x = y), m -> m)"))
-          .cast("double") / k).as("est_jaccard"))
+        (expr("sig_agree_count(sig_a, sig_b)").cast("double") / k).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"),
         (floor(col("est_jaccard") * 10000 + 0.5) / 10000).as("est_jaccard"))

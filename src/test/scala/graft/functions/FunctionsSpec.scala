@@ -106,6 +106,26 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("native sig_agree_count is bit-identical to the zip_with composition") {
+    val s = spark
+    import s.implicits._
+    SigAgreeCount.register(spark)
+    val df = Seq(
+      (Array[java.lang.Long](1L, 2L, 3L, 4L), Array[java.lang.Long](1L, 9L, 3L, 4L)),
+      (Array[java.lang.Long](1L, null, 3L), Array[java.lang.Long](1L, null, 3L)),
+      (Array[java.lang.Long](5L), Array[java.lang.Long](5L, 6L, 7L))
+    ).toDF("a", "b")
+    val both = df.select(
+      expr("sig_agree_count(a, b)").as("native"),
+      expr("size(filter(zip_with(a, b, (x, y) -> x = y), m -> m))").as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"native=${r.getInt(0)} hof=${r.getInt(1)}"))
+    // null lanes never agree; shorter array's padding never agrees
+    assert(both(1).getInt(0) == 2)
+    assert(both(2).getInt(0) == 1)
+  }
+
   test("native simhash64 is bit-identical to the HoF composition") {
     val s = spark
     import s.implicits._
