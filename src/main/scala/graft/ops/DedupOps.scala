@@ -130,6 +130,7 @@ object DedupOps {
     GraphOps.clearLabelCache(sid)
     SimilarityOps.clearCentroidCache(sid)
     TextOps.clearMergeCache(sid)
+    SparkOps.runCacheClearHooks(sid)
   }
 
   private def corpusKey(docs: DataFrame): (String, Int) =

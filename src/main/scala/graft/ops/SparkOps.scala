@@ -38,6 +38,21 @@ object SparkOps {
   def sessionId(spark: org.apache.spark.sql.SparkSession): String =
     sessionIdMap.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
+  /** Mining caches outside [[graft.ops]] (e.g. the ER fuzzy pair cache in
+    * `graft.queries`) register a per-session clear hook here so
+    * [[clearMiningCaches]] / [[DedupOps.clearCaches]] reach them without a
+    * reverse package dependency. Hooks registered at object init — a cache
+    * that was never touched has no hook AND no entries, so the contract
+    * holds either way.
+    */
+  private val cacheClearHooks =
+    new java.util.concurrent.CopyOnWriteArrayList[String => Unit]()
+  def registerCacheClearHook(f: String => Unit): Unit = cacheClearHooks.add(f)
+  private[ops] def runCacheClearHooks(sessionId: String): Unit = {
+    val it = cacheClearHooks.iterator()
+    while (it.hasNext) it.next()(sessionId)
+  }
+
   // ------------------------------------------------------------- sources
 
   /** Scan a named parquet table from the environment's dataset dir. */

@@ -71,6 +71,34 @@ object StatQueries {
     (row.getLong(0) > FuzzyPairBudget, row.getLong(1))
   }
 
+  /** Session-scoped cache of the MATERIALIZED fuzzy pair list (+ regime
+    * decision and exact row count), keyed like the DedupOps mining caches
+    * (session UUID + corpus plan hash — valid while source files are
+    * immutable). The verified lev≤2 pair list is the expensive shared
+    * artifact of the ER family: the blocked-pair rollup and the
+    * cluster-histogram query both consume the same edges, so whichever
+    * runs first pays the one mine — the same mine-once/derive-many
+    * contract as the text near-dup family.
+    */
+  private val fuzzyPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), (DataFrame, Boolean, Long)]()
+
+  // honor the clearMiningCaches contract (stale-read fence on overwrite)
+  graft.ops.SparkOps.registerCacheClearHook { sid =>
+    val it = fuzzyPairsCache.entrySet().iterator()
+    while (it.hasNext) if (it.next().getKey._1 == sid) it.remove()
+  }
+
+  private[queries] def fuzzyPairsCached(c: DataFrame): (DataFrame, Boolean, Long) = {
+    val key = (graft.ops.SparkOps.sessionId(c.sparkSession),
+      c.queryExecution.logical.semanticHash())
+    fuzzyPairsCache.computeIfAbsent(key, _ => {
+      val (pigeonhole, n) = fuzzyRegime(c)
+      val pairs = fuzzyNameVerifiedPairs(c, pigeonhole).localCheckpoint(true)
+      (pairs, pigeonhole, n)
+    })
+  }
+
   /** The verified pair list behind [[fuzzyNamePairs]] — the edge set an
     * entity-resolution clustering consumes.
     */
@@ -381,7 +409,10 @@ object StatQueries {
         val c = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
             col("c_mktsegment"))
-        fuzzyNamePairs(c, pigeonhole = fuzzyRegime(c)._1)
+        fuzzyPairsCached(c)._1
+          .groupBy(col("nk").as("c_nationkey"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .orderBy("c_nationkey")
       },
       Some("""
         SELECT a.c_nationkey AS c_nationkey, count(*) AS n_pairs
@@ -405,17 +436,12 @@ object StatQueries {
         val c = t(s, dir, "customer")
           .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
             col("c_mktsegment"))
-        // One block-count aggregate prices the regime AND yields the exact
-        // row count — the CC sizeHint gets the TRUE vertex bound for free
+        // The cached mine prices the regime once AND yields the exact row
+        // count — the CC sizeHint gets the TRUE vertex bound for free
         // (|V| ≤ |customer|; an understated hint would force the
         // small-graph forest path on an arbitrarily large pair graph).
-        val (pigeonhole, n) = fuzzyRegime(c)
-        // Materialize the verified pair list ONCE: vertices (distinct
-        // endpoints) and the CC edge pass would each re-run the lev join
-        // otherwise.
-        val pairs = fuzzyNameVerifiedPairs(c, pigeonhole = pigeonhole)
-          .select(col("key_a"), col("key_b"))
-          .localCheckpoint(true)
+        val (cached, _, n) = fuzzyPairsCached(c)
+        val pairs = cached.select(col("key_a"), col("key_b"))
         val verts = pairs.select(col("key_a").as("id"))
           .unionByName(pairs.select(col("key_b").as("id"))).distinct()
         GraphOps.connectedComponents(verts,
