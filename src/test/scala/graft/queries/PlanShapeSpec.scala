@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Physical-plan assertions for the round-2 operators: the properties that
@@ -367,13 +368,26 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both median joins (med, mad) should broadcast in:\n$plan")
   }
 
-  test("join_fuzzy_blocked joins on the block keys, not a cartesian") {
-    val plan = planOf("join_fuzzy_blocked")
-    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
-    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop in:\n$plan")
-    // levenshtein must be a post-join filter (block equi-keys drive the
-    // join), visible as a join condition or filter — not a join strategy.
-    assert(plan.contains("levenshtein"), s"levenshtein predicate missing in:\n$plan")
+  test("fuzzy pair MINE joins on the block keys, not a cartesian") {
+    // The graded queries consume the session-cached (localCheckpointed)
+    // pair list, whose plan is a LogicalRDD leaf — fence the MINING plan
+    // itself, in both regimes.
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+        col("c_mktsegment"))
+    for (pigeonhole <- Seq(false, true)) {
+      val plan = graft.queries.StatQueries
+        .fuzzyNameVerifiedPairs(c, pigeonhole)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"cartesian (pigeonhole=$pigeonhole) in:\n$plan")
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"nested loop (pigeonhole=$pigeonhole) in:\n$plan")
+      // levenshtein must be a post-join filter (block equi-keys drive the
+      // join), visible as a join condition or filter — not a join strategy.
+      assert(plan.contains("levenshtein"),
+        s"levenshtein predicate missing (pigeonhole=$pigeonhole) in:\n$plan")
+    }
   }
 
   test("typed_reducegroups partial-aggregates map-side (ReduceAggregator, not mapGroups)") {
