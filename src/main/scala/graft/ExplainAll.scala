@@ -49,7 +49,10 @@ object ExplainAll {
     "embedding_top_pc" -> "PCA power iteration: per round one broadcast of the 64-dim v (a literal array), map-side quantized dots, one d-key aggregation — the d×d covariance never exists.",
     "histogram_equi_depth" -> "Equi-depth deciles via distributedNtile: range-repartition + per-partition rank + broadcast offsets — no single-partition ntile window anywhere in the plan.",
     "events_anomaly_mad" -> "Median/MAD robust gate: both per-type median tables broadcast back onto events; the outlier flag is a pure integer comparison inside codegen.",
-    "join_fuzzy_blocked" -> "Two-regime record linkage: below 200k rows candidates come from the (nation, segment) equi-join; above, the PartEnum pigeonhole piece-join bounds blocks. Levenshtein (threshold overload, banded DP) evaluates post-join as a filter — no cartesian, no nested loop.",
+    "join_fuzzy_blocked" -> "Two-regime record linkage over the session-cached pair mine: the regime is priced by the BLOCKED PAIR BUDGET sum n(n-1)/2 (not row count — see PLANS appendix, regime boundary): under 2e9 budgeted pairs candidates come from the (nation, segment) equi-join; above, the PartEnum pigeonhole piece-join bounds blocks. Levenshtein (threshold overload, banded DP) evaluates post-join as a filter — no cartesian, no nested loop (fence now in PlanShapeSpec over BOTH regimes' mining plans; the graded plan below is the cached derive).",
+    "dedup_minhash_lsh" -> "MinHash-LSH at the auto-fit (bands, rows) split: ids-only band equi-join for candidates; the signature frame localCheckpoints once for its three consumers; the estimate filter is the native sig_agree_count lane counter (the interpreted zip_with chain dominated the pipeline at k=176).",
+    "multimodal_image_pipeline" -> "Real codec chain: PNG encode -> decode -> NN-resize -> re-encode -> decode, every stage mapPartitions with per-partition ImageReader init; the only exchange is the final range sort.",
+    "ext_sql_topk" -> "Deployment packaging: pure SQL text on the extensions-conf session — injected native ws_distinct_tokens in the scan projection, injected TopKRewrite planning PartialTopK/FinalTopK per-group heaps instead of a full window sort.",
     "text_keyword_rank" -> "Keyword ranking: one tokenize/explode pass materialized; corpus df derives from the tf table and broadcasts; the top-3 window partitions by doc_id.",
     "typed_reducegroups" -> "Typed reduceGroups: ReduceAggregator plans a partial+final aggregate pair — map-side combine like the untyped rollup, unlike mapGroups which ships every row.",
     "basket_association_rules" -> "Association rules: distinct (order, type) materialized once; directed pairs from its self-join on the order key; per-type counts and the one-row total broadcast into the metric projection.",
@@ -79,6 +82,11 @@ object ExplainAll {
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n$why\n\n```\n$plan```\n")
     }
+    // Hand-authored measurement sections (e.g. the regime-boundary
+    // evidence) live in PLANS_APPENDIX.md and survive regeneration.
+    val appendix = Paths.get("PLANS_APPENDIX.md")
+    if (Files.exists(appendix))
+      sb.append("\n").append(Files.readString(appendix))
     Files.write(Paths.get(out), sb.toString.getBytes("UTF-8"))
     println(s"[explainall] wrote $out")
     spark.stop()
