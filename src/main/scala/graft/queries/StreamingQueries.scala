@@ -171,6 +171,21 @@ object StreamingQueries {
         FROM events GROUP BY user_id ORDER BY user_id"""),
     ),
     QueryDef(
+      "stream_transform_with_state",
+      // Spark-4 transformWithState (StatefulProcessor + named ValueState,
+      // RocksDB provider) computing the SAME per-user running-total
+      // contract as stream_custom_state — the modern arbitrary-state API
+      // graded against the identical batch oracle, with a different alert
+      // threshold so the two queries' outputs are independently checked.
+      (s, dir) => StreamingOps.statefulUserTotalsTws(s, dir, alertCents = 250000L),
+      Some("""
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+               count(*) AS n,
+               sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) >= 250000 AS alert
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+    ),
+    QueryDef(
       "stream_late_drop",
       // Late-data drop policy: clicks replay AFTER the watermark advanced
       // past their day-windows AND an eviction batch finalized them

@@ -266,6 +266,72 @@ object StreamingOps {
       .orderBy("user_id")
   }
 
+  /** The SAME per-user running-total contract as
+    * [[statefulUserTotalsGraded]], on Spark 4's `transformWithState`
+    * arbitrary-state API — the successor to `flatMapGroupsWithState`: a
+    * [[org.apache.spark.sql.streaming.StatefulProcessor]] with NAMED,
+    * individually-typed state variables (here one `ValueState`; the API
+    * also offers List/Map state, per-variable TTL, and timers), so a
+    * production processor evolves state shape without re-encoding one
+    * monolithic case class. Requires the RocksDB state-store provider —
+    * set per-run and restored, the same conf flip RocksDbStateSpec pins
+    * for the rest of the stateful family. Integer-cents accumulation
+    * keeps the final state arrival-order-independent (oracle-checkable);
+    * `n` is monotone, so max-by-n per user is the final state under any
+    * replay batching.
+    */
+  def statefulUserTotalsTws(
+      spark: SparkSession, dir: String, alertCents: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+    val events = replayEvents(spark, dir)
+      .select(col("user_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[(Long, Long)]
+    class TotalsProcessor
+        extends StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Boolean)] {
+      @transient private var totals: ValueState[(Long, Long)] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        totals = getHandle.getValueState[(Long, Long)]("totals",
+          org.apache.spark.sql.Encoders.tuple(
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong),
+          TTLConfig.NONE)
+      override def handleInputRows(
+          key: Long,
+          rows: Iterator[(Long, Long)],
+          timerValues: TimerValues): Iterator[(Long, Long, Long, Boolean)] = {
+        val (prevCents, prevN) = if (totals.exists()) totals.get() else (0L, 0L)
+        var cents = prevCents
+        var n = prevN
+        rows.foreach { r => cents += r._2; n += 1 }
+        totals.update((cents, n))
+        Iterator.single((key, cents, n, cents >= alertCents))
+      }
+    }
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val updates = events
+        .groupByKey(_._1)
+        .transformWithState(new TotalsProcessor, TimeMode.None(), OutputMode.Append())
+        .toDF("user_id", "total_cents", "n", "alert")
+      runToTable(updates, "append")
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n"), col("total_cents"), col("alert"))).as("s"))
+        .select(col("user_id"), col("s.total_cents").as("total_cents"),
+          col("s.n").as("n"), col("s.alert").as("alert"))
+        .orderBy("user_id")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(providerKey, v)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   /** Stream–static join: enrich the event stream with a batch dimension
     * (customer), then aggregate per nation. Stream–static equi-joins are
     * stateless on the stream side — each micro-batch hash-joins against

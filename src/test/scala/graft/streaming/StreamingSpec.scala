@@ -89,6 +89,20 @@ class StreamingSpec extends AnyFunSuite {
       (1L, 110.0, 2L, true)))
   }
 
+  test("transformWithState final totals equal the flatMapGroupsWithState API's") {
+    // Same contract, two state APIs: the Spark-4 StatefulProcessor path
+    // must land on identical final per-user state as the
+    // flatMapGroupsWithState path at the same threshold.
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq
+    val fmgws = rows(StreamingOps.statefulUserTotalsGraded(spark, dir, 330000L))
+    val tws = rows(StreamingOps.statefulUserTotalsTws(spark, dir, 330000L))
+    assert(tws == fmgws, "the two arbitrary-state APIs diverged")
+    assert(tws.nonEmpty)
+  }
+
   test("watermark drops events later than the lateness bound (append mode)") {
     val s = spark
     import s.implicits._
