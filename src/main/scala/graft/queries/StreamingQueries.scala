@@ -186,6 +186,19 @@ object StreamingQueries {
         FROM events GROUP BY user_id ORDER BY user_id"""),
     ),
     QueryDef(
+      "stream_state_reader",
+      // Spark-4 state data source: batch-read the checkpointed state store
+      // of a completed streaming aggregation (format("statestore")) and
+      // grade the keyed aggregation buffers themselves — state
+      // introspection as a first-class operator. Integer buffers make the
+      // state content exactly replayable as a batch aggregate.
+      (s, dir) => StreamingOps.stateStoreRead(s, dir),
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY event_type ORDER BY event_type"""),
+    ),
+    QueryDef(
       "stream_late_drop",
       // Late-data drop policy: clicks replay AFTER the watermark advanced
       // past their day-windows AND an eviction batch finalized them
