@@ -406,6 +406,57 @@ object TextQueries {
         ORDER BY d.doc_id""")
     ),
     QueryDef(
+      "dedup_substring_removal",
+      // The REMOVAL step of exact substring dedup (Lee et al.): a token
+      // position is removed iff it is covered by any 13-gram that also
+      // appears in at least one OTHER document. Coverage = distinct
+      // (doc, position) after exploding each duplicated gram's 13-token
+      // span — set semantics make overlapping spans count once, so the
+      // kept-token accounting is exact. All equi-joins (gram keys, then
+      // the narrow position explode); per-doc output stays one row.
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val toks = docs
+          .select(col("doc_id"), split(col("text"), " ").as("ts"))
+        val grams = toks
+          .where(size(col("ts")) >= 13)
+          .select(col("doc_id"), posexplode(expr(
+            "transform(sequence(1, size(ts) - 12), i -> array_join(slice(ts, i, 13), ' '))")))
+          .select(col("doc_id"), (col("pos") + 1).as("i"), col("col").as("gram"))
+        val dup = grams.select("doc_id", "gram").distinct()
+          .groupBy("gram").agg(count(lit(1)).as("c"))
+          .where(col("c") > 1).select("gram")
+        val covered = grams.join(dup, "gram")
+          .select(col("doc_id"),
+            explode(sequence(col("i"), col("i") + 12)).as("p"))
+          .distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("n_removed"))
+        toks.select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"))
+          .join(covered, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+            (col("n_tokens") - coalesce(col("n_removed"), lit(0L))).as("n_kept"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        g AS (
+          SELECT doc_id, i, array_to_string(ts[i : i + 12], ' ') AS gram
+          FROM toks, unnest(range(1, len(ts) - 11)) AS t(i)
+          WHERE len(ts) >= 13),
+        dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+                GROUP BY gram HAVING count(*) > 1),
+        cov AS (
+          SELECT doc_id, count(DISTINCT p) AS n_removed
+          FROM g JOIN dup USING (gram), unnest(range(g.i, g.i + 13)) AS u(p)
+          GROUP BY doc_id)
+        SELECT t.doc_id, CAST(len(t.ts) AS BIGINT) AS n_tokens,
+               CAST(coalesce(c.n_removed, 0) AS BIGINT) AS n_removed,
+               CAST(len(t.ts) - coalesce(c.n_removed, 0) AS BIGINT) AS n_kept
+        FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id
+        ORDER BY t.doc_id""")
+    ),
+    QueryDef(
       "agg_heavy_hitters",
       // Exact corpus-wide frequent tokens (> 2% of all occurrences) via
       // the two-pass Misra–Gries pattern (see TextOps.heavyHitters): the
