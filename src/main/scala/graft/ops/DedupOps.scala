@@ -410,14 +410,16 @@ object DedupOps {
         (1.0 - math.pow(1.0 - math.pow(j, bb), nb)) * binomTail(k, j, m)
       }.sum / hist.length
     }
-    // widest band first; B solves the banding identity at τ
+    // widest band first; B solves the banding identity at τ. nextOption()
+    // keeps the scan lazy: modeledRecall is only priced until the first
+    // width that clears the target (a .toSeq here would evaluate all 7).
     val fit = Seq(16, 12, 10, 8, 6, 4, 2).iterator.flatMap { bb =>
       val perBand = math.pow(threshold, bb)
       val nb = math.max(1, math.min(maxBands,
         math.ceil(math.log(1.0 - bandRecallTarget) / math.log(1.0 - perBand)).toInt))
       if (bb * nb <= kMax && modeledRecall(bb, nb) >= targetRecall) Some((nb, bb))
       else None
-    }.toSeq.headOption
+    }.nextOption()
     fit.getOrElse {
       // nothing meets the target within kMax — take the best achievable
       Seq(8, 6, 4, 2).map { bb =>

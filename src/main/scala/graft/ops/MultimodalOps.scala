@@ -183,10 +183,18 @@ object MultimodalOps {
     media.mapPartitions { rows =>
       val reader =
         javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      // Teardown exactly once, and even when the iterator is only
+      // partially consumed (limit/take): task-completion listener owns the
+      // dispose; the flag keeps a post-exhaustion hasNext from re-entering
+      // a disposed reader (undefined per the ImageIO contract).
+      var disposed = false
+      def disposeOnce(): Unit = if (!disposed) { disposed = true; reader.dispose() }
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => disposeOnce()))
       new Iterator[ImageStat] {
         def hasNext: Boolean = {
           val h = rows.hasNext
-          if (!h) reader.dispose() // codec teardown when the partition drains
+          if (!h) disposeOnce() // codec teardown when the partition drains
           h
         }
         def next(): ImageStat = {

@@ -65,8 +65,11 @@ object StatQueries {
   private[queries] def fuzzyRegime(c: DataFrame): (Boolean, Long) = {
     val row = c.groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
-      .agg(sum(col("n") * (col("n") - 1) / 2).cast("long").as("budget"),
-        sum(col("n")).cast("long").as("rows"))
+      // coalesce: sum() over an empty frame is null — an empty corpus is a
+      // (quadratic, 0) decision, not an NPE
+      .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0L))
+        .cast("long").as("budget"),
+        coalesce(sum(col("n")), lit(0L)).cast("long").as("rows"))
       .head()
     (row.getLong(0) > FuzzyPairBudget, row.getLong(1))
   }

@@ -91,25 +91,30 @@ object TextQueries {
       // document order before a training run writes its N shards. The
       // permutation key is a seeded md5 of the stable doc key (never
       // rand(): identical across runs, engines, and partitionings); 32-bit
-      // halves drive shard routing and within-shard order, and the
-      // (ord, doc_id) argmin/argmax ride a single packed long so first/
-      // last per shard are exact under hash ties. At scale this same
-      // keying feeds repartitionByRange(shard, ord) + a partitioned write;
-      // graded here as the per-shard accounting a shuffle audit checks.
+      // halves drive shard routing and within-shard order, and first/last
+      // per shard are min_by/max_by on the full (ord, doc_id) struct —
+      // exact under hash ties at ANY doc_id width (no bit-packing
+      // assumptions). At scale this same keying feeds
+      // repartitionByRange(shard, ord) + a partitioned write; graded here
+      // as the per-shard accounting a shuffle audit checks.
       (s, dir) => {
         val key = md5(concat(col("doc_id").cast("string"), lit(":s7")))
         s.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"),
             conv(substring(key, 1, 8), 16, 10).cast("long").as("sh"),
             conv(substring(key, 9, 8), 16, 10).cast("long").as("ord"))
-          .select(col("doc_id"), (col("sh") % 16).as("shard"),
-            (col("ord") * 1048576L + col("doc_id")).as("packed"))
+          .select(col("doc_id"), (col("sh") % 16).as("shard"), col("ord"))
           .groupBy("shard")
           .agg(count(lit(1)).as("n_docs"),
-            (min(col("packed")) % 1048576L).as("first_doc"),
-            (max(col("packed")) % 1048576L).as("last_doc"))
+            min_by(col("doc_id"), struct(col("ord"), col("doc_id")))
+              .as("first_doc"),
+            max_by(col("doc_id"), struct(col("ord"), col("doc_id")))
+              .as("last_doc"))
           .orderBy("shard")
       },
+      // DuckDB arg_min/arg_max reject struct ordering keys, so the oracle
+      // packs (ord, doc_id) into a HUGEINT with a 2^64 multiplier —
+      // overflow-free for any ord < 2^32 and doc_id < 2^63.
       Some("""
         WITH k AS (
           SELECT doc_id,
@@ -117,8 +122,8 @@ object TextQueries {
                  ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':s7'), 9, 8))::BIGINT AS ord
           FROM documents)
         SELECT CAST(sh % 16 AS BIGINT) AS shard, count(*) AS n_docs,
-               CAST(min(ord * 1048576 + doc_id) % 1048576 AS BIGINT) AS first_doc,
-               CAST(max(ord * 1048576 + doc_id) % 1048576 AS BIGINT) AS last_doc
+               arg_min(doc_id, CAST(ord AS HUGEINT) * 18446744073709551616 + doc_id) AS first_doc,
+               arg_max(doc_id, CAST(ord AS HUGEINT) * 18446744073709551616 + doc_id) AS last_doc
         FROM k GROUP BY 1 ORDER BY shard""")
     ),
     QueryDef(
