@@ -898,6 +898,136 @@ object PipelineQueries {
         SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
                CAST(64 * n_frames AS BIGINT) AS frame_bytes
         FROM f ORDER BY doc_id""")
+    ),
+    QueryDef(
+      "quality_gopher_rules",
+      // Gopher-style hard quality gates (Rae et al. 2021 §A1.1, the rule
+      // bundle RefinedWeb/FineWeb run before any model-based scoring):
+      // word-count bounds, mean-word-length bounds, symbol-to-word ratio,
+      // alphabetic-word fraction, stopword presence. Every ratio
+      // threshold is evaluated by INTEGER cross-multiplication (3·w ≤
+      // chars, 5·alpha ≥ 4·w, 10·sym ≤ w) — no float ever crosses an
+      // engine boundary, so the oracle is hash-exact by construction.
+      // Pure map-side per-doc expressions; the only exchange is the
+      // output sort. (Word-count lower bound adapted to the synthetic
+      // corpus: 20 instead of Gopher's 50.)
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val stop = TextOps.stopwords("en")
+        docs(s, dir)
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"),
+            lower(col("text")).as("lt"))
+          .select(col("doc_id"),
+            size(col("toks")).as("n_words"),
+            length(array_join(col("toks"), "")).as("wchars"),
+            length(regexp_replace(col("lt"), "[a-z0-9 ]", "")).as("sym_chars"),
+            expr("size(filter(toks, t -> t rlike '[a-z]'))").as("alpha_words"),
+            size(array_intersect(col("toks"),
+              array(stop.map(lit(_)): _*))).as("n_stop"))
+          .select(col("doc_id"), col("n_words"),
+            (col("n_words") >= 20 && col("n_words") <= 100000)
+              .cast("int").as("r_wc"),
+            (lit(3) * col("n_words") <= col("wchars") &&
+              col("wchars") <= lit(10) * col("n_words")).cast("int").as("r_mwl"),
+            (lit(10) * col("sym_chars") <= col("n_words")).cast("int").as("r_sym"),
+            (lit(5) * col("alpha_words") >= lit(4) * col("n_words"))
+              .cast("int").as("r_alpha"),
+            (col("n_stop") >= 2).cast("int").as("r_stop"))
+          .withColumn("keep",
+            col("r_wc") * col("r_mwl") * col("r_sym") * col("r_alpha") * col("r_stop"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val stopList = TextOps.stopwords("en")
+          .map(w => s"'$w'").mkString("[", ", ", "]")
+        s"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks,
+                 lower(text) AS lt
+          FROM documents),
+        m AS (
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 coalesce(length(list_aggregate(toks, 'string_agg', '')), 0) AS wchars,
+                 length(regexp_replace(lt, '[a-z0-9 ]', '', 'g')) AS sym_chars,
+                 len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS alpha_words,
+                 len(list_intersect(toks, $stopList)) AS n_stop
+          FROM t)
+        SELECT doc_id, CAST(n_words AS INT) AS n_words,
+               CAST(n_words >= 20 AND n_words <= 100000 AS INT) AS r_wc,
+               CAST(3 * n_words <= wchars AND wchars <= 10 * n_words AS INT) AS r_mwl,
+               CAST(10 * sym_chars <= n_words AS INT) AS r_sym,
+               CAST(5 * alpha_words >= 4 * n_words AS INT) AS r_alpha,
+               CAST(n_stop >= 2 AS INT) AS r_stop,
+               CAST((n_words >= 20 AND n_words <= 100000)
+                AND (3 * n_words <= wchars AND wchars <= 10 * n_words)
+                AND (10 * sym_chars <= n_words)
+                AND (5 * alpha_words >= 4 * n_words)
+                AND (n_stop >= 2) AS INT) AS keep
+        FROM m ORDER BY doc_id"""
+      }
+    ),
+    QueryDef(
+      "corpus_token_mixture",
+      // Token-budget mixture planning — the data-mixing step that turns
+      // target domain weights into per-domain sampling rates for a fixed
+      // token budget (here: half the corpus, rank-by-name weights so the
+      // plan is self-contained). Everything after the one per-source
+      // token aggregate runs on a bounded #sources-row frame (the window
+      // and totals cross-join never see documents), and every rate is
+      // integer/decimal floor math — exact at any corpus size, no float
+      // drift. needs_upsample flags domains whose target exceeds their
+      // inventory (the DoReMi-style deficit signal).
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val perSrc = docs(s, dir)
+          .select(col("source"),
+            expr("size(filter(split(lower(text), '\\\\s+'), t -> t <> ''))")
+              .cast("long").as("tk"))
+          .groupBy("source").agg(sum(col("tk")).as("n_tokens"))
+        val w = perSrc.withColumn("weight",
+          row_number().over(Window.orderBy("source")).cast("long"))
+        val tot = w.agg(sum("n_tokens").as("t_all"), sum("weight").as("w_all"))
+        w.crossJoin(tot)
+          .select(col("source"), col("n_tokens"), col("weight"),
+            floor(col("t_all").cast("decimal(38,0)") * col("weight") /
+              (lit(2) * col("w_all"))).cast("long").as("target_tokens"))
+          .select(col("source"), col("n_tokens"), col("weight"),
+            col("target_tokens"),
+            least(lit(1000000L),
+              floor(col("target_tokens").cast("decimal(38,0)") * 1000000 /
+                col("n_tokens")).cast("long")).as("rate_e6"),
+            (col("target_tokens") > col("n_tokens")).cast("int")
+              .as("needs_upsample"))
+          .withColumn("expected_tokens",
+            floor(col("n_tokens").cast("decimal(38,0)") * col("rate_e6") / 1000000)
+              .cast("long"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH c AS (
+          SELECT source,
+                 sum(len(list_filter(string_split_regex(lower(text), '\s+'),
+                   t -> t <> ''))) AS n_tokens
+          FROM documents GROUP BY source),
+        w AS (SELECT source, n_tokens,
+                     CAST(row_number() OVER (ORDER BY source) AS BIGINT) AS weight
+              FROM c),
+        tot AS (SELECT sum(n_tokens) AS t_all, sum(weight) AS w_all FROM w),
+        p AS (SELECT source, n_tokens, weight,
+                     CAST(CAST(t_all AS HUGEINT) * weight // (2 * w_all) AS BIGINT) AS target_tokens
+              FROM w, tot),
+        r AS (SELECT *, least(1000000,
+                CAST(CAST(target_tokens AS HUGEINT) * 1000000 // n_tokens AS BIGINT)) AS rate_e6
+              FROM p)
+        SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, weight, target_tokens,
+               rate_e6,
+               CAST(CAST(n_tokens AS HUGEINT) * rate_e6 // 1000000 AS BIGINT) AS expected_tokens,
+               CAST(target_tokens > n_tokens AS INT) AS needs_upsample
+        FROM r ORDER BY source""")
     )
   )
 }

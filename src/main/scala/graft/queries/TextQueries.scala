@@ -959,6 +959,133 @@ object TextQueries {
           .orderBy("doc_id")
       },
       None
+    ),
+    QueryDef(
+      "text_feature_hashing",
+      // Hashing-trick featurization (the fastText/Vowpal-Wabbit recipe
+      // that feeds corpus-quality classifiers): adjacent-token bigrams
+      // hash into a fixed 8-bucket space, per-doc bucket counts are the
+      // feature vector. Pure map-side explode + one (doc_id, bucket)
+      // aggregate — the shuffle carries (id, small-int, count) rows, never
+      // text, so the shape is flat in corpus size. Bucket ids come from
+      // the same md5-prefix integer both engines compute bit-identically.
+      (s, dir) => {
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"))
+          // sequence(a, b) DESCENDS when a > b — the size >= 2 guard keeps
+          // singleton docs from producing a negative-step sequence.
+          .select(col("doc_id"),
+            explode(expr("""CASE WHEN size(toks) >= 2
+              THEN transform(sequence(0, size(toks) - 2),
+                             i -> concat(toks[i], ' ', toks[i + 1]))
+              ELSE array() END""")).as("bg"))
+          .select(col("doc_id"),
+            (conv(substring(md5(col("bg")), 1, 8), 16, 10).cast("long") % 8)
+              .as("bucket"))
+          .groupBy("doc_id", "bucket")
+          .agg(count(lit(1)).as("n"))
+          .orderBy("doc_id", "bucket")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(
+            string_split_regex(lower(text), '\s+'), t -> t <> '') AS toks
+          FROM documents),
+        bg AS (
+          SELECT doc_id,
+                 unnest([toks[i] || ' ' || toks[i + 1] for i in range(1, len(toks))]) AS bg
+          FROM toks WHERE len(toks) >= 2)
+        SELECT doc_id,
+               ('0x' || substr(md5(bg), 1, 8))::BIGINT % 8 AS bucket,
+               count(*) AS n
+        FROM bg GROUP BY 1, 2 ORDER BY doc_id, bucket""")
+    ),
+    QueryDef(
+      "text_rrf_fusion",
+      // Reciprocal-rank fusion (Cormack et al.) of the TF-IDF and BM25
+      // rankings — the hybrid-retrieval merge step a curation pipeline
+      // runs when combining lexical scorers: rrf = Σ 1/(60 + rank) over
+      // the rankers that returned the doc. Operates on the two top-20
+      // lists (bounded frames, broadcast-size by construction); the
+      // contribution sum keeps one fixed order (tfidf first) so the
+      // double math is bit-identical across engines, then quantizes e6.
+      (s, dir) => {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val terms = Seq("data", "spark", "dup")
+        val t = TextOps.tfidfSearch(docs, terms, 20)
+          .select(col("doc_id"), col("rank").as("t_rank"))
+        val b = TextOps.bm25Search(docs, terms, 20)
+          .select(col("doc_id"), col("rank").as("b_rank"))
+        t.join(b, Seq("doc_id"), "full_outer")
+          .select(col("doc_id"),
+            coalesce(col("t_rank"), lit(0)).as("tfidf_rank"),
+            coalesce(col("b_rank"), lit(0)).as("bm25_rank"),
+            floor(
+              (when(col("t_rank").isNull, lit(0.0))
+                  .otherwise(lit(1.0) / (col("t_rank") + 60)) +
+                when(col("b_rank").isNull, lit(0.0))
+                  .otherwise(lit(1.0) / (col("b_rank") + 60))) * 1000000 + 0.5)
+              .cast("long").as("rrf_e6"))
+          .withColumn("rank", row_number().over(
+            Window.orderBy(col("rrf_e6").desc, col("doc_id"))))
+          .select("rank", "doc_id", "tfidf_rank", "bm25_rank", "rrf_e6")
+          .orderBy("rank")
+      },
+      Some("""
+        WITH tok AS (
+          SELECT doc_id, unnest(list_filter(
+            string_split_regex(lower(text), '\s+'),
+            t -> t IN ('data', 'spark', 'dup'))) AS tok
+          FROM documents),
+        tf0 AS (SELECT doc_id, tok, count(*) AS tf FROM tok GROUP BY doc_id, tok),
+        df0 AS (SELECT tok, count(DISTINCT doc_id) AS df FROM tok GROUP BY tok),
+        n0 AS (SELECT count(*) AS n_docs FROM documents),
+        tscored AS (
+          SELECT tf0.doc_id,
+                 CAST(floor(sum(tf0.tf * ln(CAST(n0.n_docs AS DOUBLE) / df0.df)) * 10000 + 0.5) AS BIGINT) AS score_e4
+          FROM tf0 JOIN df0 USING (tok) CROSS JOIN n0
+          GROUP BY tf0.doc_id),
+        tlist AS (
+          SELECT CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS INTEGER) AS t_rank, doc_id
+          FROM tscored ORDER BY score_e4 DESC, doc_id LIMIT 20),
+        wl AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(lower(text), '\s+'),
+                   t -> t <> '')) AS dl,
+                 text
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM wl),
+        btok AS (
+          SELECT doc_id, dl, unnest(list_filter(
+            string_split_regex(lower(text), '\s+'),
+            t -> t IN ('data', 'spark', 'dup'))) AS tok
+          FROM wl),
+        btf AS (SELECT doc_id, dl, tok, count(*) AS tf FROM btok GROUP BY 1, 2, 3),
+        bdft AS (SELECT tok, count(DISTINCT doc_id) AS df FROM btok GROUP BY tok),
+        bscored AS (
+          SELECT btf.doc_id,
+                 CAST(floor(sum(
+                   ln((stats.n_docs - bdft.df + 0.5) / (bdft.df + 0.5) + 1.0)
+                     * btf.tf * 2.2
+                     / (btf.tf + 1.2 * (1.0 - 0.75 + 0.75 * btf.dl * stats.n_docs / stats.sum_dl))
+                 ) * 10000 + 0.5) AS BIGINT) AS score_e4
+          FROM btf JOIN bdft USING (tok) CROSS JOIN stats
+          GROUP BY btf.doc_id),
+        blist AS (
+          SELECT CAST(row_number() OVER (ORDER BY score_e4 DESC, doc_id) AS INTEGER) AS b_rank, doc_id
+          FROM bscored ORDER BY score_e4 DESC, doc_id LIMIT 20),
+        fused AS (
+          SELECT COALESCE(tlist.doc_id, blist.doc_id) AS doc_id,
+                 COALESCE(t_rank, 0) AS tfidf_rank,
+                 COALESCE(b_rank, 0) AS bm25_rank,
+                 CAST(floor(
+                   (CASE WHEN t_rank IS NULL THEN 0.0 ELSE 1.0 / (t_rank + 60) END +
+                    CASE WHEN b_rank IS NULL THEN 0.0 ELSE 1.0 / (b_rank + 60) END) * 1000000 + 0.5) AS BIGINT) AS rrf_e6
+          FROM tlist FULL OUTER JOIN blist ON tlist.doc_id = blist.doc_id)
+        SELECT CAST(row_number() OVER (ORDER BY rrf_e6 DESC, doc_id) AS INTEGER) AS rank,
+               doc_id, tfidf_rank, bm25_rank, rrf_e6
+        FROM fused ORDER BY rank""")
     )
   )
 

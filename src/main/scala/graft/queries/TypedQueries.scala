@@ -160,6 +160,54 @@ object TypedQueries {
                array_to_string(list_sort(json_keys(props)), ',') AS keys,
                CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
         FROM events ORDER BY event_id""")
+    ),
+    QueryDef(
+      "typed_cogroup",
+      // KeyValueGroupedDataset.cogroup: the typed groupwise MERGE of two
+      // datasets — both sides shuffle once on the key and arrive as
+      // co-partitioned iterators, so per-key logic (here: customers with
+      // their possibly-empty order group, i.e. a left-groupwise join that
+      // keeps order-less customers) runs in one pass with no join
+      // explosion and no second shuffle. Money quantizes to long inside
+      // the lambda; the rollup after is plain partial-aggregating SQL.
+      (s, dir) => {
+        import s.implicits._
+        val c = s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"), col("c_mktsegment"))
+          .as[CustomerLite]
+          .groupByKey(_.c_custkey)
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .as[OrderLite]
+          .groupByKey(_.o_custkey)
+        c.cogroup(o) { (_, cs, os) =>
+          cs.map { cust =>
+            var n = 0L
+            var q = 0L
+            os.foreach { ord =>
+              n += 1
+              q += math.floor(ord.o_totalprice * 10000 + 0.5).toLong
+            }
+            (cust.c_mktsegment, n, q)
+          }
+        }
+          .toDF("c_mktsegment", "n", "q")
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n_customers"),
+            sum(col("n")).as("n_orders"),
+            (floor((sum(col("q")) + 50) / 100) / 100.0).as("total_price"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""
+        WITH per_c AS (
+          SELECT c.c_custkey, c.c_mktsegment, count(o.o_orderkey) AS n,
+                 COALESCE(sum(CAST(floor(o.o_totalprice * 10000 + 0.5) AS BIGINT)), 0) AS q
+          FROM customer c LEFT JOIN orders o ON o_custkey = c_custkey
+          GROUP BY 1, 2)
+        SELECT c_mktsegment, count(*) AS n_customers,
+               CAST(sum(n) AS BIGINT) AS n_orders,
+               floor((sum(q) + 50) / 100) / 100.0 AS total_price
+        FROM per_c GROUP BY 1 ORDER BY c_mktsegment""")
     )
   )
 }

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic properties of the round-10 queries that the row/hash oracle
+  * can't see: conservation laws, monotonicity, and the left-groupwise
+  * cogroup contract (order-less customers survive).
+  */
+class Round10QueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.GraftExtensions")
+    .master("local[4]")
+    .appName("graft-round10-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("typed_cogroup keeps order-less customers (left-groupwise join)") {
+    val out = Catalog.queriesMap("typed_cogroup")(spark, dir)
+      .agg(sum("n_customers"), sum("n_orders")).head()
+    val nCust = spark.read.parquet(s"$dir/customer.parquet").count()
+    val nOrd = spark.read.parquet(s"$dir/orders.parquet").count()
+    assert(out.getLong(0) == nCust,
+      s"cogroup must emit every customer exactly once: ${out.getLong(0)} vs $nCust")
+    assert(out.getLong(1) == nOrd,
+      s"cogroup must account every order exactly once: ${out.getLong(1)} vs $nOrd")
+  }
+
+  test("quality_gopher_rules: keep is the AND of the five integer gates") {
+    val df = Catalog.queriesMap("quality_gopher_rules")(spark, dir)
+    val bad = df.filter(
+      col("keep") =!= col("r_wc") * col("r_mwl") * col("r_sym") *
+        col("r_alpha") * col("r_stop")).count()
+    assert(bad == 0)
+    val nonBinary = df.filter(
+      !col("r_wc").isin(0, 1) || !col("r_mwl").isin(0, 1) ||
+        !col("r_sym").isin(0, 1) || !col("r_alpha").isin(0, 1) ||
+        !col("r_stop").isin(0, 1)).count()
+    assert(nonBinary == 0, "rule flags must be 0/1")
+    // the synthetic corpus is pure [a-z ] words — alphabetic + symbol
+    // gates must pass everywhere (a failure means the tokenizer drifted)
+    assert(df.filter(col("r_alpha") === 0 || col("r_sym") === 0).count() == 0)
+  }
+
+  test("corpus_token_mixture: rates capped, budget respected, deficit flagged") {
+    val df = Catalog.queriesMap("corpus_token_mixture")(spark, dir).cache()
+    try {
+      assert(df.filter(col("rate_e6") > 1000000L || col("rate_e6") < 0).count() == 0)
+      val r = df.agg(
+        sum("n_tokens"), sum("expected_tokens"), sum("target_tokens")).head()
+      val budget = r.getLong(0) / 2
+      // floor-division only loses tokens, never invents them
+      assert(r.getLong(1) <= r.getLong(2), "expected must not exceed target")
+      assert(r.getLong(2) <= budget, "per-domain targets must fit the budget")
+      val wrongFlag = df.filter(
+        (col("needs_upsample") === 1) =!= (col("target_tokens") > col("n_tokens")))
+        .count()
+      assert(wrongFlag == 0)
+      // a domain that needs no upsampling can deliver its whole target
+      val short = df.filter(col("needs_upsample") === 0 &&
+        col("expected_tokens") > col("n_tokens")).count()
+      assert(short == 0)
+    } finally df.unpersist()
+  }
+
+  test("text_feature_hashing conserves bigram counts per document") {
+    val feats = Catalog.queriesMap("text_feature_hashing")(spark, dir)
+    assert(feats.filter(col("bucket") < 0 || col("bucket") > 7).count() == 0)
+    val perDoc = feats.groupBy("doc_id").agg(sum("n").as("n_feats"))
+    val expected = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"),
+        expr("size(filter(split(lower(text), '\\\\s+'), t -> t <> ''))").as("nt"))
+      .filter(col("nt") >= 2)
+      .select(col("doc_id"), (col("nt") - 1).cast("long").as("n_bigrams"))
+    val mismatched = perDoc.join(expected, Seq("doc_id"), "full_outer")
+      .filter(coalesce(col("n_feats"), lit(-1L)) =!=
+        coalesce(col("n_bigrams"), lit(-1L)))
+      .count()
+    assert(mismatched == 0,
+      "sum of hashed-feature counts must equal the doc's bigram count")
+  }
+
+  test("text_rrf_fusion: scores decrease with rank and match the closed form") {
+    val rows = Catalog.queriesMap("text_rrf_fusion")(spark, dir)
+      .orderBy("rank").collect() // bounded: union of two top-20 lists
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("rrf_e6") >= b.getAs[Long]("rrf_e6"),
+          "rrf_e6 must be nonincreasing in rank")
+      case _ => ()
+    }
+    rows.foreach { r =>
+      val t = r.getAs[Int]("tfidf_rank")
+      val b = r.getAs[Int]("bm25_rank")
+      assert(t > 0 || b > 0, "every fused doc must come from some ranker")
+      val exact = math.floor(
+        ((if (t > 0) 1.0 / (t + 60) else 0.0) +
+          (if (b > 0) 1.0 / (b + 60) else 0.0)) * 1000000 + 0.5).toLong
+      assert(r.getAs[Long]("rrf_e6") == exact)
+    }
+  }
+}
