@@ -794,6 +794,31 @@ object PipelineQueries {
         FROM g ORDER BY doc_id""")
     ),
     QueryDef(
+      "multimodal_audio_stats",
+      // REAL audio codec: one genuine RIFF/WAVE payload per document
+      // (16-bit signed little-endian PCM, 8 kHz, 1–2 channels), written
+      // AND decoded executor-side by javax.sound.sampled.AudioSystem.
+      // Frame count, channel count, and every sample are closed-form in
+      // doc_id, so DuckDB replays the exact sample sums — a codec that
+      // misparsed the RIFF header, frame size, or byte order cannot pass.
+      // sample_rate/channels come from the decoded header, not the
+      // synthesis constants.
+      (s, dir) => MultimodalOps.audioStats(s, dir),
+      Some("""
+        WITH q AS (SELECT doc_id, 16 + doc_id % 32 AS n_frames,
+                          1 + doc_id % 2 AS channels
+                   FROM documents),
+        e AS (SELECT doc_id, n_frames, channels,
+                     unnest(range(0, n_frames)) AS i FROM q),
+        e2 AS (SELECT doc_id, n_frames, channels, i,
+                      unnest(range(0, channels)) AS c FROM e)
+        SELECT doc_id, CAST(8000 AS INT) AS sample_rate,
+               CAST(channels AS INT) AS channels,
+               CAST(n_frames AS BIGINT) AS n_frames,
+               CAST(sum(((doc_id + 31*i + 17*c) % 4096) - 2048) AS BIGINT) AS sample_sum
+        FROM e2 GROUP BY 1, 2, 3, 4 ORDER BY doc_id""")
+    ),
+    QueryDef(
       "multimodal_image_pipeline",
       // Full real-codec chain: PNG encode -> decode -> nearest-neighbor
       // resize to 16x16 (out(x,y) = in(x*w/16, y*h/16)) -> PNG re-encode ->
