@@ -57,7 +57,13 @@ object ExplainAll {
     "typed_reducegroups" -> "Typed reduceGroups: ReduceAggregator plans a partial+final aggregate pair — map-side combine like the untyped rollup, unlike mapGroups which ships every row.",
     "basket_association_rules" -> "Association rules: distinct (order, type) materialized once; directed pairs from its self-join on the order key; per-type counts and the one-row total broadcast into the metric projection.",
     "stream_stream_left_join" -> "Left-outer stream-stream join: both sides watermarked, time-bound condition bounds click state; outer rows emit on watermark passage (flush-wave staged replay proves full emission).",
-    "text_vocab_growth" -> "Vocab growth: gram-keyed min (map-side partial) is the only data-sized shuffle; the cumulative window runs over report-grain buckets."
+    "text_vocab_growth" -> "Vocab growth: gram-keyed min (map-side partial) is the only data-sized shuffle; the cumulative window runs over report-grain buckets.",
+    "typed_cogroup" -> "Typed groupwise merge: CoGroup exec over both sides' key exchanges — one co-partitioning shuffle each, per-key iterator logic, no row-multiplying join node.",
+    "text_feature_hashing" -> "Hashing-trick featurization: join-free — bigram explode feeds a partial+final (doc, bucket) aggregate pair; the shuffle carries (id, bucket, count), never text.",
+    "quality_gopher_rules" -> "Gopher hard gates: pure map-side integer projections over the scan; the only exchange is the output range sort.",
+    "corpus_token_mixture" -> "Mixture planning: one data-sized per-source token aggregate; the totals are a 1-row broadcast onto the bounded #sources frame, so plan arithmetic never shuffles the corpus.",
+    "text_rrf_fusion" -> "Reciprocal-rank fusion: both rankers plan TakeOrderedAndProject top-20s; the fusion join runs over two bounded lists, never corpus-sized sides.",
+    "multimodal_audio_stats" -> "Real audio codec: WAV write + decode as back-to-back mapPartitions (provider lookup JVM-cached); the only exchange is the output sort."
   )
 
   def main(args: Array[String]): Unit = {

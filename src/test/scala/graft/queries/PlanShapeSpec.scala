@@ -427,4 +427,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"df join should broadcast in:\n$plan")
     assert(plan.contains("row_number"), s"per-doc ranking window in:\n$plan")
   }
+
+  // join EXEC nodes (expression names like array_join must not trip this)
+  private val joinExec =
+    "(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin|CartesianProduct|BroadcastNestedLoopJoin)".r
+
+  test("text_feature_hashing is join-free: explode + one (doc,bucket) aggregate") {
+    val plan = planOf("text_feature_hashing")
+    assert(joinExec.findFirstIn(plan).isEmpty, s"unexpected join in:\n$plan")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2,
+      s"expected partial+final aggregate pair in:\n$plan")
+  }
+
+  test("quality_gopher_rules is pure map-side: no join, no aggregate, only the output sort") {
+    val plan = planOf("quality_gopher_rules")
+    assert(joinExec.findFirstIn(plan).isEmpty, s"unexpected join in:\n$plan")
+    assert(!plan.contains("HashAggregate"), s"unexpected aggregate in:\n$plan")
+  }
+
+  test("corpus_token_mixture plan math runs over the per-source aggregate, not documents") {
+    // One data-sized aggregate (per-source token sums); the totals join is
+    // a 1-row broadcast onto the bounded #sources frame — never a shuffle
+    // of the corpus for plan arithmetic.
+    val plan = planOf("corpus_token_mixture")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"totals must broadcast onto the per-source frame in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("typed_cogroup co-partitions both sides once — CoGroup with two exchanges, no join node") {
+    val plan = planOf("typed_cogroup")
+    assert(plan.contains("CoGroup"), s"expected CoGroup exec in:\n$plan")
+    assert(!plan.toLowerCase.contains("sortmergejoin"),
+      s"cogroup must not degrade to a row-multiplying join in:\n$plan")
+  }
+
+  test("text_rrf_fusion fuses two bounded top-k lists — TakeOrdered feeds the join, no corpus-sized shuffle join") {
+    val plan = planOf("text_rrf_fusion")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"rankers must plan top-k, not global sorts, in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
 }
