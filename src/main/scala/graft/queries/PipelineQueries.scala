@@ -1022,9 +1022,11 @@ object PipelineQueries {
               (lit(2) * col("w_all"))).cast("long").as("target_tokens"))
           .select(col("source"), col("n_tokens"), col("weight"),
             col("target_tokens"),
+            // greatest(n_tokens, 1): a zero-token domain must plan rate 0,
+            // not raise ANSI DIVIDE_BY_ZERO
             least(lit(1000000L),
               floor(col("target_tokens").cast("decimal(38,0)") * 1000000 /
-                col("n_tokens")).cast("long")).as("rate_e6"),
+                greatest(col("n_tokens"), lit(1L))).cast("long")).as("rate_e6"),
             (col("target_tokens") > col("n_tokens")).cast("int")
               .as("needs_upsample"))
           .withColumn("expected_tokens",
@@ -1046,7 +1048,7 @@ object PipelineQueries {
                      CAST(CAST(t_all AS HUGEINT) * weight // (2 * w_all) AS BIGINT) AS target_tokens
               FROM w, tot),
         r AS (SELECT *, least(1000000,
-                CAST(CAST(target_tokens AS HUGEINT) * 1000000 // n_tokens AS BIGINT)) AS rate_e6
+                CAST(CAST(target_tokens AS HUGEINT) * 1000000 // greatest(n_tokens, 1) AS BIGINT)) AS rate_e6
               FROM p)
         SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, weight, target_tokens,
                rate_e6,

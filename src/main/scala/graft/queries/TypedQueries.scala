@@ -181,15 +181,17 @@ object TypedQueries {
           .as[OrderLite]
           .groupByKey(_.o_custkey)
         c.cogroup(o) { (_, cs, os) =>
-          cs.map { cust =>
-            var n = 0L
-            var q = 0L
-            os.foreach { ord =>
-              n += 1
-              q += math.floor(ord.o_totalprice * 10000 + 0.5).toLong
-            }
-            (cust.c_mktsegment, n, q)
+          // Fold the order side ONCE per key, before iterating customers —
+          // os is a one-shot iterator, and a duplicated key must attribute
+          // the same per-key order stats to every customer row (the LEFT
+          // JOIN semantics the oracle replays), not only to the first.
+          var n = 0L
+          var q = 0L
+          os.foreach { ord =>
+            n += 1
+            q += math.floor(ord.o_totalprice * 10000 + 0.5).toLong
           }
+          cs.map(cust => (cust.c_mktsegment, n, q))
         }
           .toDF("c_mktsegment", "n", "q")
           .groupBy("c_mktsegment")
