@@ -961,6 +961,94 @@ object TextQueries {
       None
     ),
     QueryDef(
+      "text_zipf_alpha",
+      // Zipf exponent of the corpus token distribution — the
+      // rank-frequency log-log regression over the top-100 types (the
+      // corpus-statistics twin of events_powerlaw_alpha's MLE, but the
+      // rank-regression estimator lexicographers actually plot). Both
+      // ln axes quantize to e6 longs BEFORE any sum; the normal-equation
+      // sums Sx/Sy/Sxy/Sxx are exact integer folds over a bounded
+      // 100-row frame, and one double division closes the slope. The only
+      // data-sized work is the token count; ranking is a top-100
+      // TakeOrdered, never a global sort.
+      (s, dir) => {
+        val freq = s.read.parquet(s"$dir/documents.parquet")
+          .select(explode(
+            expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")).as("tok"))
+          .groupBy("tok").agg(count(lit(1)).as("f"))
+          .orderBy(col("f").desc, col("tok")).limit(100)
+        val pts = freq
+          .withColumn("r", row_number().over(
+            Window.orderBy(col("f").desc, col("tok"))))
+          .select(
+            floor(log(col("r").cast("double")) * 1e6 + 0.5).cast("long").as("x"),
+            floor(log(col("f").cast("double")) * 1e6 + 0.5).cast("long").as("y"))
+        pts.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+          .select(col("n"),
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+              .as("zipf_slope"))
+      },
+      Some("""
+        WITH f AS (
+          SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+                   t -> t <> '')) AS tok
+          FROM documents),
+        c AS (SELECT tok, count(*) AS f FROM f GROUP BY tok
+              ORDER BY f DESC, tok LIMIT 100),
+        p AS (
+          SELECT CAST(floor(ln(CAST(row_number() OVER (ORDER BY f DESC, tok) AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS x,
+                 CAST(floor(ln(CAST(f AS DOUBLE)) * 1e6 + 0.5) AS BIGINT) AS y
+          FROM c)
+        SELECT count(*) AS n,
+               round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE) /
+                     CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE), 4) AS zipf_slope
+        FROM p""")
+    ),
+    QueryDef(
+      "dedup_passage",
+      // Passage-level dedup accounting (the granularity between exact-doc
+      // and substring dedup that RAG/pretraining corpora dedupe at):
+      // 30-token stride-20 windows (doc_chunking's grid), a chunk is
+      // duplicated when its text occurs >= 2 times corpus-wide. The
+      // chunk frequency table groups and joins on md5 DIGESTS, so the
+      // shuffle after the one chunking pass carries 16-byte keys, never
+      // passage text; the dup ratio is integer flooring (e4).
+      (s, dir) => {
+        val chunks = TextOps
+          .chunkDocuments(s.read.parquet(s"$dir/documents.parquet"), 30, 20)
+          .select(col("doc_id"), md5(col("chunk")).as("dig"))
+        val freq = chunks.groupBy("dig").agg(count(lit(1)).as("f"))
+        chunks.join(freq, Seq("dig"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("f") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+          .select(col("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+            // `div`, not `/`: integer floor division to mirror DuckDB //
+            expr("n_dup_chunks * 10000L DIV n_chunks").as("dup_pct_e4"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+                                     x -> x <> '') AS toks
+          FROM documents),
+        w AS (
+          SELECT doc_id, unnest(list_transform(
+                   range(0, greatest(CAST(ceil((len(toks) - 30) / 20.0) AS INT), 0) + 1),
+                   w -> array_to_string(list_slice(toks, w * 20 + 1, w * 20 + 30), ' ')))
+                 AS c
+          FROM t),
+        fr AS (SELECT c, count(*) AS f FROM w GROUP BY c)
+        SELECT doc_id, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN fr.f >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+               CAST(sum(CASE WHEN fr.f >= 2 THEN 1 ELSE 0 END) * 10000 // count(*) AS BIGINT) AS dup_pct_e4
+        FROM w JOIN fr USING (c)
+        GROUP BY doc_id ORDER BY doc_id""")
+    ),
+    QueryDef(
       "text_feature_hashing",
       // Hashing-trick featurization (the fastText/Vowpal-Wabbit recipe
       // that feeds corpus-quality classifiers): adjacent-token bigrams

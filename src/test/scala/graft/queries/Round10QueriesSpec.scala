@@ -86,6 +86,40 @@ class Round10QueriesSpec extends AnyFunSuite {
       "sum of hashed-feature counts must equal the doc's bigram count")
   }
 
+  test("text_zipf_alpha: negative slope over min(100, #types) ranks") {
+    val row = Catalog.queriesMap("text_zipf_alpha")(spark, dir).head()
+    val types = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(
+        expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")).as("tok"))
+      .select("tok").distinct().count()
+    assert(row.getAs[Long]("n") == math.min(100L, types))
+    val slope = row.getAs[Double]("zipf_slope")
+    assert(slope < 0.0, s"rank-frequency slope must be negative: $slope")
+    assert(slope > -5.0, s"implausible Zipf exponent: $slope")
+  }
+
+  test("dedup_passage: chunk grid matches doc_chunking; exact-dup docs are 100% duplicated") {
+    val dp = Catalog.queriesMap("dedup_passage")(spark, dir).cache()
+    try {
+      assert(dp.filter(col("n_dup_chunks") > col("n_chunks") ||
+        col("n_dup_chunks") < 0).count() == 0)
+      // same chunk grid as the graded chunker
+      val grid = Catalog.queriesMap("doc_chunking")(spark, dir)
+        .groupBy("doc_id").agg(count(lit(1)).as("g"))
+      val off = dp.join(grid, Seq("doc_id"))
+        .filter(col("n_chunks") =!= col("g")).count()
+      assert(off == 0, "dedup_passage must chunk on doc_chunking's grid")
+      // a doc whose full text occurs twice corpus-wide has every chunk
+      // duplicated
+      val dupDocs = spark.read.parquet(s"$dir/documents.parquet")
+        .groupBy("text").agg(count(lit(1)).as("c"), min("doc_id").as("doc_id"))
+        .filter(col("c") >= 2).select("doc_id")
+      val notFull = dp.join(dupDocs, Seq("doc_id"))
+        .filter(col("dup_pct_e4") =!= 10000L).count()
+      assert(notFull == 0, "exact-duplicate docs must be 100% passage-duplicated")
+    } finally dp.unpersist()
+  }
+
   test("text_rrf_fusion: scores decrease with rank and match the closed form") {
     val rows = Catalog.queriesMap("text_rrf_fusion")(spark, dir)
       .orderBy("rank").collect() // bounded: union of two top-20 lists
