@@ -819,6 +819,30 @@ object PipelineQueries {
         FROM e2 GROUP BY 1, 2, 3, 4 ORDER BY doc_id""")
     ),
     QueryDef(
+      "multimodal_video_frames",
+      // REAL multi-frame (video) decode: one genuine ANIMATED GIF per
+      // document — a true multi-frame container written frame-by-frame by
+      // the JDK ImageIO GIF writer and decoded by its reader
+      // (getNumImages walks the frame directory; each frame decodes to
+      // its raster). The explicit 256-gray indexed palette makes the
+      // encode lossless, so frame counts, geometry, and per-frame pixel
+      // sums are closed-form in doc_id and DuckDB replays them exactly —
+      // a decoder that miscounted frames or misread LZW cannot pass.
+      (s, dir) => MultimodalOps.videoFrameStats(s, dir),
+      Some("""
+        WITH g AS (SELECT doc_id, 8 + doc_id % 16 AS w,
+                          8 + (doc_id * 7) % 16 AS h,
+                          2 + doc_id % 3 AS nf
+                   FROM documents),
+        k AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS k FROM g),
+        yy AS (SELECT doc_id, w, h, k, unnest(range(0, h)) AS y FROM k),
+        xx AS (SELECT doc_id, w, h, k, y, unnest(range(0, w)) AS x FROM yy)
+        SELECT doc_id, CAST(k AS INT) AS frame_idx, CAST(w AS INT) AS width,
+               CAST(h AS INT) AS height,
+               CAST(sum((doc_id + 13*k + x + 3*y) % 256) AS BIGINT) AS gray_sum
+        FROM xx GROUP BY 1, 2, 3, 4 ORDER BY doc_id, frame_idx""")
+    ),
+    QueryDef(
       "multimodal_image_pipeline",
       // Full real-codec chain: PNG encode -> decode -> nearest-neighbor
       // resize to 16x16 (out(x,y) = in(x*w/16, y*h/16)) -> PNG re-encode ->

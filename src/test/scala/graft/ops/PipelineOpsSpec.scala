@@ -205,6 +205,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(one.channels == 2 && one.n_frames == 21L && one.sample_rate == 8000)
   }
 
+  test("real GIF codec: frame directory and per-frame rasters are decoded, not synthesized") {
+    val s = spark
+    import s.implicits._
+    val dir = "/root/testdata/sf0.001"
+    // doc 4: 3 frames (2 + 4%3), w = 8+4%16 = 12, h = 8+28%16 = 20
+    val media = MultimodalOps.gifTable(s, dir).filter(_.doc_id == 4L)
+    val frames = MultimodalOps.decodeFrames(media)
+      .collect().sortBy(_.frame_idx)
+    assert(frames.length == 3, "getNumImages must walk the real frame directory")
+    assert(frames.forall(f => f.width == 12 && f.height == 20))
+    // frame sums must differ across frames (the 13·k term) — a decoder
+    // returning the first frame thrice would fail here
+    assert(frames.map(_.gray_sum).distinct.length == 3)
+    val expected = (0 until 3).map { k =>
+      (for (y <- 0 until 20; x <- 0 until 12)
+        yield ((4L + 13L * k + x + 3L * y) % 256L)).sum
+    }
+    assert(frames.map(_.gray_sum).toSeq == expected,
+      "lossless indexed-gray GIF round-trip must reproduce exact pixel sums")
+  }
+
   test("multimodal resize normalizes payload size; frame sampling chunks it") {
     val s = spark
     import s.implicits._
