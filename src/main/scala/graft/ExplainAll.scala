@@ -63,7 +63,10 @@ object ExplainAll {
     "quality_gopher_rules" -> "Gopher hard gates: pure map-side integer projections over the scan; the only exchange is the output range sort.",
     "corpus_token_mixture" -> "Mixture planning: one data-sized per-source token aggregate; the totals are a 1-row broadcast onto the bounded #sources frame, so plan arithmetic never shuffles the corpus.",
     "text_rrf_fusion" -> "Reciprocal-rank fusion: both rankers plan TakeOrderedAndProject top-20s; the fusion join runs over two bounded lists, never corpus-sized sides.",
-    "multimodal_audio_stats" -> "Real audio codec: WAV write + decode as back-to-back mapPartitions (provider lookup JVM-cached); the only exchange is the output sort."
+    "multimodal_audio_stats" -> "Real audio codec: WAV write + decode as back-to-back mapPartitions (provider lookup JVM-cached); the only exchange is the output sort.",
+    "multimodal_video_frames" -> "Real multi-frame codec: animated-GIF sequence write then frame-directory decode, both mapPartitions with per-partition writer/reader init; one row fans out to N frame rows, the only exchange is the output sort.",
+    "text_zipf_alpha" -> "Zipf regression: token-count aggregate is the only data-sized work; top-100 ranking via TakeOrderedAndProject; the normal-equation fold runs on a 100-row frame.",
+    "dedup_passage" -> "Passage dedup: one chunking pass, then digest-keyed frequency groupBy and digest equi-join back — 16-byte shuffle keys, passage text never crosses an exchange."
   )
 
   def main(args: Array[String]): Unit = {
