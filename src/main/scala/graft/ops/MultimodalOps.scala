@@ -409,29 +409,30 @@ object MultimodalOps {
           val (w, h) = (geomW(d), geomH(d))
           val baos = new java.io.ByteArrayOutputStream()
           val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
-          writer.setOutput(ios)
-          writer.prepareWriteSequence(null)
-          var k = 0
-          val nF = videoFrameCount(d)
-          while (k < nF) {
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
-            val raster = img.getRaster
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                raster.setSample(x, y, 0, grayPixel(d, k, x, y))
-                x += 1
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var k = 0
+            val nF = videoFrameCount(d)
+            while (k < nF) {
+              val img = new java.awt.image.BufferedImage(
+                w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+              val raster = img.getRaster
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  raster.setSample(x, y, 0, grayPixel(d, k, x, y))
+                  x += 1
+                }
+                y += 1
               }
-              y += 1
+              writer.writeToSequence(
+                new javax.imageio.IIOImage(img, null, null), null)
+              k += 1
             }
-            writer.writeToSequence(
-              new javax.imageio.IIOImage(img, null, null), null)
-            k += 1
-          }
-          writer.endWriteSequence()
-          ios.close()
+            writer.endWriteSequence()
+          } finally ios.close()
           MediaRow(d, baos.toByteArray, "gif")
         }
         // writer.dispose() after the iterator drains would need the same
@@ -470,26 +471,26 @@ object MultimodalOps {
       val out = rows.flatMap { r =>
         val iis = javax.imageio.ImageIO.createImageInputStream(
           new java.io.ByteArrayInputStream(r.media))
-        reader.setInput(iis, false, true)
-        val n = reader.getNumImages(true)
-        val stats = (0 until n).map { k =>
-          val img = reader.read(k)
-          var sum = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              // read THROUGH the palette (gray ⇒ any channel): immune to
-              // color-table reordering by the writer
-              sum += (img.getRGB(x, y) & 0xff)
-              x += 1
+        try {
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          (0 until n).map { k =>
+            val img = reader.read(k)
+            var sum = 0L
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                // read THROUGH the palette (gray ⇒ any channel): immune to
+                // color-table reordering by the writer
+                sum += (img.getRGB(x, y) & 0xff)
+                x += 1
+              }
+              y += 1
             }
-            y += 1
+            FrameStat(r.doc_id, k, img.getWidth, img.getHeight, sum)
           }
-          FrameStat(r.doc_id, k, img.getWidth, img.getHeight, sum)
-        }
-        iis.close()
-        stats
+        } finally iis.close()
       }
       new Iterator[FrameStat] {
         def hasNext: Boolean = { val h = out.hasNext; if (!h) disposeOnce(); h }

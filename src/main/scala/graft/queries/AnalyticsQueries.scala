@@ -374,6 +374,34 @@ object AnalyticsQueries {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     ),
     QueryDef(
+      "write_table_v2",
+      (s, dir) => {
+        // DataFrameWriterV2 — the catalog-table sink surface
+        // (writeTo(...).using(...).create()): the modern V2 API a
+        // lakehouse deployment swaps for path writes. The session catalog
+        // supports CTAS but not atomic RTAS, so rerun idempotence is an
+        // explicit DROP; the read-back resolves by TABLE NAME through the
+        // catalog, proving the metadata round-trip, and aggregates the
+        // managed copy.
+        s.sql("DROP TABLE IF EXISTS graft_supplier_v2")
+        // a fresh session's in-memory catalog forgets the table but the
+        // managed LOCATION persists on disk — clear it or CTAS refuses
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), "graft_supplier_v2")
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+        t(s, dir, "supplier")
+          .writeTo("graft_supplier_v2").using("parquet").create()
+        s.table("graft_supplier_v2")
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n"), Tables.moneySum(col("s_acctbal")).as("total_bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""
+        SELECT s_nationkey, count(*) AS n,
+               floor((sum(CAST(floor(s_acctbal * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total_bal
+        FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")
+    ),
+    QueryDef(
       "join_dpp_pruned",
       // DYNAMIC partition pruning — the scan-reduction mechanism static
       // pruning can't provide: the fact's surviving partitions are only
