@@ -30,13 +30,15 @@ final case class ImageStat(
 )
 
 /** Multimodal-column plumbing: schema, partitioning, batch shape are real,
-  * and the IMAGE and AUDIO paths run genuine codecs — `javax.imageio` PNG
-  * encode/decode/nearest-neighbor resize ([[pngTable]]/[[decodeImages]]/
-  * [[resizeImages]]) and `javax.sound.sampled` RIFF/WAVE write + decode
-  * ([[wavTable]]/[[decodeAudio]]). Video decode remains a deterministic
-  * stand-in ([[decodeStub]]/[[frameSample]]: no video codec ships with the
-  * JDK) behind the same interface, so swapping in a real decoder changes
-  * nothing else.
+  * and ALL THREE media paths run genuine public JDK codecs — IMAGE:
+  * `javax.imageio` PNG encode/decode/nearest-neighbor resize
+  * ([[pngTable]]/[[decodeImages]]/[[resizeImages]]); AUDIO:
+  * `javax.sound.sampled` RIFF/WAVE write + decode
+  * ([[wavTable]]/[[decodeAudio]]); VIDEO (multi-frame): animated-GIF
+  * sequence write + frame-directory decode
+  * ([[gifTable]]/[[decodeFrames]]). The deterministic byte-level
+  * stand-ins ([[decodeStub]]/[[resizeStub]]/[[frameSample]]) remain only
+  * as the generic fallback shape for codecs outside the JDK.
   *
   * The pipeline is `Dataset[MediaRow].mapPartitions` — one decoder init per
   * partition (the expensive part with real codecs), streaming over rows,

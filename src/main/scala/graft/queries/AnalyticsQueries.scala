@@ -382,16 +382,22 @@ object AnalyticsQueries {
         // supports CTAS but not atomic RTAS, so rerun idempotence is an
         // explicit DROP; the read-back resolves by TABLE NAME through the
         // catalog, proving the metadata round-trip, and aggregates the
-        // managed copy.
-        s.sql("DROP TABLE IF EXISTS graft_supplier_v2")
+        // managed copy. Like the other sink queries (write_parquet,
+        // write_partitioned) the write executes when the harness builds
+        // the query — once per Verify/Bench run, never concurrently.
+        // The identifier pins the DEFAULT database explicitly so the
+        // managed location is <warehouse>/graft_supplier_v2 regardless of
+        // the session's current database — the same path the stale-
+        // location cleanup below clears.
+        s.sql("DROP TABLE IF EXISTS default.graft_supplier_v2")
         // a fresh session's in-memory catalog forgets the table but the
         // managed LOCATION persists on disk — clear it or CTAS refuses
         val loc = new org.apache.hadoop.fs.Path(
           s.conf.get("spark.sql.warehouse.dir"), "graft_supplier_v2")
         loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
         t(s, dir, "supplier")
-          .writeTo("graft_supplier_v2").using("parquet").create()
-        s.table("graft_supplier_v2")
+          .writeTo("default.graft_supplier_v2").using("parquet").create()
+        s.table("default.graft_supplier_v2")
           .groupBy(col("s_nationkey"))
           .agg(count(lit(1)).as("n"), Tables.moneySum(col("s_acctbal")).as("total_bal"))
           .orderBy("s_nationkey")

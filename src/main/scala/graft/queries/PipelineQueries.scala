@@ -1032,6 +1032,16 @@ object PipelineQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.Column
+        // EXACT decimal floor division a // b for nonnegative integral
+        // decimals: subtract the exact remainder first, so the quotient is
+        // an integer and Spark's HALF_UP rounding of division results (to
+        // the adjusted scale 6 here) becomes the identity. A bare
+        // floor(a / b) would round the quotient up whenever its fractional
+        // part exceeds 0.9999995 — diverging from DuckDB's exact `//` once
+        // denominators pass ~2e6.
+        def floorDiv(a: Column, b: Column): Column =
+          ((a - a % b) / b).cast("long")
         val perSrc = docs(s, dir)
           .select(col("source"),
             expr("size(filter(split(lower(text), '\\\\s+'), t -> t <> ''))")
@@ -1042,20 +1052,21 @@ object PipelineQueries {
         val tot = w.agg(sum("n_tokens").as("t_all"), sum("weight").as("w_all"))
         w.crossJoin(tot)
           .select(col("source"), col("n_tokens"), col("weight"),
-            floor(col("t_all").cast("decimal(38,0)") * col("weight") /
-              (lit(2) * col("w_all"))).cast("long").as("target_tokens"))
+            floorDiv(col("t_all").cast("decimal(38,0)") * col("weight"),
+              lit(2) * col("w_all")).as("target_tokens"))
           .select(col("source"), col("n_tokens"), col("weight"),
             col("target_tokens"),
-            // greatest(n_tokens, 1): a zero-token domain must plan rate 0,
-            // not raise ANSI DIVIDE_BY_ZERO
-            least(lit(1000000L),
-              floor(col("target_tokens").cast("decimal(38,0)") * 1000000 /
-                greatest(col("n_tokens"), lit(1L))).cast("long")).as("rate_e6"),
+            // a zero-token domain plans rate 0 (nothing to sample), never a
+            // capped full rate and never ANSI DIVIDE_BY_ZERO
+            when(col("n_tokens") === 0L, lit(0L))
+              .otherwise(least(lit(1000000L),
+                floorDiv(col("target_tokens").cast("decimal(38,0)") * 1000000,
+                  col("n_tokens")))).as("rate_e6"),
             (col("target_tokens") > col("n_tokens")).cast("int")
               .as("needs_upsample"))
           .withColumn("expected_tokens",
-            floor(col("n_tokens").cast("decimal(38,0)") * col("rate_e6") / 1000000)
-              .cast("long"))
+            floorDiv(col("n_tokens").cast("decimal(38,0)") * col("rate_e6"),
+              lit(1000000)))
           .orderBy("source")
       },
       Some("""
@@ -1071,8 +1082,9 @@ object PipelineQueries {
         p AS (SELECT source, n_tokens, weight,
                      CAST(CAST(t_all AS HUGEINT) * weight // (2 * w_all) AS BIGINT) AS target_tokens
               FROM w, tot),
-        r AS (SELECT *, least(1000000,
-                CAST(CAST(target_tokens AS HUGEINT) * 1000000 // greatest(n_tokens, 1) AS BIGINT)) AS rate_e6
+        r AS (SELECT *, CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT)
+                ELSE least(1000000,
+                  CAST(CAST(target_tokens AS HUGEINT) * 1000000 // n_tokens AS BIGINT)) END AS rate_e6
               FROM p)
         SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, weight, target_tokens,
                rate_e6,

@@ -1013,13 +1013,14 @@ object TextQueries {
       // and substring dedup that RAG/pretraining corpora dedupe at):
       // 30-token stride-20 windows (doc_chunking's grid), a chunk is
       // duplicated when its text occurs >= 2 times corpus-wide. The
-      // chunk frequency table groups and joins on md5 DIGESTS, so the
-      // shuffle after the one chunking pass carries 16-byte keys, never
-      // passage text; the dup ratio is integer flooring (e4).
+      // chunk frequency table groups and joins on unhex'd md5 DIGESTS
+      // (16-byte binary, not the 32-char hex string), so the shuffle
+      // after the one chunking pass carries 16-byte keys, never passage
+      // text; the dup ratio is integer flooring (e4).
       (s, dir) => {
         val chunks = TextOps
           .chunkDocuments(s.read.parquet(s"$dir/documents.parquet"), 30, 20)
-          .select(col("doc_id"), md5(col("chunk")).as("dig"))
+          .select(col("doc_id"), unhex(md5(col("chunk"))).as("dig"))
         val freq = chunks.groupBy("dig").agg(count(lit(1)).as("f"))
         chunks.join(freq, Seq("dig"))
           .groupBy("doc_id")
