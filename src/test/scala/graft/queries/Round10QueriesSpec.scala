@@ -69,6 +69,41 @@ class Round10QueriesSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("mixture plan math floor-divides exactly at adversarial fractional parts") {
+    // Spark decimal division rounds HALF_UP to the adjusted scale (6)
+    // BEFORE floor(), so bare floor(a/b) returns q+1 whenever the exact
+    // quotient's fraction >= 0.9999995. The subtract-remainder identity
+    // ((a - a%b)/b) must hold at exactly those points.
+    import spark.implicits._
+    val cases = Seq(
+      // (t, n) with t*1e6 ≡ n-1 (mod n): exact quotient fraction
+      // (n-1)/n ≥ 0.9999995 once n ≥ 2e6, the HALF_UP round-up zone
+      (1999997L, 1999999L), // fraction 1999998/1999999 = 0.9999995…
+      (2999996L, 2999999L), // fraction 2999998/2999999 = 0.9999996…
+      (1L, 3L), (2L, 3L), (999999L, 1000000L))
+    val df = cases.toDF("t", "n")
+      .select(col("t"), col("n"),
+        ((col("t").cast("decimal(38,0)") * 1000000 -
+          (col("t").cast("decimal(38,0)") * 1000000) % col("n")) / col("n"))
+          .cast("long").as("got"),
+        floor(col("t").cast("decimal(38,0)") * 1000000 / col("n"))
+          .cast("long").as("naive"))
+    df.collect().foreach { r =>
+      val t = BigInt(r.getAs[Long]("t")); val n = BigInt(r.getAs[Long]("n"))
+      val exact = (t * 1000000 / n).toLong
+      assert(r.getAs[Long]("got") == exact,
+        s"floorDiv($t*1e6, $n): got ${r.getAs[Long]("got")}, exact $exact")
+    }
+    // and the naive form really IS wrong somewhere in this set — the fence
+    // fails loudly if Spark ever changes division rounding semantics
+    val naiveWrong = df.collect().exists { r =>
+      val t = BigInt(r.getAs[Long]("t")); val n = BigInt(r.getAs[Long]("n"))
+      r.getAs[Long]("naive") != (t * 1000000 / n).toLong
+    }
+    assert(naiveWrong,
+      "expected at least one naive floor(a/b) divergence in the adversarial set")
+  }
+
   test("text_feature_hashing conserves bigram counts per document") {
     val feats = Catalog.queriesMap("text_feature_hashing")(spark, dir)
     assert(feats.filter(col("bucket") < 0 || col("bucket") > 7).count() == 0)
