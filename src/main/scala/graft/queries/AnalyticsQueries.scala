@@ -79,6 +79,54 @@ object AnalyticsQueries {
         ORDER BY c_custkey, metric""")
     ),
     QueryDef(
+      "transpose_funcs",
+      (s, dir) => {
+        // Long -> wide TRANSPOSE (Dataset.transpose, new in Spark 4): the
+        // per-region metric frame flips so metrics become rows and
+        // regions become columns — the report-pivot shape. Runs on the
+        // bounded post-aggregate frame (5 rows in, 3 rows out); the only
+        // data-sized work is the nation aggregate. Index values become
+        // column names (r0..r4 — key literals, no spaces), every
+        // transposed cell shares the BIGINT least-common type.
+        t(s, dir, "nation")
+          .groupBy(concat(lit("r"), col("n_regionkey")).as("rk"))
+          .agg(count(lit(1)).cast("long").as("n_nations"),
+            min(col("n_nationkey")).cast("long").as("min_nation"),
+            max(col("n_nationkey")).cast("long").as("max_nation"))
+          .transpose(col("rk"))
+          .orderBy("key")
+      },
+      Some("""
+        WITH m AS (
+          SELECT n_regionkey, count(*) AS n_nations,
+                 min(n_nationkey) AS min_nation, max(n_nationkey) AS max_nation
+          FROM nation GROUP BY 1)
+        SELECT 'n_nations' AS key,
+               CAST(max(CASE WHEN n_regionkey = 0 THEN n_nations END) AS BIGINT) AS r0,
+               CAST(max(CASE WHEN n_regionkey = 1 THEN n_nations END) AS BIGINT) AS r1,
+               CAST(max(CASE WHEN n_regionkey = 2 THEN n_nations END) AS BIGINT) AS r2,
+               CAST(max(CASE WHEN n_regionkey = 3 THEN n_nations END) AS BIGINT) AS r3,
+               CAST(max(CASE WHEN n_regionkey = 4 THEN n_nations END) AS BIGINT) AS r4
+        FROM m
+        UNION ALL
+        SELECT 'min_nation',
+               CAST(max(CASE WHEN n_regionkey = 0 THEN min_nation END) AS BIGINT),
+               CAST(max(CASE WHEN n_regionkey = 1 THEN min_nation END) AS BIGINT),
+               CAST(max(CASE WHEN n_regionkey = 2 THEN min_nation END) AS BIGINT),
+               CAST(max(CASE WHEN n_regionkey = 3 THEN min_nation END) AS BIGINT),
+               CAST(max(CASE WHEN n_regionkey = 4 THEN min_nation END) AS BIGINT)
+        FROM m
+        UNION ALL
+        SELECT 'max_nation',
+               CAST(max(CASE WHEN n_regionkey = 0 THEN max_nation END) AS BIGINT),
+               CAST(max(CASE WHEN n_regionkey = 1 THEN max_nation END) AS BIGINT),
+               CAST(max(CASE WHEN n_regionkey = 2 THEN max_nation END) AS BIGINT),
+               CAST(max(CASE WHEN n_regionkey = 3 THEN max_nation END) AS BIGINT),
+               CAST(max(CASE WHEN n_regionkey = 4 THEN max_nation END) AS BIGINT)
+        FROM m
+        ORDER BY key""")
+    ),
+    QueryDef(
       "agg_percentile",
       (s, dir) =>
         // Exact interpolated percentiles per group. `percentile` holds the
