@@ -69,6 +69,43 @@ class Round10QueriesSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("shard first/last accounting is exact past the old 2^20 doc_id packing limit") {
+    // corpus_shuffle_shard once packed (ord, doc_id) as ord*2^20 + doc_id,
+    // silently corrupting order for doc_id >= 2^20. The struct-ordered
+    // min_by/max_by must match a driver brute force on ids that straddle
+    // that boundary.
+    import spark.implicits._
+    val ids = Seq(5L, 7L, 1048575L, 1048577L, 123456789L, 99999999999L)
+    val key = md5(concat(col("doc_id").cast("string"), lit(":s7")))
+    val out = ids.toDF("doc_id")
+      .select(col("doc_id"),
+        conv(substring(key, 1, 8), 16, 10).cast("long").as("sh"),
+        conv(substring(key, 9, 8), 16, 10).cast("long").as("ord"))
+      .select(col("doc_id"), (col("sh") % 16).as("shard"), col("ord"))
+      .groupBy("shard")
+      .agg(min_by(col("doc_id"), struct(col("ord"), col("doc_id"))).as("first_doc"),
+        max_by(col("doc_id"), struct(col("ord"), col("doc_id"))).as("last_doc"))
+      .collect()
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val brute = ids.map { d =>
+      val h = md5hex(s"$d:s7")
+      (java.lang.Long.parseLong(h.substring(0, 8), 16) % 16,
+        java.lang.Long.parseLong(h.substring(8, 16), 16), d)
+    }
+    val expected = brute.groupBy(_._1).map { case (sh, rows) =>
+      val sorted = rows.map(r => (r._2, r._3)).sorted
+      sh -> (sorted.head._2, sorted.last._2)
+    }
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (f, l) = expected(r.getAs[Long]("shard"))
+      assert(r.getAs[Long]("first_doc") == f && r.getAs[Long]("last_doc") == l,
+        s"shard ${r.getAs[Long]("shard")}: got (${r.getAs[Long]("first_doc")}, ${r.getAs[Long]("last_doc")}), want ($f, $l)")
+    }
+  }
+
   test("mixture plan math floor-divides exactly at adversarial fractional parts") {
     // Spark decimal division rounds HALF_UP to the adjusted scale (6)
     // BEFORE floor(), so bare floor(a/b) returns q+1 whenever the exact
