@@ -66,7 +66,8 @@ object ExplainAll {
     "multimodal_audio_stats" -> "Real audio codec: WAV write + decode as back-to-back mapPartitions (provider lookup JVM-cached); the only exchange is the output sort.",
     "multimodal_video_frames" -> "Real multi-frame codec: animated-GIF sequence write then frame-directory decode, both mapPartitions with per-partition writer/reader init; one row fans out to N frame rows, the only exchange is the output sort.",
     "text_zipf_alpha" -> "Zipf regression: token-count aggregate is the only data-sized work; top-100 ranking via TakeOrderedAndProject; the normal-equation fold runs on a 100-row frame.",
-    "dedup_passage" -> "Passage dedup: one chunking pass, then digest-keyed frequency groupBy and digest equi-join back — 16-byte shuffle keys, passage text never crosses an exchange."
+    "dedup_passage" -> "Passage dedup: one chunking pass, then digest-keyed frequency groupBy and digest equi-join back — 16-byte binary (unhex'd md5) shuffle keys, passage text never crosses an exchange.",
+    "transpose_funcs" -> "Spark-4 TRANSPOSE: the flip runs on the bounded 5-row post-aggregate frame; the only data-sized work is the nation aggregate feeding it."
   )
 
   def main(args: Array[String]): Unit = {
