@@ -127,6 +127,29 @@ object AnalyticsQueries {
         ORDER BY key""")
     ),
     QueryDef(
+      "agg_listagg",
+      (s, dir) => {
+        // LISTAGG (new in Spark 4) — ordered string aggregation with
+        // WITHIN GROUP, the SQL-standard report concatenation. DISTINCT
+        // bounds the aggregation buffer to the segment domain (5 values)
+        // regardless of group size, and the explicit ORDER BY makes the
+        // string deterministic — an unordered listagg would be
+        // partition-order-dependent and unoracleable.
+        t(s, dir, "customer")
+          .groupBy(col("c_nationkey"))
+          .agg(
+            expr("listagg(DISTINCT c_mktsegment, '|') WITHIN GROUP (ORDER BY c_mktsegment)")
+              .as("segments"),
+            count(lit(1)).as("n_customers"))
+          .orderBy("c_nationkey")
+      },
+      Some("""
+        SELECT c_nationkey,
+               string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS segments,
+               count(*) AS n_customers
+        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+    ),
+    QueryDef(
       "agg_percentile",
       (s, dir) =>
         // Exact interpolated percentiles per group. `percentile` holds the
