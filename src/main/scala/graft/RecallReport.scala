@@ -104,11 +104,11 @@ object RecallReport {
     val exactTopK = topIds("similarity_topk")
     grade("similarity_lsh_topk") {
       val (v, d) = overlapOf("similarity_lsh_topk", exactTopK)
-      // single-table multi-probe is the documented recall-weak baseline
-      // (one table, fixed radius — decays with corpus size); the
-      // production path is similarity_lsh_topk_banded, floored at 0.8
-      Score("topk_overlap_vs_exact", v, 0.35,
-        d + " (single-table baseline; production path is _banded)")
+      // query-adaptive multi-probe (margin-ordered probe set, Lv et al.):
+      // measured 0.9 at sf0.001/0.01/0.1 — same floor as the banded
+      // production path now that the probe policy is principled
+      Score("topk_overlap_vs_exact", v, 0.8,
+        d + " (single-table adaptive multi-probe; scale path is _banded)")
     }
     grade("similarity_lsh_topk_banded") {
       val (v, d) = overlapOf("similarity_lsh_topk_banded", exactTopK)

@@ -109,6 +109,78 @@ object RegimeBoundary {
         graft.ops.SimilarityOps.ivfTopK(emb10x, queryId = 0, k = 10).count())
       results += "ivf_topk_10x" -> s"""{"vecs": $nEmb, "rows": $nIvf, "wall_s": ${f"$tIvf%.1f"}}"""
       println(s"[regime] IVF top-k 10x: ${f"$tIvf%.1f"}s")
+
+      // ANN recall AT the 10x boundary — auto-fit happens where fitting
+      // matters, so the graded floors must hold here too, not just at sf
+      def ids(df: DataFrame): Set[Long] =
+        df.select("vec_id").collect().map(_.getLong(0)).toSet
+      val exactTop = ids(
+        graft.ops.SimilarityOps.bruteForceTopK(emb10x, queryId = 0, k = 10))
+      val (bands, bits) =
+        graft.ops.DedupOps.autoBandConfig(emb10x, threshold = 0.3, targetRecall = 0.95)
+      val scores = Seq(
+        "banded" -> ids(graft.ops.SimilarityOps
+          .lshTopKBanded(emb10x, queryId = 0, k = 10, bands, bits)),
+        "multiprobe" -> ids(graft.ops.SimilarityOps
+          .lshTopK(emb10x, queryId = 0, k = 10)),
+        "ivf" -> ids(graft.ops.SimilarityOps.ivfTopK(emb10x, queryId = 0, k = 10)),
+        "pq" -> ids(graft.ops.SimilarityOps.pqTopK(emb10x, queryId = 0, k = 10)))
+        .map { case (n, got) => n -> (got & exactTop).size / 10.0 }
+      results += "ann_recall_10x" ->
+        scores.map { case (n, r) => s""""$n": $r""" }
+          .mkString(s"""{"vecs": $nEmb, """, ", ", "}")
+      println(s"[regime] ANN recall@10 at 10x: " +
+        scores.map { case (n, r) => s"$n=$r" }.mkString(" "))
+    }
+
+    // ---------------- triangle census under degree-ordered orientation
+    // Threat model: one boilerplate mega-family = a hub whose id-order
+    // wedge fan-out is O(c^2) on a single join key. 5k-spoke star (hub at
+    // the LOWEST id — the a<b worst case) + a 40-clique overlay so the
+    // count is non-trivial: true triangles = C(40,3) + C(40,2).
+    {
+      val spokes = spark.range(1, 5001).select(lit(0L).as("a"), col("id").as("b"))
+      val clique = spark.range(1, 41).select(col("id").as("a"))
+        .crossJoin(spark.range(1, 41).select(col("id").as("b")))
+        .filter(col("a") < col("b"))
+      val edges = spokes.unionByName(clique).localCheckpoint(true)
+      val expected = 40L * 39 * 38 / 6 + 40L * 39 / 2
+      // wedge populations per orientation, derived from out-degrees
+      def wedgesOf(oriented: DataFrame): (Long, Long) = {
+        val r = oriented.groupBy("src").agg(count(lit(1)).as("d"))
+          .select(expr("d * (d - 1) DIV 2").as("w"))
+          .agg(sum("w"), max("w")).head
+        (r.getLong(0), r.getLong(1))
+      }
+      val (wId, wIdMax) = wedgesOf(edges.select(col("a").as("src")))
+      val deg = edges.select(col("a").as("v"))
+        .unionByName(edges.select(col("b").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("deg"))
+      val wd = edges
+        .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+        .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+      val aFirst = col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b"))
+      val (wDeg, wDegMax) = wedgesOf(
+        wd.select(when(aFirst, col("a")).otherwise(col("b")).as("src")))
+      // both censuses, timed — id-order pays the 12.5M-wedge skewed key
+      val (nIdOrder, tIdOrder) = timed {
+        val w = edges.join(edges.select(col("a").as("b2"), col("b").as("c")),
+            col("b") === col("b2")).select("a", "b", "c")
+        w.join(edges.select(col("a").as("ta"), col("b").as("tc")),
+            col("a") === col("ta") && col("c") === col("tc"), "left_semi")
+          .count()
+      }
+      val (nOriented, tOriented) = timed(
+        graft.ops.GraphOps.triangleCountOriented(edges).head.getLong(0))
+      results += "triangles_star_5k" ->
+        (s"""{"edges": 5780, "true_triangles": $expected, """ +
+          s""""id_order": {"wedges": $wId, "max_wedges_one_key": $wIdMax, "n": $nIdOrder, "wall_s": ${f"$tIdOrder%.1f"}}, """ +
+          s""""degree_order": {"wedges": $wDeg, "max_wedges_one_key": $wDegMax, "n": $nOriented, "wall_s": ${f"$tOriented%.1f"}}, """ +
+          s""""identical": ${nIdOrder == nOriented && nOriented == expected}}""")
+      println(s"[regime] triangles star5k: id-order wedges=$wId (max/key $wIdMax) " +
+        s"${f"$tIdOrder%.1f"}s vs degree-order wedges=$wDeg (max/key $wDegMax) " +
+        s"${f"$tOriented%.1f"}s — counts $nIdOrder/$nOriented (true $expected)")
     }
 
     // ------------------------------- fuzzy-match regimes at 250k names

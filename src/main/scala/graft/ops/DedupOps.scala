@@ -593,7 +593,17 @@ object DedupOps {
     ngramJaccardUnsorted(docs, threshold)
       .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
 
-  private def ngramJaccardUnsorted(docs: DataFrame, threshold: Double): DataFrame = {
+  /** Per-prefix-token entry bound above which candidate generation for
+    * that token is SALTED (see [[ngramJaccardUnsorted]]). 4096 entries ⇒
+    * ≤ ~16.8M generated rows per (token, bucket, salt-group) join key.
+    */
+  private[ops] val defaultSaltEntries = 4096
+
+  private def ngramJaccardUnsorted(docs: DataFrame, threshold: Double): DataFrame =
+    ngramJaccardUnsorted(docs, threshold, defaultSaltEntries)
+
+  private[ops] def ngramJaccardUnsorted(
+      docs: DataFrame, threshold: Double, saltEntries: Int): DataFrame = {
     val (repIx, docRep) = reps(docs)
     // Prefix tokens WITH their 1-based position in the sorted array — the
     // position powers PPJoin's positional filter below. Cached per
@@ -605,11 +615,39 @@ object DedupOps {
     // length filter (τ·|A| ≤ |B| ≤ |A|/τ), so the equi-join is on
     // (token, bucket) and grossly size-incompatible pairs are never
     // generated; the exact size filter runs right after the join.
-    val probes = prefixed.select(
+    def probesOf(ix: DataFrame) = ix.select(
       col("tok"), col("rep_id").as("id_a"), col("sz").as("sz_a"), col("p").as("pa"),
       explode(expr(
         s"""sequence(${szBucket(s"cast(ceil($threshold * sz - 1e-9) as int)")},
                      ${szBucket(s"cast(floor(sz / $threshold + 1e-9) as int)")})""")).as("szb"))
+    def buildOf(ix: DataFrame) = ix.select(col("tok"),
+      expr(szBucket("sz")).as("szb"),
+      col("rep_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb"))
+
+    // Skew guard: the index is rarest-first, but a pathological corpus
+    // (thousands of docs sharing one otherwise-rare boilerplate token —
+    // an id stamp, a template header) still routes O(n²) candidate
+    // generation to that token's single join key. One groupBy over the
+    // CACHED index counts entries per token; tokens above `saltEntries`
+    // go through a SALTED self-join — build side scattered over
+    // ceil(n/saltEntries) hash groups, probe side replicated to each —
+    // so per-join-key build fan-in stays ≤ saltEntries and the n²
+    // generation parallelizes across the session width. The candidate
+    // SET is unchanged (salting only re-keys; every ordered pair still
+    // meets exactly once per shared token, and the id/size/positional
+    // filters + pair dedup downstream are identical —
+    // GraphTextOpsSpec pins salted ≡ unsalted output on a 10k-doc
+    // shared-token block). Hot tokens are collected (≤ |index|/4096
+    // strings — bounded) so the COMMON case keeps today's plan with zero
+    // extra joins.
+    val hotToks: Map[String, Int] = prefixed.groupBy("tok")
+      .agg(count(lit(1)).as("n_tok"))
+      .filter(col("n_tok") > saltEntries)
+      .collect()
+      .map(r => r.getString(0) ->
+        math.ceil(r.getLong(1).toDouble / saltEntries).toInt)
+      .toMap
+
     // Candidate dedup through an explicit session-width exchange — same
     // rationale as [[containmentBest]]: AQE would size the distinct's
     // exchange by the narrow pair bytes and shrink the downstream
@@ -617,10 +655,27 @@ object DedupOps {
     // inherits whatever width the deduped stream has.
     val width =
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val candidates = probes
-      .join(prefixed.select(col("tok"), expr(szBucket("sz")).as("szb"),
-        col("rep_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb")),
-        Seq("tok", "szb"))
+    val rawCandidates =
+      if (hotToks.isEmpty) probesOf(prefixed).join(buildOf(prefixed), Seq("tok", "szb"))
+      else {
+        val isHot = col("tok").isin(hotToks.keys.toSeq: _*)
+        val saltOf = coalesce(
+          element_at(
+            map(hotToks.toSeq.flatMap { case (t, s) =>
+              Seq(lit(t), lit(s)) }: _*), col("tok")),
+          lit(1))
+        val cold = prefixed.filter(!isHot)
+        val hot = prefixed.filter(isHot)
+        val hotCand = probesOf(hot)
+          .withColumn("g", explode(sequence(lit(0), saltOf - 1)))
+          .join(buildOf(hot).withColumn("g",
+            pmod(xxhash64(col("id_b")), saltOf).cast("int")),
+            Seq("tok", "szb", "g"))
+          .drop("g")
+        probesOf(cold).join(buildOf(cold), Seq("tok", "szb"))
+          .unionByName(hotCand)
+      }
+    val candidates = rawCandidates
       .filter(col("id_a") < col("id_b"))
       // exact length compatibility (the join bucket is coarser above 32)
       .filter(sizeCompatible(threshold))

