@@ -103,11 +103,24 @@ object StreamingOps {
     * partitioning at first checkpoint — it is a per-deployment knob sized
     * to key cardinality and throughput, NOT inherited from the batch
     * session default. For the replay workload (tens of keys, one staged
-    * dir) 4 partitions hold — per-micro-batch state-store commit cost is
-    * linear in partition count, so oversizing the store is pure fixed
-    * overhead (measured ~12% of family wall at 8); a production
-    * deployment against a firehose sets it to match its executor fleet
-    * before the first start.
+    * dir) 2 partitions are the measured optimum — per-micro-batch
+    * state-store commit cost is linear in partition count, so oversizing
+    * the store is pure fixed overhead (measured family wall at sf0.1:
+    * ~12% worse at 8 vs 4, ~17% better at 2 vs 4, worse again at 1 where
+    * the big aggregates lose their reduce parallelism; outputs are
+    * partitioning-invariant — A/B-hashed across 1/2/4 at sf0.01 AND
+    * sf0.1); a production deployment against a firehose sets it to match
+    * its executor fleet before the first start.
+    *
+    * Trailing NO-DATA batches (`noDataMicroBatches.enabled`) are OFF by
+    * default: the replay stagings advance watermarks with real flush-wave
+    * files, so for every query but two the trailing empty batch is pure
+    * fixed cost (~0.3-0.7 s each; outputs A/B-hashed identical at sf0.01
+    * and sf0.1 with it off). The two whose FINAL emission genuinely
+    * happens in a no-data batch — tumblingUniques and sessionTimeoutAgg,
+    * whose last windows/sessions close only when the watermark advances
+    * past the final real event with no further data arriving — pass
+    * `needsNoDataBatches = true` and keep engine defaults.
     *
     * State-store BACKEND: the default HDFS-backed provider holds all keyed
     * state on the executor heap — fine for the replay's key counts, a
@@ -118,11 +131,16 @@ object StreamingOps {
     * stateful operator here is backend-identical under it —
     * [[graft.streaming]] RocksDbStateSpec pins that contract.
     */
-  def runToTable(result: DataFrame, mode: String): DataFrame = {
+  def runToTable(
+      result: DataFrame, mode: String,
+      needsNoDataBatches: Boolean = false): DataFrame = {
     val spark = result.sparkSession
     val name = s"graft_stream_${runId.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val prevNd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
+      needsNoDataBatches.toString)
     try {
       val q = result.writeStream
         .format("memory")
@@ -131,14 +149,29 @@ object StreamingOps {
         .start()
       try {
         q.processAllAvailable()
+        lastProgressRef.set(q.recentProgress.toSeq)
       } finally {
         q.stop()
       }
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prev)
+      spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNd)
     }
     spark.table(name)
   }
+
+  private val lastProgressRef = new java.util.concurrent.atomic.AtomicReference[
+    Seq[org.apache.spark.sql.streaming.StreamingQueryProgress]](Nil)
+
+  /** Per-micro-batch progress of the most recent [[runToTable]] run — the
+    * state-boundedness ledger. At 100 TB the thing that kills a
+    * stream-stream join is UNBOUNDED state (watermark never evicting);
+    * StreamingSpec asserts over this that each join's
+    * `stateOperators.numRowsTotal` DROPS after the watermark closes the
+    * flush waves, i.e. eviction is real, not just output-correct.
+    */
+  def lastRunProgress: Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] =
+    lastProgressRef.get()
 
   /** Tumbling 1-day windows per event type (count + exact money total). */
   def tumblingAgg(spark: SparkSession, dir: String): DataFrame = {
@@ -173,7 +206,7 @@ object StreamingOps {
       .agg(count(lit(1)).as("hits"))
       .groupBy(window(col("window"), "1 day"))
       .agg(count(lit(1)).as("uniques"))
-    runToTable(uniques, "append")
+    runToTable(uniques, "append", needsNoDataBatches = true)
       .select(col("window.start").as("window_start"), col("uniques"))
       .orderBy("window_start")
   }
@@ -352,7 +385,8 @@ object StreamingOps {
         sum(floor(col("value") * 100 + 0.5).cast("long")).as("cents"))
     val name = s"graft_stream_state_${runId.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      System.getProperty("graft.stream.partitions", "4"))
     try {
       val q = counts.writeStream.format("memory").queryName(name)
         .outputMode("complete")
@@ -711,7 +745,8 @@ object StreamingOps {
     val watch = stageSessionDir(spark, dir)
     val gapUs = 30L * 60 * 1000 * 1000
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      System.getProperty("graft.stream.partitions", "4"))
     try {
       val stream = spark.readStream
         .schema(eventsStagedSchema)
@@ -755,7 +790,7 @@ object StreamingOps {
               out.iterator
             }
         }
-      runToTable(sessions.toDF(), "append")
+      runToTable(sessions.toDF(), "append", needsNoDataBatches = true)
         .filter(col("user_id") >= 0) // drop the synthetic advancer user
         .select(col("user_id"),
           timestamp_micros(col("session_start_us")).as("session_start"),
@@ -904,7 +939,8 @@ object StreamingOps {
         count(lit(1)).as("n_rows"),
         sum(floor(col("value") * 10000 + 0.5).cast("long")).as("v_q"))
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      System.getProperty("graft.stream.partitions", "4"))
     val ledger = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     try {
       val q = stream.writeStream
@@ -950,7 +986,8 @@ object StreamingOps {
         col("event_id"), col("value"))
     @volatile var version = 0
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      System.getProperty("graft.stream.partitions", "4"))
     try {
       val q = stream.writeStream
         .foreachBatch { (batch: DataFrame, _: Long) =>

@@ -91,4 +91,42 @@ class ZOrderSpec extends AnyFunSuite {
     assert(z.count() === orders.count())
     assert(z.exceptAll(orders).isEmpty && orders.exceptAll(z).isEmpty)
   }
+
+  test("z-order layout actually SKIPS under a non-sort-dim predicate") {
+    // The claimed benefit, measured: a tight o_totalprice band (the
+    // dimension a 1-D custkey sort cannot bound per file) must (a) find
+    // its matches concentrated in a minority of z-ordered files and (b)
+    // make the parquet scan DECODE fewer rows — row-group min/max pruning
+    // driven by the footer stats the layout exists to tighten. The same
+    // band over the 1-D custkey-sorted copy touches every file.
+    val orders = spark.read.parquet(s"$dir/orders.parquet")
+    val zPath = tmp("graft_zorder_spec_skip_z")
+    val sPath = tmp("graft_zorder_spec_skip_s")
+    SparkOps.zorderWrite(orders, "o_custkey", "o_totalprice", zPath, nFiles = 16)
+    orders.repartitionByRange(16, col("o_custkey"))
+      .sortWithinPartitions("o_custkey")
+      .write.mode("overwrite").parquet(sPath)
+    val Array(lo, hi) =
+      orders.stat.approxQuantile("o_totalprice", Array(0.40, 0.45), 0.0)
+    def measure(path: String): (Long, Long) = {
+      val df = spark.read.parquet(path)
+        .filter(col("o_totalprice").between(lo, hi))
+      val matches = df.select(input_file_name()).distinct().count()
+      df.collect()
+      val decoded = df.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+      (matches, decoded)
+    }
+    val (zFiles, zDecoded) = measure(zPath)
+    val (sFiles, sDecoded) = measure(sPath)
+    info(s"files-with-matches z=$zFiles sorted=$sFiles; " +
+      s"scan-decoded rows z=$zDecoded sorted=$sDecoded")
+    assert(sFiles >= 12, s"1-D sort should smear the band over ~all files: $sFiles")
+    assert(zFiles * 2 <= sFiles,
+      s"z-order must concentrate the band: $zFiles vs $sFiles files")
+    assert(zDecoded * 2 <= sDecoded,
+      s"row-group pruning must cut decoded rows: $zDecoded vs $sDecoded")
+  }
 }

@@ -194,4 +194,33 @@ class StreamingSpec extends AnyFunSuite {
     // and the outer rows genuinely exist in the replay output
     assert(got.filter(col("click_id") === -1L).count() > 0)
   }
+
+  test("stream-stream join state is EVICTED after watermark closure (left + full)") {
+    // Output-correct is not enough at scale: an outer join whose watermark
+    // never evicts buffers the whole stream. Assert over the per-batch
+    // progress ledger that join state numRowsTotal (a) peaks while the
+    // data wave is in flight, then (b) DROPS once the flush waves push the
+    // watermark past every real event — eviction observed, not assumed.
+    for (
+      run <- Seq(
+        () => StreamingOps.streamStreamLeftJoin(spark, "/root/testdata/sf0.001"),
+        () => StreamingOps.streamStreamFullJoin(spark, "/root/testdata/sf0.001"))
+    ) {
+      run().count() // drive the replay to completion
+      val stateRows = StreamingOps.lastRunProgress
+        .filter(_.stateOperators.nonEmpty)
+        .map(_.stateOperators.map(_.numRowsTotal).sum)
+      assert(stateRows.nonEmpty, "no stateful progress recorded")
+      val peak = stateRows.max
+      val fin = stateRows.last
+      info(s"join state rows per batch: ${stateRows.mkString(" -> ")}")
+      // the data wave buffers every click+purchase; the watermark must
+      // then close ALL real rows — only the handful of sentinel flush
+      // rows (above the final watermark) may remain buffered
+      assert(peak > 100, s"peak state suspiciously small: $peak")
+      assert(fin < peak / 10,
+        s"state not evicted after watermark closure: final=$fin peak=$peak")
+      assert(fin <= 8, s"more than the sentinel rows left in state: $fin")
+    }
+  }
 }
