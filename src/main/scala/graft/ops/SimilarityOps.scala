@@ -245,6 +245,39 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Batched exact top-k — the ANN SERVING shape: score ONE scan of the
+    * corpus against a whole broadcast batch of queries at once, then take
+    * each query's top k with the bounded-heap grouped-top-k operator
+    * ([[graft.plans.TopKPerGroup]]: partial per-partition heaps → one
+    * hash shuffle of k·|Q| rows per partition → final heaps — never a
+    * global sort, never corpus-sized shuffle rows). Per-scan work is
+    * |corpus|·|Q| dot products; at 100 TB this amortizes the scan across
+    * the batch, which is why vector stores serve queries in batches —
+    * running [[bruteForceTopK]] |Q| times re-reads the corpus |Q| times
+    * for the same arithmetic.
+    *
+    * The query batch joins by broadcast with a non-equi guard
+    * (`vec_id =!= q_id`): a bounded-row broadcast nested loop is the
+    * correct physical plan for "every row meets every query" — the fan-out
+    * is |Q|, fixed by the caller, not data-sized.
+    */
+  def batchTopK(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val q = emb.filter(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val scored = emb
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      // native codegen'd expression — same index-order accumulation as the
+      // zip_with/aggregate HoF form (shared oracle), minus the interpreted
+      // per-element lambda cost, which matters at |corpus|·|Q| evaluations
+      .select(col("q_id"), col("vec_id"),
+        (floor(expr("cosine_sim(embedding, q_embedding)") * 10000 + 0.5) / 10000)
+          .as("cosine"))
+    graft.plans.TopKPerGroup(scored, k,
+      groupCols = Seq("q_id"),
+      orderCols = Seq("cosine" -> true, "vec_id" -> false))
+  }
+
   /** Query-ADAPTIVE multi-probe LSH top-k (Lv et al., "Multi-Probe LSH",
     * VLDB 2007): candidates come from the query's own bucket plus the
     * buckets reached by flipping its LOWEST-MARGIN hyperplane bits, then

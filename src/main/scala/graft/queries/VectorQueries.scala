@@ -222,6 +222,45 @@ object VectorQueries {
       Some(topkOracle)
     ),
     QueryDef(
+      "similarity_batch_topk",
+      // The ANN SERVING shape: one corpus scan scores a broadcast batch of
+      // 8 queries at once, per-query top-10 through the custom bounded-heap
+      // grouped-top-k physical operator (partial heaps → k·|Q| rows per
+      // partition shuffled → final heaps; no global sort, no window). At
+      // 100 TB batching amortizes the scan across queries — running the
+      // single-query brute force |Q| times re-reads the corpus |Q| times.
+      (s, dir) =>
+        graft.ops.SimilarityOps
+          .batchTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 7L, k = 10)
+          .orderBy(col("q_id"), col("cosine").desc, col("vec_id")),
+      Some("""
+        WITH qv AS (
+          SELECT vec_id AS q_id, unnest(embedding) AS qx,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id < 8),
+        v AS (
+          SELECT vec_id, unnest(embedding) AS vx,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        n AS (SELECT vec_id, sum(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)) AS n2
+              FROM v GROUP BY vec_id),
+        d AS (
+          SELECT qv.q_id, v.vec_id,
+                 sum(CAST(v.vx AS DOUBLE) * CAST(qv.qx AS DOUBLE)) AS dot
+          FROM v JOIN qv USING (i) WHERE v.vec_id <> qv.q_id
+          GROUP BY 1, 2),
+        s AS (
+          SELECT q_id, d.vec_id,
+                 floor(dot / (sqrt(nq.n2) * sqrt(nv.n2)) * 10000 + 0.5) / 10000
+                   AS cosine
+          FROM d JOIN n nq ON nq.vec_id = d.q_id
+                 JOIN n nv ON nv.vec_id = d.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine DESC, vec_id) AS rn FROM s)
+        SELECT q_id, vec_id, cosine FROM r WHERE rn <= 10
+        ORDER BY q_id, cosine DESC, vec_id""")
+    ),
+    QueryDef(
       "embedding_quantize",
       // Symmetric int8 quantization of the embedding column — the
       // storage shape vector stores actually ship (4× smaller,

@@ -288,6 +288,19 @@ class PlanShapeSpec extends AnyFunSuite {
       s"kNN fell back to a nested loop:\n$plan")
   }
 
+  test("similarity_batch_topk plans bounded heaps, not a window or global sort") {
+    val plan = planOf("similarity_batch_topk")
+    assert(plan.contains("PartialTopK") && plan.contains("FinalTopK"),
+      s"batch top-k lost the custom grouped-top-k operator:\n$plan")
+    assert(!plan.contains("Window"),
+      s"batch top-k fell back to a row_number window:\n$plan")
+    // the scan side must shuffle only heap survivors: exactly one hash
+    // exchange (partial heaps → final heaps), plus the display range sort
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashExchanges == 1,
+      s"expected exactly one hash exchange, got $hashExchanges:\n$plan")
+  }
+
   test("window_time_weighted_avg reuses one user_id shuffle for window AND aggregate") {
     val plan = planOf("window_time_weighted_avg")
     assert(!plan.contains("Join"), s"TWA planned a join:\n$plan")
