@@ -603,7 +603,8 @@ object DedupOps {
     ngramJaccardUnsorted(docs, threshold, defaultSaltEntries)
 
   private[ops] def ngramJaccardUnsorted(
-      docs: DataFrame, threshold: Double, saltEntries: Int): DataFrame = {
+      docs: DataFrame, threshold: Double, saltEntries: Int,
+      maxDriverHotToks: Int = 10000): DataFrame = {
     val (repIx, docRep) = reps(docs)
     // Prefix tokens WITH their 1-based position in the sorted array — the
     // position powers PPJoin's positional filter below. Cached per
@@ -635,14 +636,24 @@ object DedupOps {
     // generation parallelizes across the session width. The candidate
     // SET is unchanged (salting only re-keys; every ordered pair still
     // meets exactly once per shared token, and the id/size/positional
-    // filters + pair dedup downstream are identical —
-    // GraphTextOpsSpec pins salted ≡ unsalted output on a 10k-doc
-    // shared-token block). Hot tokens are collected (≤ |index|/4096
-    // strings — bounded) so the COMMON case keeps today's plan with zero
-    // extra joins.
-    val hotToks: Map[String, Int] = prefixed.groupBy("tok")
-      .agg(count(lit(1)).as("n_tok"))
+    // filters + pair dedup downstream are identical — GraphTextOpsSpec
+    // pins salted ≡ unsalted on a crafted shared-token block AND on
+    // random corpora).
+    //
+    // Three regimes by hot-token count:
+    //  - zero (every real corpus measured): EXACTLY today's plan, no
+    //    extra joins;
+    //  - bounded (≤ maxDriverHotToks): hot tokens ride the driver as an
+    //    isin + literal-map lookup — no extra shuffle to split the index;
+    //  - adversarial (a corpus where MILLIONS of tokens exceed the
+    //    bound — a driver map would OOM): the per-token salt widths stay
+    //    distributed as a broadcast-joined frame; same split, same
+    //    output, one broadcast of the (still bounded-by-|index|/4096)
+    //    hot-token frame instead of a driver literal.
+    val tokCounts = prefixed.groupBy("tok").agg(count(lit(1)).as("n_tok"))
       .filter(col("n_tok") > saltEntries)
+    val hotToks: Map[String, Int] = tokCounts
+      .limit(maxDriverHotToks + 1)
       .collect()
       .map(r => r.getString(0) ->
         math.ceil(r.getLong(1).toDouble / saltEntries).toInt)
@@ -657,7 +668,7 @@ object DedupOps {
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val rawCandidates =
       if (hotToks.isEmpty) probesOf(prefixed).join(buildOf(prefixed), Seq("tok", "szb"))
-      else {
+      else if (hotToks.size <= maxDriverHotToks) {
         val isHot = col("tok").isin(hotToks.keys.toSeq: _*)
         val saltOf = coalesce(
           element_at(
@@ -670,6 +681,23 @@ object DedupOps {
           .withColumn("g", explode(sequence(lit(0), saltOf - 1)))
           .join(buildOf(hot).withColumn("g",
             pmod(xxhash64(col("id_b")), saltOf).cast("int")),
+            Seq("tok", "szb", "g"))
+          .drop("g")
+        probesOf(cold).join(buildOf(cold), Seq("tok", "szb"))
+          .unionByName(hotCand)
+      } else {
+        val salts = tokCounts.select(col("tok"),
+          ceil(col("n_tok").cast("double") / saltEntries).cast("int").as("n_salt"))
+        val cold = prefixed.join(broadcast(salts.select("tok")), Seq("tok"), "left_anti")
+        val hot = prefixed.join(broadcast(salts.select("tok")), Seq("tok"), "left_semi")
+        val hotCand = probesOf(hot)
+          .join(broadcast(salts), Seq("tok"))
+          .withColumn("g", explode(sequence(lit(0), col("n_salt") - 1)))
+          .drop("n_salt")
+          .join(
+            buildOf(hot).join(broadcast(salts), Seq("tok"))
+              .withColumn("g", pmod(xxhash64(col("id_b")), col("n_salt")).cast("int"))
+              .drop("n_salt"),
             Seq("tok", "szb", "g"))
           .drop("g")
         probesOf(cold).join(buildOf(cold), Seq("tok", "szb"))

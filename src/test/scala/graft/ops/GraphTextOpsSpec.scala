@@ -171,6 +171,42 @@ class GraphTextOpsSpec extends AnyFunSuite {
     assert(maxGroup <= 128, s"per-group build fan-in not bounded: $maxGroup")
   }
 
+  test("salted mining equals unsalted on random corpora (randomized hot tokens)") {
+    val s = spark
+    import s.implicits._
+    // Small token universe ⇒ many tokens blow past a tiny saltEntries, so
+    // the salted path runs over arbitrary random structure, not just the
+    // crafted boilerplate block above.
+    val rnd = new scala.util.Random(1211)
+    for (round <- 1 to 3) {
+      val universe = (0 until 25).map(i => f"t$i%02d")
+      val docs = (0 until 120).map { i =>
+        val n = 4 + rnd.nextInt(8)
+        val toks = Seq.fill(n)(universe(rnd.nextInt(universe.length))).distinct
+        (i.toLong, toks.mkString(" "))
+      }.toDF("doc_id", "text")
+      def pairsOf(saltEntries: Int): Set[(Long, Long, Double)] =
+        DedupOps.ngramJaccardUnsorted(docs, 0.6, saltEntries)
+          .select("id_a", "id_b", "jaccard").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val salted = pairsOf(8)
+      val unsalted = pairsOf(Int.MaxValue)
+      assert(salted == unsalted,
+        s"round $round: salted=${salted.size} unsalted=${unsalted.size} " +
+          s"diff=${(salted diff unsalted) ++ (unsalted diff salted)}")
+      assert(salted.nonEmpty, s"round $round: degenerate corpus, no pairs mined")
+      // adversarial regime: hot-token count exceeds the driver-map bound,
+      // so salt widths ride a broadcast-joined frame — same output
+      val distributedSalt = DedupOps
+        .ngramJaccardUnsorted(docs, 0.6, saltEntries = 8, maxDriverHotToks = 0)
+        .select("id_a", "id_b", "jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(distributedSalt == unsalted,
+        s"round $round: broadcast-salt regime diverged " +
+          s"(${distributedSalt.size} vs ${unsalted.size})")
+    }
+  }
+
   test("single-task and distributed pagerank regimes are bit-identical") {
     val s = spark
     import s.implicits._
