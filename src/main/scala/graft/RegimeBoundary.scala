@@ -118,14 +118,26 @@ object RegimeBoundary {
         graft.ops.SimilarityOps.bruteForceTopK(emb10x, queryId = 0, k = 10))
       val (bands, bits) =
         graft.ops.DedupOps.autoBandConfig(emb10x, threshold = 0.3, targetRecall = 0.95)
-      val scores = Seq(
+      // batched serving at 10x: mean per-query overlap vs the exact batch
+      val exactBatch = graft.ops.SimilarityOps.batchTopK(emb10x, 0L to 7L, 10)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val ivfBatch = graft.ops.SimilarityOps.ivfBatchTopK(emb10x, 0L to 7L, 10)
+        .select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, xs) => q -> xs.map(_._2).toSet }
+      val batchMean = exactBatch.keys.toSeq.sorted
+        .map(q => (ivfBatch.getOrElse(q, Set.empty[Long]) & exactBatch(q)).size / 10.0)
+      val scores = (Seq(
         "banded" -> ids(graft.ops.SimilarityOps
           .lshTopKBanded(emb10x, queryId = 0, k = 10, bands, bits)),
         "multiprobe" -> ids(graft.ops.SimilarityOps
           .lshTopK(emb10x, queryId = 0, k = 10)),
         "ivf" -> ids(graft.ops.SimilarityOps.ivfTopK(emb10x, queryId = 0, k = 10)),
         "pq" -> ids(graft.ops.SimilarityOps.pqTopK(emb10x, queryId = 0, k = 10)))
-        .map { case (n, got) => n -> (got & exactTop).size / 10.0 }
+        .map { case (n, got) => n -> (got & exactTop).size / 10.0 }) :+
+        ("ivf_batch_mean" -> batchMean.sum / batchMean.size)
       results += "ann_recall_10x" ->
         scores.map { case (n, r) => s""""$n": $r""" }
           .mkString(s"""{"vecs": $nEmb, """, ", ", "}")

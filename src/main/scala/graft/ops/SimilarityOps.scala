@@ -184,14 +184,13 @@ object SimilarityOps {
     }
   }
 
-  def ivfTopK(
-      emb: DataFrame,
-      queryId: Long,
-      k: Int,
-      nCentroids: Int = 0,
-      nProbe: Int = 0,
-      replication: Int = 3
-  ): DataFrame = {
+  /** Fit (session-cached) the IVF coarse quantizer for this corpus and
+    * return the cell-routing expression builder plus the resolved probe
+    * count — shared by the single-query and batched serving paths.
+    */
+  private def ivfRouting(
+      emb: DataFrame, nCentroids: Int, nProbe: Int, replication: Int
+  ): (Int => Column, Int) = {
     val cacheKey = (SparkOps.sessionId(emb.sparkSession),
       emb.queryExecution.logical.semanticHash(), nCentroids, replication)
     val (nc, trained) = centroidCache.computeIfAbsent(cacheKey, _ => {
@@ -219,7 +218,18 @@ object SimilarityOps {
     // emitted are the r (≤3) assignments per vector.
     val cellsFn = graft.functions.IvfTopCells.registerUnique(
       emb.sparkSession, trained.map(_.toSeq).toSeq)
-    def topCells(r: Int): Column = expr(s"$cellsFn(embedding, $r)")
+    ((r: Int) => expr(s"$cellsFn(embedding, $r)"), np)
+  }
+
+  def ivfTopK(
+      emb: DataFrame,
+      queryId: Long,
+      k: Int,
+      nCentroids: Int = 0,
+      nProbe: Int = 0,
+      replication: Int = 3
+  ): DataFrame = {
+    val (topCells, np) = ivfRouting(emb, nCentroids, nProbe, replication)
     // multi-assignment (replication): each vector is indexed in its top-r
     // cells, so a neighbor sitting just across a Voronoi boundary is still
     // found — r x index size buys recall without probing more cells
@@ -243,6 +253,51 @@ object SimilarityOps {
           .as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Batched INDEXED top-k — [[batchTopK]]'s scan amortization composed
+    * with [[ivfTopK]]'s inverted-file routing: every query in the batch
+    * probes its `nProbe` nearest cells, the probe list `(q_id, cid)`
+    * broadcasts (|Q|·nProbe rows), and ONE equi-join on the cell id fans
+    * candidates out of the one assignment pass — each query touches only
+    * its probed fraction of the index, and the corpus is scanned once for
+    * the whole batch. Exact re-rank per query through the bounded-heap
+    * grouped top-k. This is the full production serving path (batch +
+    * index); the exact [[batchTopK]] is its graded twin (RecallSpec
+    * floors mean overlap@k).
+    */
+  def ivfBatchTopK(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      nCentroids: Int = 0,
+      nProbe: Int = 0,
+      replication: Int = 3
+  ): DataFrame = {
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val (topCells, np) = ivfRouting(emb, nCentroids, nProbe, replication)
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"),
+        explode(topCells(replication)).as("cid"))
+    val qSide = emb.filter(col("vec_id").isin(queryIds: _*))
+    val probes = qSide
+      .select(col("vec_id").as("q_id"), explode(topCells(np)).as("cid"))
+    val q = qSide
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val scored = assigned
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      // a replicated vector can reach the same query through several
+      // probed cells — one candidate row per (query, vector)
+      .select(col("q_id"), col("vec_id"), col("embedding"))
+      .dropDuplicates("q_id", "vec_id")
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (floor(expr("cosine_sim(embedding, q_embedding)") * 10000 + 0.5) / 10000)
+          .as("cosine"))
+    graft.plans.TopKPerGroup(scored, k,
+      groupCols = Seq("q_id"),
+      orderCols = Seq("cosine" -> true, "vec_id" -> false))
   }
 
   /** Batched exact top-k — the ANN SERVING shape: score ONE scan of the

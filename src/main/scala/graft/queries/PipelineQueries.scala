@@ -308,6 +308,21 @@ object PipelineQueries {
       None // approximate by design; exact baseline = similarity_topk
     ),
     QueryDef(
+      "similarity_ivf_batch_topk",
+      // The full production serving path: a broadcast batch of 8 queries
+      // routes through the IVF index in ONE cell-id equi-join (each query
+      // touches only its probed cells; the corpus is assigned once), then
+      // per-query exact re-rank through the bounded-heap grouped top-k.
+      // Approximate by design; exact twin = similarity_batch_topk
+      // (RecallSpec/RecallReport floor the mean per-query overlap@10).
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        SimilarityOps.ivfBatchTopK(emb(s, dir), 0L to 7L, k = 10)
+          .orderBy(col("q_id"), col("cosine").desc, col("vec_id"))
+      },
+      None
+    ),
+    QueryDef(
       "similarity_pq_topk",
       // Product-quantization ADC scan (codes instead of vectors) + exact
       // re-rank of the top candidates — the memory-bandwidth-bound ANN

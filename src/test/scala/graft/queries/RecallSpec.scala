@@ -141,6 +141,22 @@ class RecallSpec extends AnyFunSuite {
     assert(overlap >= 0.8, f"banded LSH top-k overlap degraded: $overlap%.2f") // measured 0.90
   }
 
+  test("similarity_ivf_batch_topk per-query overlap vs the exact batch twin") {
+    def top(name: String): Map[Long, Set[Long]] =
+      Catalog.queriesMap(name)(spark, dir).select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = top("similarity_batch_topk")
+    val ivf = top("similarity_ivf_batch_topk")
+    val per = exact.keys.toSeq.sorted
+      .map(q => (ivf.getOrElse(q, Set.empty) & exact(q)).size / 10.0)
+    val mean = per.sum / per.size
+    info(f"IVF batch overlap@10: mean=$mean%.3f per-query=${per.mkString(",")}")
+    // measured mean 0.91/0.94/0.91 at sf0.001/0.01/0.1, per-query min 0.7
+    assert(mean >= 0.85, f"IVF batch mean overlap degraded: $mean%.3f")
+    assert(per.min >= 0.6, f"a query fell through the probed cells: ${per.min}")
+  }
+
   test("similarity_ivf_topk overlap vs exact top-k") {
     val exact = topIds("similarity_topk")
     val ivf = topIds("similarity_ivf_topk")
