@@ -520,6 +520,62 @@ object PipelineQueries {
         WHERE d.doc_id % 10000 < t.thr
         GROUP BY d.source ORDER BY d.source""")
     ),
+    QueryDef(
+      "quality_weighted_mixture",
+      // Quality-WEIGHTED sampling plan (the CCNet/Gopher "keep rate by
+      // quality band" curation step, after domain_mix's uniform-target
+      // shape): documents band into 8 fixed-width stopword-rate octiles
+      // (the fluency proxy — pure integer rate, no double thresholds),
+      // each band gets a linearly increasing keep rate, and the
+      // deterministic doc_id-hash filter executes the plan in the same
+      // pass. One narrow scan + one 8-row aggregate: the per-band rate
+      // table is constant-sized at any corpus scale and the filter is
+      // map-side — nothing shuffles but the 8-group rollup.
+      (s, dir) => {
+        import org.apache.spark.sql.functions._
+        val en = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+        docs(s, dir)
+          .select(col("doc_id"),
+            expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"))
+          .select(col("doc_id"), size(col("toks")).as("n_tokens"),
+            expr(s"size(filter(toks, t -> t IN ($en)))").as("sw"))
+          .select(col("doc_id"), col("n_tokens"),
+            least(expr("sw * 10000L DIV greatest(n_tokens, 1) DIV 1250"), lit(7L))
+              .as("bucket"))
+          .withColumn("rate_e6", expr("(bucket + 1) * 1000000L DIV 8"))
+          .withColumn("kept",
+            (pmod(col("doc_id"), lit(1000000L)) < col("rate_e6")).cast("int"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n_docs"),
+            max(col("rate_e6")).as("rate_e6"),
+            sum(col("kept")).as("n_kept"),
+            sum(expr("kept * n_tokens")).as("tokens_kept"))
+          .orderBy("bucket")
+      },
+      Some {
+        val en = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+        s"""
+        WITH t AS (
+          SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+                                     x -> x <> '') AS toks
+          FROM documents),
+        b AS (
+          SELECT doc_id, len(toks) AS n_tokens,
+                 least(len(list_filter(toks, t -> t IN ($en))) * 10000
+                       // greatest(len(toks), 1) // 1250, 7) AS bucket
+          FROM t),
+        r AS (
+          SELECT *, (bucket + 1) * 1000000 // 8 AS rate_e6,
+                 CASE WHEN doc_id % 1000000 < (bucket + 1) * 1000000 // 8
+                      THEN 1 ELSE 0 END AS kept
+          FROM b)
+        SELECT CAST(bucket AS BIGINT) AS bucket, count(*) AS n_docs,
+               CAST(max(rate_e6) AS BIGINT) AS rate_e6,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               CAST(sum(kept * n_tokens) AS BIGINT) AS tokens_kept
+        FROM r GROUP BY bucket ORDER BY bucket"""
+      }
+    ),
     // ------------------------------------------------- composite pipeline
     QueryDef(
       "pipeline_curation",
