@@ -589,6 +589,83 @@ object DedupOps {
     * Mining runs over DISTINCT token sets (see the class doc) and expands
     * group members back into document pairs afterward.
     */
+  /** Candidate equi-join `probes ⋈ build` on (tok, szb) with per-token
+    * SALTING of hot keys — the PPJoin/containment skew guard. The index is
+    * rarest-first, but a pathological corpus (thousands of docs sharing
+    * one otherwise-rare boilerplate token — an id stamp, a template
+    * header) still routes O(n_probe·n_build) candidate generation to that
+    * token's single join key. One groupBy over the (cached) BUILD side
+    * counts entries per token; tokens above `saltEntries` scatter their
+    * build entries over ceil(n/saltEntries) hash groups and the probe
+    * side replicates to each, so per-join-key build fan-in stays ≤
+    * saltEntries and the generation parallelizes across the session
+    * width. The output MULTISET is unchanged — salting only re-keys;
+    * every (probe, build) row pair still meets exactly once per shared
+    * (tok, szb).
+    *
+    * Three regimes by hot-token count:
+    *  - zero (every real corpus measured): EXACTLY the plain join, no
+    *    extra operators in the plan;
+    *  - bounded (≤ maxDriverHotToks): hot tokens ride the driver as an
+    *    isin + literal-map lookup — no extra shuffle to split the index;
+    *  - adversarial (MILLIONS of hot tokens — a driver map would OOM):
+    *    the per-token salt widths stay distributed as a broadcast-joined
+    *    frame (still bounded by |index|/saltEntries rows); same split,
+    *    same output.
+    *
+    * Requires `tok` and `szb` on both sides and `id_b` on the build side
+    * (the salt-group hash key).
+    */
+  private[ops] def skewGuardedCandidateJoin(
+      probes: DataFrame,
+      build: DataFrame,
+      saltEntries: Int,
+      maxDriverHotToks: Int
+  ): DataFrame = {
+    val tokCounts = build.groupBy("tok").agg(count(lit(1)).as("n_tok"))
+      .filter(col("n_tok") > saltEntries)
+    val hotToks: Map[String, Int] = tokCounts
+      .limit(maxDriverHotToks + 1)
+      .collect()
+      .map(r => r.getString(0) ->
+        math.ceil(r.getLong(1).toDouble / saltEntries).toInt)
+      .toMap
+    if (hotToks.isEmpty) probes.join(build, Seq("tok", "szb"))
+    else if (hotToks.size <= maxDriverHotToks) {
+      val isHot = col("tok").isin(hotToks.keys.toSeq: _*)
+      val saltOf = coalesce(
+        element_at(
+          map(hotToks.toSeq.flatMap { case (t, n) =>
+            Seq(lit(t), lit(n)) }: _*), col("tok")),
+        lit(1))
+      val hotCand = probes.filter(isHot)
+        .withColumn("g", explode(sequence(lit(0), saltOf - 1)))
+        .join(build.filter(isHot).withColumn("g",
+          pmod(xxhash64(col("id_b")), saltOf).cast("int")),
+          Seq("tok", "szb", "g"))
+        .drop("g")
+      probes.filter(!isHot).join(build.filter(!isHot), Seq("tok", "szb"))
+        .unionByName(hotCand)
+    } else {
+      val salts = tokCounts.select(col("tok"),
+        ceil(col("n_tok").cast("double") / saltEntries).cast("int").as("n_salt"))
+      val hotCand = probes
+        .join(broadcast(salts), Seq("tok"))
+        .withColumn("g", explode(sequence(lit(0), col("n_salt") - 1)))
+        .drop("n_salt")
+        .join(
+          build.join(broadcast(salts), Seq("tok"))
+            .withColumn("g", pmod(xxhash64(col("id_b")), col("n_salt")).cast("int"))
+            .drop("n_salt"),
+          Seq("tok", "szb", "g"))
+        .drop("g")
+      probes.join(broadcast(salts.select("tok")), Seq("tok"), "left_anti")
+        .join(build.join(broadcast(salts.select("tok")), Seq("tok"), "left_anti"),
+          Seq("tok", "szb"))
+        .unionByName(hotCand)
+    }
+  }
+
   def ngramJaccard(docs: DataFrame, threshold: Double): DataFrame =
     ngramJaccardUnsorted(docs, threshold)
       .select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
@@ -625,39 +702,14 @@ object DedupOps {
       expr(szBucket("sz")).as("szb"),
       col("rep_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb"))
 
-    // Skew guard: the index is rarest-first, but a pathological corpus
-    // (thousands of docs sharing one otherwise-rare boilerplate token —
-    // an id stamp, a template header) still routes O(n²) candidate
-    // generation to that token's single join key. One groupBy over the
-    // CACHED index counts entries per token; tokens above `saltEntries`
-    // go through a SALTED self-join — build side scattered over
-    // ceil(n/saltEntries) hash groups, probe side replicated to each —
-    // so per-join-key build fan-in stays ≤ saltEntries and the n²
-    // generation parallelizes across the session width. The candidate
-    // SET is unchanged (salting only re-keys; every ordered pair still
-    // meets exactly once per shared token, and the id/size/positional
-    // filters + pair dedup downstream are identical — GraphTextOpsSpec
-    // pins salted ≡ unsalted on a crafted shared-token block AND on
-    // random corpora).
-    //
-    // Three regimes by hot-token count:
-    //  - zero (every real corpus measured): EXACTLY today's plan, no
-    //    extra joins;
-    //  - bounded (≤ maxDriverHotToks): hot tokens ride the driver as an
-    //    isin + literal-map lookup — no extra shuffle to split the index;
-    //  - adversarial (a corpus where MILLIONS of tokens exceed the
-    //    bound — a driver map would OOM): the per-token salt widths stay
-    //    distributed as a broadcast-joined frame; same split, same
-    //    output, one broadcast of the (still bounded-by-|index|/4096)
-    //    hot-token frame instead of a driver literal.
-    val tokCounts = prefixed.groupBy("tok").agg(count(lit(1)).as("n_tok"))
-      .filter(col("n_tok") > saltEntries)
-    val hotToks: Map[String, Int] = tokCounts
-      .limit(maxDriverHotToks + 1)
-      .collect()
-      .map(r => r.getString(0) ->
-        math.ceil(r.getLong(1).toDouble / saltEntries).toInt)
-      .toMap
+    // Skew guard (see [[skewGuardedCandidateJoin]]): tokens whose index
+    // entry count exceeds `saltEntries` have their candidate generation
+    // salted so one boilerplate token can never route O(n²) rows to a
+    // single join key. GraphTextOpsSpec pins salted ≡ unsalted on a
+    // crafted shared-token block AND on random corpora, across all three
+    // regimes.
+    val rawCandidates = skewGuardedCandidateJoin(
+      probesOf(prefixed), buildOf(prefixed), saltEntries, maxDriverHotToks)
 
     // Candidate dedup through an explicit session-width exchange — same
     // rationale as [[containmentBest]]: AQE would size the distinct's
@@ -666,43 +718,6 @@ object DedupOps {
     // inherits whatever width the deduped stream has.
     val width =
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val rawCandidates =
-      if (hotToks.isEmpty) probesOf(prefixed).join(buildOf(prefixed), Seq("tok", "szb"))
-      else if (hotToks.size <= maxDriverHotToks) {
-        val isHot = col("tok").isin(hotToks.keys.toSeq: _*)
-        val saltOf = coalesce(
-          element_at(
-            map(hotToks.toSeq.flatMap { case (t, s) =>
-              Seq(lit(t), lit(s)) }: _*), col("tok")),
-          lit(1))
-        val cold = prefixed.filter(!isHot)
-        val hot = prefixed.filter(isHot)
-        val hotCand = probesOf(hot)
-          .withColumn("g", explode(sequence(lit(0), saltOf - 1)))
-          .join(buildOf(hot).withColumn("g",
-            pmod(xxhash64(col("id_b")), saltOf).cast("int")),
-            Seq("tok", "szb", "g"))
-          .drop("g")
-        probesOf(cold).join(buildOf(cold), Seq("tok", "szb"))
-          .unionByName(hotCand)
-      } else {
-        val salts = tokCounts.select(col("tok"),
-          ceil(col("n_tok").cast("double") / saltEntries).cast("int").as("n_salt"))
-        val cold = prefixed.join(broadcast(salts.select("tok")), Seq("tok"), "left_anti")
-        val hot = prefixed.join(broadcast(salts.select("tok")), Seq("tok"), "left_semi")
-        val hotCand = probesOf(hot)
-          .join(broadcast(salts), Seq("tok"))
-          .withColumn("g", explode(sequence(lit(0), col("n_salt") - 1)))
-          .drop("n_salt")
-          .join(
-            buildOf(hot).join(broadcast(salts), Seq("tok"))
-              .withColumn("g", pmod(xxhash64(col("id_b")), col("n_salt")).cast("int"))
-              .drop("n_salt"),
-            Seq("tok", "szb", "g"))
-          .drop("g")
-        probesOf(cold).join(buildOf(cold), Seq("tok", "szb"))
-          .unionByName(hotCand)
-      }
     val candidates = rawCandidates
       .filter(col("id_a") < col("id_b"))
       // exact length compatibility (the join bucket is coarser above 32)
@@ -877,11 +892,15 @@ object DedupOps {
     // Same PPJoin positional filter + log-bucketed size key as the
     // self-join miner (see [[ngramJaccard]] / [[szBucket]]): a safe
     // per-row overlap ubound from the shared global token order; drops
-    // false candidates before the verify join.
-    val candidates = probes
-      .join(pr.select(col("tok"), expr(szBucket("sz")).as("szb"),
-        col("rep_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb")),
-        Seq("tok", "szb"))
+    // false candidates before the verify join. The A×B join shares the
+    // self-join's hot-token salt guard — an eval set and a train corpus
+    // that both carry one boilerplate token would otherwise meet on a
+    // single skewed key (counts taken on the build = right side).
+    val candidates = skewGuardedCandidateJoin(
+        probes,
+        pr.select(col("tok"), expr(szBucket("sz")).as("szb"),
+          col("rep_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb")),
+        defaultSaltEntries, maxDriverHotToks = 10000)
       .filter(sizeCompatible(threshold))
       .filter(positionalFilter(threshold))
       .select("id_a", "id_b")

@@ -207,6 +207,39 @@ class GraphTextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("skewGuardedCandidateJoin is multiset-identical to the plain join in all regimes") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(47)
+    // random probe/build frames over a small token universe: several
+    // tokens exceed saltEntries=2 on the build side, several don't
+    val toks = (0 until 6).map(i => s"k$i")
+    val probes = (0 until 60).map { i =>
+      (toks(rnd.nextInt(6)), 1 + rnd.nextInt(3), i.toLong, 5 + rnd.nextInt(5), 1 + rnd.nextInt(3))
+    }.toDF("tok", "szb", "id_a", "sz_a", "pa")
+    val build = (0 until 40).map { i =>
+      (toks(rnd.nextInt(6)), 1 + rnd.nextInt(3), 100L + i, 5 + rnd.nextInt(5), 1 + rnd.nextInt(3))
+    }.toDF("tok", "szb", "id_b", "sz_b", "pb")
+    def multiset(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.groupBy("id_a", "id_b").count().collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val plain = multiset(probes.join(build, Seq("tok", "szb")))
+    // driver-map regime (hot tokens fit the bound)
+    val saltedMap = multiset(
+      DedupOps.skewGuardedCandidateJoin(probes, build, saltEntries = 2,
+        maxDriverHotToks = 10000))
+    // broadcast regime (bound forced to zero)
+    val saltedBcast = multiset(
+      DedupOps.skewGuardedCandidateJoin(probes, build, saltEntries = 2,
+        maxDriverHotToks = 0))
+    // no-hot regime (threshold above any count) — the plain plan
+    val none = multiset(
+      DedupOps.skewGuardedCandidateJoin(probes, build, saltEntries = 1000,
+        maxDriverHotToks = 10000))
+    assert(plain.nonEmpty && saltedMap == plain && saltedBcast == plain && none == plain,
+      s"plain=${plain.size} map=${saltedMap.size} bcast=${saltedBcast.size} none=${none.size}")
+  }
+
   test("single-task and distributed pagerank regimes are bit-identical") {
     val s = spark
     import s.implicits._
