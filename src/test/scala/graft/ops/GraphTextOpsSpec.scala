@@ -207,6 +207,26 @@ class GraphTextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("triangle census closing semi-join stays broadcast when the edge list fits") {
+    val s = spark
+    import s.implicits._
+    // moderate random graph: edges are KB-sized, so AQE must pick a
+    // BroadcastHashJoin LeftSemi for the closing edge lookup — the
+    // checkpointed oriented list is what gives it the stats (without it
+    // the join-derived side had none, fell to sort-merge, and shuffled
+    // the wedge side: measured 2.2x slower at sf0.1's 20M wedges)
+    val rnd = new scala.util.Random(3)
+    val edges = (1 to 3000).map { _ =>
+      val a = 1L + rnd.nextInt(300); val b = 1L + rnd.nextInt(300)
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }.distinct.toDF("a", "b")
+    val census = GraphOps.triangleCountOriented(edges)
+    census.head // drive AQE to its final plan
+    val plan = census.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"closing semi-join lost the broadcast:\n$plan")
+  }
+
   test("skewGuardedCandidateJoin is multiset-identical to the plain join in all regimes") {
     val s = spark
     import s.implicits._
