@@ -64,8 +64,43 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Storm self-adjudication: this box suffers transient host-side CPU
+    // deprivation that inflates IDENTICAL code 2-11x for minutes; the
+    // signature (BASELINE.md) is a tight run of CONSECUTIVE catalog
+    // positions all far above their anchored medians while everything
+    // around them sits at baseline speed. Emit those windows with the
+    // capture so a single inflated total carries its own diagnosis
+    // instead of needing manual catalog-position analysis. A query is
+    // "inflated" when >2x its BASELINE.json median AND >0.5s over it;
+    // windows group inflated positions with gaps <=2 (same rule as
+    // tools/bench_compare.py) and report when they hold >=3 queries or
+    // >=5s of excess. Queries without an anchored median (new this
+    // round) are skipped — growth is not a storm.
+    val stormJson = try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val base = mapper.readTree(new java.io.File("BASELINE.json"))
+        .path("bench_queries")
+      val inflated = results.zipWithIndex.flatMap { case ((k, v), i) =>
+        val m = base.path(k)
+        if (v >= 0 && m.isNumber && v > 2 * m.asDouble && v - m.asDouble > 0.5)
+          Some((i, k, v - m.asDouble))
+        else None
+      }
+      val groups = inflated.foldLeft(List.empty[List[(Int, String, Double)]]) {
+        case (acc, h) => acc match {
+          case cur :: rest if h._1 - cur.head._1 <= 2 => (h :: cur) :: rest
+          case _ => List(h) :: acc
+        }
+      }.map(_.reverse).reverse
+      groups.filter(g => g.size >= 3 || g.map(_._3).sum >= 5.0)
+        .map { g =>
+          val names = g.map(x => "\"" + x._2 + "\"").mkString("[", ",", "]")
+          f"""{"from_pos":${g.head._1},"to_pos":${g.last._1},"queries":$names,"excess_s":${g.map(_._3).sum}%.1f}"""
+        }
+        .mkString("[", ",", "]")
+    } catch { case _: Throwable => "[]" }
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"storm_windows":$stormJson}"""
     println(line)
     Console.out.flush()
     // Belt-and-braces copy for the driver: stdout interleaving with Spark

@@ -134,6 +134,18 @@ object RecallReport {
       val (v, d) = overlapOf("similarity_pq_topk", exactTopK)
       Score("topk_overlap_vs_exact", v, 0.7, d)
     }
+    grade("similarity_pq_batch_topk") {
+      def top(name: String): Map[Long, Set[Long]] =
+        run(name)(spark, sfDir).select("q_id", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+          .map { case (qid, xs) => qid -> xs.map(_._2).toSet }
+      val exact = top("similarity_batch_topk")
+      val pq = top("similarity_pq_batch_topk")
+      val per = exact.keys.toSeq.sorted
+        .map(qid => (pq.getOrElse(qid, Set.empty) & exact(qid)).size / 10.0)
+      Score("mean_per_query_overlap_vs_exact_batch", per.sum / per.size, 0.7,
+        s"per-query overlap@10 = ${per.mkString(",")} (min floor 0.5 in RecallSpec)")
+    }
 
     // -- sketch-error family (value = 1 - normalized error, floor on that)
     grade("agg_hll_merge") {

@@ -109,6 +109,12 @@ object DedupOps {
   private val pairsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), DataFrame]()
 
+  /** Hot-prefix-token salt widths per (session, build-plan, saltEntries,
+    * cap) — a bounded driver map (≤ cap+1 entries); nothing to unpersist.
+    */
+  private val hotTokCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), Map[String, Int]]()
+
   /** Unpersist and drop every cached mining artifact (dup grouping, prefix
     * projections, pair lists) built on `spark`; see the cache contract
     * above. Also clears the cluster-label cache in [[graft.ops.GraphOps]],
@@ -127,6 +133,7 @@ object DedupOps {
     drop(repCache)(_._1) { case (a, b) => a.unpersist(); b.unpersist() }
     drop(prefixCache)(_._1)(_.unpersist())
     drop(pairsCache)(_._1)(_.unpersist())
+    drop(hotTokCache)(_._1)(_ => ())
     GraphOps.clearLabelCache(sid)
     SimilarityOps.clearCentroidCache(sid)
     TextOps.clearMergeCache(sid)
@@ -607,11 +614,22 @@ object DedupOps {
     *  - zero (every real corpus measured): EXACTLY the plain join, no
     *    extra operators in the plan;
     *  - bounded (≤ maxDriverHotToks): hot tokens ride the driver as an
-    *    isin + literal-map lookup — no extra shuffle to split the index;
-    *  - adversarial (MILLIONS of hot tokens — a driver map would OOM):
-    *    the per-token salt widths stay distributed as a broadcast-joined
-    *    frame (still bounded by |index|/saltEntries rows); same split,
-    *    same output.
+    *    isin + literal-map lookup — no extra shuffle to split the index.
+    *    The cap stays SMALL (default 256): the literal map() materializes
+    *    2·n child expressions and the isin n, and codegen of
+    *    thousand-child expression trees courts Janino constant-pool
+    *    limits and interpreted-mode fallbacks — past a few hundred the
+    *    broadcast-frame regime is the better plan anyway;
+    *  - many (above the cap — up to MILLIONS, where a driver map would
+    *    OOM): the per-token salt widths stay distributed as a
+    *    broadcast-joined frame (still bounded by |index|/saltEntries
+    *    rows); same split, same output.
+    *
+    * The hot-token probe (groupBy + bounded collect over the build side)
+    * is MEMOIZED per (session, build plan, saltEntries): the miners call
+    * this once per shape over the same cached prefix index, and the
+    * zero-hot regime should cost zero extra jobs after the first probe,
+    * not one per call.
     *
     * Requires `tok` and `szb` on both sides and `id_b` on the build side
     * (the salt-group hash key).
@@ -624,12 +642,16 @@ object DedupOps {
   ): DataFrame = {
     val tokCounts = build.groupBy("tok").agg(count(lit(1)).as("n_tok"))
       .filter(col("n_tok") > saltEntries)
-    val hotToks: Map[String, Int] = tokCounts
-      .limit(maxDriverHotToks + 1)
-      .collect()
-      .map(r => r.getString(0) ->
-        math.ceil(r.getLong(1).toDouble / saltEntries).toInt)
-      .toMap
+    val hotKey = (SparkOps.sessionId(build.sparkSession),
+      build.queryExecution.logical.semanticHash(), saltEntries, maxDriverHotToks)
+    val hotToks: Map[String, Int] = memoize(hotTokCache, hotKey) {
+      tokCounts
+        .limit(maxDriverHotToks + 1)
+        .collect()
+        .map(r => r.getString(0) ->
+          math.ceil(r.getLong(1).toDouble / saltEntries).toInt)
+        .toMap
+    }(_ => ())
     if (hotToks.isEmpty) probes.join(build, Seq("tok", "szb"))
     else if (hotToks.size <= maxDriverHotToks) {
       val isHot = col("tok").isin(hotToks.keys.toSeq: _*)
@@ -681,7 +703,7 @@ object DedupOps {
 
   private[ops] def ngramJaccardUnsorted(
       docs: DataFrame, threshold: Double, saltEntries: Int,
-      maxDriverHotToks: Int = 10000): DataFrame = {
+      maxDriverHotToks: Int = 256): DataFrame = {
     val (repIx, docRep) = reps(docs)
     // Prefix tokens WITH their 1-based position in the sorted array — the
     // position powers PPJoin's positional filter below. Cached per
@@ -900,7 +922,7 @@ object DedupOps {
         probes,
         pr.select(col("tok"), expr(szBucket("sz")).as("szb"),
           col("rep_id").as("id_b"), col("sz").as("sz_b"), col("p").as("pb")),
-        defaultSaltEntries, maxDriverHotToks = 10000)
+        defaultSaltEntries, maxDriverHotToks = 256)
       .filter(sizeCompatible(threshold))
       .filter(positionalFilter(threshold))
       .select("id_a", "id_b")

@@ -324,6 +324,18 @@ object GraphOps {
       // cost vs <0.1s of actual arithmetic on the bench graph). Integer
       // quanta make the two regimes BIT-IDENTICAL, so the switch is pure
       // latency routing — exposed for tests to force either path.
+      //
+      // The CEILING is justified by the single-task regime's hard
+      // constraints, not by local wall-clock: one task means one core and
+      // one task's memory for the whole graph, so it must stop while the
+      // edge array + two LongMaps fit a task comfortably (~128 MB at 8M
+      // directed edges) — beyond that the join regime is the only one
+      // that still RUNS at cluster scale, whether or not it wins a local
+      // race. Measured walls at the 11-12M boundary are genuinely within
+      // noise of each other on a shared box (regime_boundary.json's
+      // median-of-3 row records both regimes' samples; single runs have
+      // flipped sign between rounds), which is exactly why the boundary
+      // is placed by the memory bound rather than a local crossover.
       smallEdgeThreshold: Long = 8000000L
   ): DataFrame = {
     require(checkpointInterval > 0)
@@ -445,9 +457,27 @@ object GraphOps {
     *
     * Input: one row per undirected edge, columns (a, b) — orientation of
     * the input does not matter. Output: single row, `n_triangles`.
+    *
+    * The census is only exact over a SIMPLE undirected edge set — a
+    * duplicate edge (either orientation) inflates both degrees and the
+    * wedge count, and a self-loop corrupts the strict (deg, id) total
+    * order. By default the input is therefore canonicalized first
+    * (least/greatest + self-loop filter + dropDuplicates — one |E|-sized
+    * hash aggregate). Callers whose edges are distinct canonical pairs BY
+    * CONSTRUCTION (the mining pair lists: id_a < id_b, one row per pair)
+    * pass `assumeCanonical = true` to skip that exchange; the flag is an
+    * explicit contract at the call site, not a silent precondition.
     */
-  def triangleCountOriented(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("a"), col("b"))
+  def triangleCountOriented(
+      edges: DataFrame, assumeCanonical: Boolean = false): DataFrame = {
+    val raw = edges.select(col("a"), col("b"))
+    val e =
+      if (assumeCanonical) raw
+      else raw.select(
+          least(col("a"), col("b")).as("a"),
+          greatest(col("a"), col("b")).as("b"))
+        .filter(col("a") =!= col("b"))
+        .dropDuplicates("a", "b")
     val deg = e.select(col("a").as("v"))
       .unionByName(e.select(col("b").as("v")))
       .groupBy("v").agg(count(lit(1)).as("deg"))

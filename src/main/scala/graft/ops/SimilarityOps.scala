@@ -333,6 +333,81 @@ object SimilarityOps {
       orderCols = Seq("cosine" -> true, "vec_id" -> false))
   }
 
+  /** Batched PQ serving — the memory-bandwidth tier of the serving
+    * matrix: ONE ADC pass over the ENCODED corpus (codes, not vectors)
+    * serves a whole broadcast batch of queries. Each query contributes
+    * only its m×ksub distance table to the broadcast; per corpus row the
+    * scan does m table lookups per query (|corpus|·|Q|·m adds — no
+    * re-encode, no second corpus read, and the scan touches codes whose
+    * footprint is ~d/m·32× smaller than the raw vectors, which is the
+    * whole point of PQ at 100 TB). Per-query ADC shortlists of rerank·k
+    * rows come out of the bounded-heap grouped-top-k operator (never a
+    * global sort), then ONE exact-cosine re-rank of the bounded shortlist
+    * joins the raw query vectors back in. Approximate by design; exact
+    * twin = [[batchTopK]] on the same batch (RecallReport floors the mean
+    * per-query overlap@10).
+    */
+  def pqBatchTopK(
+      emb: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      m: Int = 8,
+      ksub: Int = 16,
+      rerank: Int = 32
+  ): DataFrame = {
+    graft.functions.CosineSimilarity.register(emb.sparkSession)
+    val codebooks = pqCodebooks(emb, m, ksub)
+    val (mm, kk, dsub) = (codebooks.length, codebooks.head.length,
+      codebooks.head.head.length)
+    val cb = typedLit(codebooks)
+    def subDist(vec: Column, s: Column, c: Column): Column =
+      aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {
+        val diff = element_at(vec, (s * dsub + i + 1).cast("int")) -
+          element_at(element_at(element_at(cb, (s + 1).cast("int")), (c + 1).cast("int")),
+            (i + 1).cast("int"))
+        acc + diff * diff
+      })
+    val encodeFn = graft.functions.PqEncode.registerUnique(emb.sparkSession, codebooks)
+    val codes = expr(s"$encodeFn(embedding)")
+    // Per-query distance tables (|Q| rows × m × ksub doubles) — the ONLY
+    // per-query state the scan sees; same normalization/guard as pqTopK.
+    val nemb = {
+      val v = transform(col("embedding"), x => x.cast("double"))
+      val n = greatest(
+        sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)),
+        lit(Double.MinPositiveValue))
+      transform(v, x => x / n)
+    }
+    val qSide = emb.filter(col("vec_id").isin(queryIds: _*))
+    val qdt = qSide
+      .withColumn("__nemb", nemb)
+      .select(col("vec_id").as("q_id"),
+        transform(sequence(lit(0), lit(mm - 1)), s =>
+          transform(sequence(lit(0), lit(kk - 1)), c =>
+            subDist(col("__nemb"), s, c))).as("dt"))
+    val adc = aggregate(sequence(lit(0), lit(mm - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(col("dt"), (s + 1).cast("int")),
+        element_at(col("codes"), (s + 1).cast("int")) + 1))
+    val shortlist = graft.plans.TopKPerGroup(
+      emb
+        .withColumn("codes", codes)
+        .join(broadcast(qdt), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("embedding"), adc.as("adc")),
+      rerank * k,
+      groupCols = Seq("q_id"),
+      orderCols = Seq("adc" -> false, "vec_id" -> false))
+    val q = qSide
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_embedding"))
+    val rescored = shortlist
+      .join(broadcast(q), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (floor(expr("cosine_sim(embedding, q_embedding)") * 10000 + 0.5) / 10000)
+          .as("cosine"))
+    graft.plans.TopKPerGroup(rescored, k,
+      groupCols = Seq("q_id"),
+      orderCols = Seq("cosine" -> true, "vec_id" -> false))
+  }
+
   /** Query-ADAPTIVE multi-probe LSH top-k (Lv et al., "Multi-Probe LSH",
     * VLDB 2007): candidates come from the query's own bucket plus the
     * buckets reached by flipping its LOWEST-MARGIN hyperplane bits, then

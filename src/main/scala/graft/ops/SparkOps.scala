@@ -137,7 +137,7 @@ object SparkOps {
     * owns the marker protocol. Returns `target` as a string.
     */
   def stageOnce(src: java.nio.file.Path, target: java.nio.file.Path)(
-      write: => Unit): String = {
+      write: => Unit): String = stageLock.synchronized {
     import java.nio.file.Files
     val marker = target.resolve("_STAGED")
     val stale = !Files.exists(marker) ||
@@ -150,6 +150,12 @@ object SparkOps {
     }
     target.toString
   }
+
+  /** Staging runs from concurrent streaming-family threads share staged
+    * dirs; one coarse lock keeps the check-then-write race-free (staging
+    * happens once per data generation, so contention is nil after warmup).
+    */
+  private val stageLock = new Object
 
   // ---------------------------------------------------------- transforms
 

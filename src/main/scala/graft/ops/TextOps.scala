@@ -24,10 +24,18 @@ object TextOps {
     * user input and must not be able to break out of the string literal
     * (`tfidfSearch` splices this into `expr()`).
     */
-  private def inList(words: Seq[String]): String =
+  private[graft] def inList(words: Seq[String]): String =
     words
       .map(w => "'" + w.replace("\\", "\\\\").replace("'", "\\'") + "'")
       .mkString("(", ", ", ")")
+
+  /** ANSI-SQL twin of [[inList]] for oracle strings (DuckDB): quotes
+    * escape by DOUBLING, and backslash is a literal character — splicing
+    * the Spark-escaped form into ANSI SQL (or vice versa) silently changes
+    * the matched words the moment a list gains a quote or backslash.
+    */
+  private[graft] def inListAnsi(words: Seq[String]): String =
+    words.map(w => "'" + w.replace("'", "''") + "'").mkString("(", ", ", ")")
 
   /** Stopword-hit count per language as expression SQL over `toks`. */
   private def scoreExpr(lang: String): String =

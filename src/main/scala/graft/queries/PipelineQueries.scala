@@ -330,6 +330,26 @@ object PipelineQueries {
       (s, dir) => SimilarityOps.pqTopK(emb(s, dir), queryId = 0, k = 10),
       None // approximate by design; exact baseline = similarity_topk
     ),
+    QueryDef(
+      "similarity_pq_batch_topk",
+      // Batched PQ serving — the memory-bandwidth serving tier: one ADC
+      // pass over the encoded corpus scores all 8 broadcast distance
+      // tables at once (m lookups per query per row), per-query ADC
+      // shortlist via the bounded-heap grouped top-k, then one exact
+      // re-rank of the bounded shortlist. Approximate by design; exact
+      // twin = similarity_batch_topk on the same batch (RecallSpec /
+      // RecallReport floor the mean per-query overlap@10).
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        // rerank=64 (vs the single-query default 32): the shortlist is the
+        // recall knob, and doubling it costs 640 bounded-heap rows per
+        // query — nothing at any scale (measured sf0.1 mean overlap@10
+        // 0.76 at 32 → 0.925 at 64, per-query min 0.5 → 0.7)
+        SimilarityOps.pqBatchTopK(emb(s, dir), 0L to 7L, k = 10, rerank = 64)
+          .orderBy(col("q_id"), col("cosine").desc, col("vec_id"))
+      },
+      None
+    ),
     // ------------------------------------------------------ text analysis
     QueryDef(
       "lang_id",
@@ -533,12 +553,14 @@ object PipelineQueries {
       // map-side — nothing shuffles but the 8-group rollup.
       (s, dir) => {
         import org.apache.spark.sql.functions._
-        val en = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+        // escaped via the shared helper (quote-bearing stopword lists must
+        // not be able to break out of the spliced literal)
+        val en = TextOps.inList(TextOps.stopwords("en"))
         docs(s, dir)
           .select(col("doc_id"),
             expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"))
           .select(col("doc_id"), size(col("toks")).as("n_tokens"),
-            expr(s"size(filter(toks, t -> t IN ($en)))").as("sw"))
+            expr(s"size(filter(toks, t -> t IN $en))").as("sw"))
           .select(col("doc_id"), col("n_tokens"),
             least(expr("sw * 10000L DIV greatest(n_tokens, 1) DIV 1250"), lit(7L))
               .as("bucket"))
@@ -553,7 +575,7 @@ object PipelineQueries {
           .orderBy("bucket")
       },
       Some {
-        val en = TextOps.stopwords("en").map(w => s"'$w'").mkString(", ")
+        val en = TextOps.inListAnsi(TextOps.stopwords("en"))
         s"""
         WITH t AS (
           SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
@@ -561,7 +583,7 @@ object PipelineQueries {
           FROM documents),
         b AS (
           SELECT doc_id, len(toks) AS n_tokens,
-                 least(len(list_filter(toks, t -> t IN ($en))) * 10000
+                 least(len(list_filter(toks, t -> t IN $en)) * 10000
                        // greatest(len(toks), 1) // 1250, 7) AS bucket
           FROM t),
         r AS (
@@ -789,7 +811,9 @@ object PipelineQueries {
         import org.apache.spark.sql.functions.{col, count, countDistinct, lit}
         val e = DedupOps.ngramJaccardCachedUnsorted(docs(s, dir), threshold = 0.95)
           .select(col("id_a").as("a"), col("id_b").as("b"))
-        GraphOps.triangleCountOriented(e)
+        // miner pairs are distinct with id_a < id_b by construction, so
+        // the canonicalization exchange is skipped (explicit contract)
+        GraphOps.triangleCountOriented(e, assumeCanonical = true)
           .crossJoin(e.agg(count(lit(1)).as("n_edges")))
           .crossJoin(
             e.select(col("a").as("x")).unionByName(e.select(col("b").as("x")))

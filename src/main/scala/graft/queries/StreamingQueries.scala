@@ -13,7 +13,7 @@ object StreamingQueries {
   def queries: Seq[QueryDef] = Seq(
     QueryDef(
       "stream_tumbling_agg",
-      (s, dir) => StreamingOps.tumblingAgg(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_tumbling_agg"),
       Some("""
         SELECT date_trunc('day', make_timestamp(epoch_ns(ts) // 1000)) AS window_start,
                event_type, count(*) AS n,
@@ -30,7 +30,7 @@ object StreamingQueries {
       // a window finalizes only once the watermark (max ts − 1h) passes
       // its end, so the oracle applies the same cutoff — the
       // still-open final day is correctly ABSENT on both sides.
-      (s, dir) => StreamingOps.tumblingUniques(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_tumbling_uniques"),
       Some("""
         WITH e AS (
           SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, user_id
@@ -44,7 +44,7 @@ object StreamingQueries {
     ),
     QueryDef(
       "stream_sliding_agg",
-      (s, dir) => StreamingOps.slidingAgg(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_sliding_agg"),
       Some("""
         WITH starts AS (
           SELECT unnest([
@@ -57,7 +57,7 @@ object StreamingQueries {
     ),
     QueryDef(
       "stream_session",
-      (s, dir) => StreamingOps.sessionAgg(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_session"),
       Some("""
         WITH e AS (
           SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
@@ -78,7 +78,7 @@ object StreamingQueries {
     ),
     QueryDef(
       "stream_static_join",
-      (s, dir) => StreamingOps.streamStaticJoin(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_static_join"),
       Some("""
         SELECT c_nationkey, count(*) AS n,
                floor((sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total_value
@@ -87,7 +87,7 @@ object StreamingQueries {
     ),
     QueryDef(
       "stream_stream_join",
-      (s, dir) => StreamingOps.streamStreamJoin(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_stream_join"),
       Some("""
         WITH e AS (
           SELECT event_id, user_id, event_type,
@@ -109,7 +109,7 @@ object StreamingQueries {
       // their state (flush-wave staging makes the finite replay emit ALL
       // outer rows — see StreamingOps.streamStreamLeftJoin). Oracle = the
       // batch left join over the real events.
-      (s, dir) => StreamingOps.streamStreamLeftJoin(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_stream_left_join"),
       Some("""
         WITH e AS (
           SELECT event_id, user_id, event_type,
@@ -131,7 +131,7 @@ object StreamingQueries {
       // unmatched rows with (-1) sentinels, each emitted when the
       // watermark proves no partner can arrive (flush-wave staging — see
       // StreamingOps.streamStreamLeftJoin). Oracle = the batch full join.
-      (s, dir) => StreamingOps.streamStreamFullJoin(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_stream_full_join"),
       Some("""
         WITH e AS (
           SELECT event_id, user_id, event_type,
@@ -149,7 +149,7 @@ object StreamingQueries {
     ),
     QueryDef(
       "stream_topk",
-      (s, dir) => StreamingOps.streamTopK(s, dir, 10),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_topk"),
       Some("""
         SELECT user_id, count(*) AS n,
                floor((sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
@@ -162,7 +162,7 @@ object StreamingQueries {
       // alert), graded: the accumulator is integer cents, so the final
       // state is arrival-order-independent and the batch oracle is a plain
       // per-user aggregate.
-      (s, dir) => StreamingOps.statefulUserTotalsGraded(s, dir, alertCents = 330000L),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_custom_state"),
       Some("""
         SELECT user_id,
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
@@ -177,12 +177,30 @@ object StreamingQueries {
       // contract as stream_custom_state — the modern arbitrary-state API
       // graded against the identical batch oracle, with a different alert
       // threshold so the two queries' outputs are independently checked.
-      (s, dir) => StreamingOps.statefulUserTotalsTws(s, dir, alertCents = 250000L),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_transform_with_state"),
       Some("""
         SELECT user_id,
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
                count(*) AS n,
                sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) >= 250000 AS alert
+        FROM events GROUP BY user_id ORDER BY user_id"""),
+    ),
+    QueryDef(
+      "stream_timer_flush",
+      // transformWithState REGISTERED TIMERS (the API's distinguishing
+      // feature over fMGWS): input rows emit nothing — they fold integer
+      // per-user totals into ValueState and re-arm an event-time timer at
+      // last event + 30 min; EVERY output row is produced in
+      // handleExpiredTimer when the watermark crosses that horizon. State
+      // survives firings, so emissions carry monotone running totals and
+      // max-by-n per user equals the whole-table batch aggregate — an
+      // empty result would mean timers never fired, so the oracle match
+      // is itself the timer-emission proof.
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_timer_flush"),
+      Some("""
+        SELECT user_id,
+               CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents,
+               count(*) AS n
         FROM events GROUP BY user_id ORDER BY user_id"""),
     ),
     QueryDef(
@@ -192,7 +210,7 @@ object StreamingQueries {
       // grade the keyed aggregation buffers themselves — state
       // introspection as a first-class operator. Integer buffers make the
       // state content exactly replayable as a batch aggregate.
-      (s, dir) => StreamingOps.stateStoreRead(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_state_reader"),
       Some("""
         SELECT event_type, count(*) AS n,
                CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
@@ -206,7 +224,7 @@ object StreamingQueries {
       // mode drops them; observable output = closed windows of the on-time
       // (non-click) wave. Batch oracle = the same aggregate filtered at
       // the watermark cutoff (max on-time ts - 1 hour).
-      (s, dir) => StreamingOps.lateDataDrop(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_late_drop"),
       Some("""
         WITH base AS (
           SELECT make_timestamp(epoch_ns(ts) // 1000) AS ts, value
@@ -220,7 +238,7 @@ object StreamingQueries {
     ),
     QueryDef(
       "stream_dedup",
-      (s, dir) => StreamingOps.streamDedup(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_dedup"),
       Some("""
         SELECT event_type, count(DISTINCT event_id) AS n
         FROM events GROUP BY event_type ORDER BY event_type""")
@@ -231,7 +249,7 @@ object StreamingQueries {
       // passes each id's event time + delay — O(lateness window), not
       // O(all ids). The replay has no duplicates beyond the window, so the
       // batch oracle is the same distinct count as stream_dedup.
-      (s, dir) => StreamingOps.streamDedupWithinWatermark(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_dedup_bounded"),
       Some("""
         SELECT event_type, count(DISTINCT event_id) AS n
         FROM events GROUP BY event_type ORDER BY event_type""")
@@ -245,7 +263,7 @@ object StreamingQueries {
       // eviction = the timeout). Staged three-wave replay forces real
       // cross-batch session continuation; the batch gaps-and-islands
       // oracle grades the emitted sessions.
-      (s, dir) => StreamingOps.sessionTimeoutAgg(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_session_timeout"),
       Some("""
         WITH e AS (
           SELECT user_id, make_timestamp(epoch_ns(ts) // 1000) AS ts FROM events),
@@ -273,7 +291,7 @@ object StreamingQueries {
       // batch partitioning — the batch oracle computes the same per-user
       // rollup in one pass. StreamingSpec asserts the replay really was
       // multi-batch.
-      (s, dir) => StreamingOps.foreachBatchUpsert(s, dir)._1,
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_upsert_sink"),
       Some("""
         WITH e AS (
           SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, value
@@ -296,7 +314,7 @@ object StreamingQueries {
       // batches are skipped, only the unseen slice processes. Broken
       // resume would double the first two slices in the append sink; the
       // whole-table oracle catches it.
-      (s, dir) => StreamingOps.checkpointRestartCounts(s, dir),
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_checkpoint_restart"),
       Some("""
         SELECT event_type, count(*) AS n,
                floor((sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total
@@ -314,16 +332,7 @@ object StreamingQueries {
       // (batch-boundary-dependent columns stay out; n_batches is fixed
       // by the 3-slice staging) so the oracle also proves the replay was
       // genuinely multi-batch.
-      (s, dir) => {
-        import org.apache.spark.sql.functions._
-        val ledger = StreamingOps.observedReplayLedger(s, dir)
-        val rows = ledger.map(_._1).sum
-        val vq = ledger.map(_._2).sum
-        s.range(1).select(
-          lit(ledger.size).as("n_batches"),
-          lit(rows).as("n_rows"),
-          (floor((lit(vq) + 50) / 100) / 100.0).as("total_value"))
-      },
+      (s, dir) => StreamingOps.familyResult(s, dir, "stream_observed_totals"),
       Some("""
         SELECT 3 AS n_batches, count(*) AS n_rows,
                floor((sum(CAST(floor(value * 10000 + 0.5) AS BIGINT)) + 50) / 100) / 100.0 AS total_value

@@ -98,6 +98,23 @@ class GraphTextOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("triangleCountOriented canonicalizes duplicates, reversals and self-loops by default") {
+    val s = spark
+    import s.implicits._
+    // K4 on 1..4 (4 triangles), polluted with: duplicate edges, reversed
+    // orientations, and self-loops — all of which inflate degrees and
+    // wedge counts if fed to the census raw. The default path must
+    // canonicalize back to the simple graph; the assumeCanonical path on
+    // the CLEAN list must agree.
+    val clean = for { i <- 1L to 4L; j <- (i + 1) to 4L } yield (i, j)
+    val dirty = clean ++ clean.map(_.swap) ++ clean.take(3) ++
+      Seq((1L, 1L), (3L, 3L))
+    assert(GraphOps.triangleCountOriented(dirty.toDF("a", "b"))
+      .head.getLong(0) == 4L)
+    assert(GraphOps.triangleCountOriented(
+      clean.toDF("a", "b"), assumeCanonical = true).head.getLong(0) == 4L)
+  }
+
   test("degree orientation bounds wedge fan-out on a skewed star (id order explodes)") {
     val s = spark
     import s.implicits._

@@ -38,7 +38,7 @@ class CatalogSpec extends AnyFunSuite {
       "dedup_minhash_lsh", "dedup_embedding_lsh",
       "similarity_lsh_topk", "similarity_lsh_topk_banded",
       "similarity_ivf_topk", "similarity_ivf_batch_topk",
-      "similarity_pq_topk", "agg_approx_distinct",
+      "similarity_pq_topk", "similarity_pq_batch_topk", "agg_approx_distinct",
       "agg_approx_percentile", "agg_hll_merge",
       "agg_cms_freq", "text_compression_ratio")
     assert(rowsOnly == accuracyGraded,

@@ -157,6 +157,21 @@ class RecallSpec extends AnyFunSuite {
     assert(per.min >= 0.6, f"a query fell through the probed cells: ${per.min}")
   }
 
+  test("similarity_pq_batch_topk per-query overlap vs the exact batch twin") {
+    def top(name: String): Map[Long, Set[Long]] =
+      Catalog.queriesMap(name)(spark, dir).select("q_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+        .map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val exact = top("similarity_batch_topk")
+    val pq = top("similarity_pq_batch_topk")
+    val per = exact.keys.toSeq.sorted
+      .map(q => (pq.getOrElse(q, Set.empty) & exact(q)).size / 10.0)
+    val mean = per.sum / per.size
+    info(f"PQ batch overlap@10: mean=$mean%.3f per-query=${per.mkString(",")}")
+    assert(mean >= 0.7, f"PQ batch mean overlap degraded: $mean%.3f")
+    assert(per.min >= 0.5, f"a query lost its neighborhood to quantization: ${per.min}")
+  }
+
   test("similarity_ivf_topk overlap vs exact top-k") {
     val exact = topIds("similarity_topk")
     val ivf = topIds("similarity_ivf_topk")

@@ -202,12 +202,14 @@ class StreamingSpec extends AnyFunSuite {
     // data wave is in flight, then (b) DROPS once the flush waves push the
     // watermark past every real event — eviction observed, not assumed.
     for (
-      run <- Seq(
-        () => StreamingOps.streamStreamLeftJoin(spark, "/root/testdata/sf0.001"),
-        () => StreamingOps.streamStreamFullJoin(spark, "/root/testdata/sf0.001"))
+      (run, name) <- Seq(
+        (() => StreamingOps.streamStreamLeftJoin(spark, "/root/testdata/sf0.001"),
+          "stream_stream_left_join"),
+        (() => StreamingOps.streamStreamFullJoin(spark, "/root/testdata/sf0.001"),
+          "stream_stream_full_join"))
     ) {
       run().count() // drive the replay to completion
-      val stateRows = StreamingOps.lastRunProgress
+      val stateRows = StreamingOps.progressFor(name)
         .filter(_.stateOperators.nonEmpty)
         .map(_.stateOperators.map(_.numRowsTotal).sum)
       assert(stateRows.nonEmpty, "no stateful progress recorded")

@@ -31,3 +31,6 @@ for name, q in sorted(sql.items()):
 for name, msg in fails:
     print(f"FAIL {name}: {msg}")
 print(f"\n{len(sql)-len(fails)}/{len(sql)} matched")
+if fails:
+    import sys
+    sys.exit(1)
