@@ -47,6 +47,7 @@ object ExplainAll {
     "orders_pareto" -> "Global revenue-ordered cumsum WITHOUT a single-partition window: range-partition by (rev desc, key), per-partition sums, ≤8-row offset scan broadcast back — the two-phase distributed prefix sum.",
     "graph_triangles" -> "Triangle census: DEGREE-ordered wedge orientation (per-key fan-out ≤ O(√m) under hub skew), checkpointed oriented list so AQE broadcasts the closing LeftSemi — every step an equi-join on vertex keys, no cartesian.",
     "similarity_batch_topk" -> "Batched ANN serving: one scan scores the broadcast query batch, PartialTopK bounded heaps → one hash exchange of k·|Q| survivors per partition → FinalTopK; no window, no global sort.",
+    "similarity_pq_batch_topk" -> "Batched PQ serving: codes computed once inside the corpus scan, |Q| distance tables broadcast (BroadcastNestedLoop bounded by the fixed batch), PartialTopK/FinalTopK bounded heaps for BOTH the ADC shortlist and the exact re-rank — no window, no global sort, the raw-vector read confined to the shortlist join.",
     "embedding_top_pc" -> "PCA power iteration: per round one broadcast of the 64-dim v (a literal array), map-side quantized dots, one d-key aggregation — the d×d covariance never exists.",
     "histogram_equi_depth" -> "Equi-depth deciles via distributedNtile: range-repartition + per-partition rank + broadcast offsets — no single-partition ntile window anywhere in the plan.",
     "events_anomaly_mad" -> "Median/MAD robust gate: both per-type median tables broadcast back onto events; the outlier flag is a pure integer comparison inside codegen.",

@@ -89,6 +89,53 @@ object RegimeBoundary {
       println(s"[regime] clusters (tau 0.95, derive+CC) 10x: $nCl rows in ${f"$tCl%.1f"}s")
     }
 
+    // ------------------------------- composite curation pipeline at 10x
+    // Individual operators carry their own 10x rows; this proves the
+    // COMPOSITE (clean -> quality gate -> exact dedup -> chunk accounting
+    // -> per-lang stats through the Node algebra, ONE Catalyst plan —
+    // the graded `pipeline_curation` code path itself, run against a 10x
+    // documents table) keeps the per-operator scale properties when the
+    // stages compose: no re-shuffle blowup or lost pushdown at the `~>`
+    // seams. Median-of-3 wall + an order-independent output hash (the
+    // rollup is per-lang, so the hash pins plan-equivalence across runs).
+    {
+      val fullPath =
+        s"${System.getProperty("java.io.tmpdir")}/graft_regime_docs10x_full"
+      if (!Files.exists(Paths.get(fullPath, "documents.parquet", "_SUCCESS"))) {
+        val base = spark.read.parquet(s"$sfDir/documents.parquet")
+        val replicas = (0 until 10).map { r =>
+          base
+            .withColumn("doc_id", col("doc_id") + lit(r * 10000000L))
+            .withColumn("text", array_join(transform(split(col("text"), " "),
+              t => concat(t, lit(s"x$r"))), " "))
+        }
+        replicas.reduce(_ unionByName _)
+          .repartition(32).write.mode("overwrite")
+          .parquet(s"$fullPath/documents.parquet")
+      }
+      val nFull = spark.read.parquet(s"$fullPath/documents.parquet").count()
+      val runQ = graft.queries.Catalog.queriesMap("pipeline_curation")
+      var rows: Array[org.apache.spark.sql.Row] = Array.empty
+      val walls = (1 to 3).map { _ =>
+        val (r, t) = timed(runQ(spark, fullPath).collect())
+        rows = r
+        t
+      }
+      val wall = walls.sorted.apply(1)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      rows.map(_.toString).sorted.foreach(s => md.update(s.getBytes("UTF-8")))
+      val hash = md.digest().map("%02x".format(_)).mkString
+      val chunks = rows.map(r => r.getLong(r.fieldIndex("total_chunks"))).sum
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ", ", "]")
+      results += "pipeline_curation_10x" ->
+        s"""{"docs": $nFull, "wall_s": ${f"$wall%.1f"}, "walls_s": ${arr(walls)},
+           | "protocol": "median_of_3", "out_rows": ${rows.length},
+           | "total_chunks": $chunks, "output_md5": "$hash"}"""
+          .stripMargin.replace("\n", "")
+      println(s"[regime] pipeline_curation 10x: $nFull docs -> ${rows.length} " +
+        s"lang rows / $chunks chunks in ${f"$wall%.1f"}s ${arr(walls)} md5=$hash")
+    }
+
     // ------------------------------------------- 10x embeddings (ANN)
     {
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")

@@ -217,22 +217,32 @@ object StreamingOps {
       // caught up: a drained-but-running query is not free — the engine
       // keeps trigger-checking (and can fire further no-op batches),
       // which steals cores from the still-draining members of the wave.
+      // Failures must NOT be swallowed by their drain thread: a query
+      // that dies mid-replay would otherwise surface as a silently
+      // truncated memory table instead of an error.
+      val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]()
       val drainers = started.map { case (job, _, q) =>
         val t = new Thread(() => {
-          q.processAllAvailable()
-          val progress = q.recentProgress.toSeq
-          progressByName.put(job.name, progress)
-          lastProgressRef.set(progress)
-          q.stop()
-          dbg(s"drained ${job.name} batches=[${
-            progress.map(_.batchDuration).mkString(",")}] lastEnd=${
-            progress.lastOption.map(_.timestamp).getOrElse("-")}")
+          try {
+            q.processAllAvailable()
+            val progress = q.recentProgress.toSeq
+            progressByName.put(job.name, progress)
+            lastProgressRef.set(progress)
+            q.stop()
+            dbg(s"drained ${job.name} batches=[${
+              progress.map(_.batchDuration).mkString(",")}] lastEnd=${
+              progress.lastOption.map(_.timestamp).getOrElse("-")}")
+          } catch {
+            case t: Throwable => failure.compareAndSet(null,
+              new RuntimeException(s"streaming job ${job.name} failed", t))
+          }
         }, s"graft-drain-${job.name}")
         t.setDaemon(true)
         t.start()
         t
       }
       drainers.foreach(_.join())
+      if (failure.get() != null) throw failure.get()
     } finally {
       started.foreach { case (_, _, q) =>
         try q.stop() catch { case _: Throwable => () }
@@ -285,7 +295,9 @@ object StreamingOps {
     * is the dataset dir — a different SF replays its own wave.
     */
   def familyResult(spark: SparkSession, dir: String, name: String): DataFrame =
-    familyCache.computeIfAbsent(dir, _ => runFamily(spark, dir))(name)
+    familyCache.computeIfAbsent(
+      (graft.ops.SparkOps.sessionId(spark), dir),
+      _ => runFamily(spark, dir))(name)
 
   /** One wave for the WHOLE graded family: the 15 memory-sink jobs start
     * first; once every start has captured its conf, the four bespoke-loop
@@ -353,8 +365,8 @@ object StreamingOps {
       (floor((lit(vq) + 50) / 100) / 100.0).as("total_value"))
   }
 
-  private val familyCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Map[String, DataFrame]]()
+  private val familyCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Map[String, DataFrame]]()
 
   /** The 15 memory-sink members of the graded replay family (the four
     * bespoke-loop queries — state reader, upsert sink, checkpoint restart,
