@@ -550,6 +550,335 @@ object WarehouseQueries {
         GROUP BY c_mktsegment
         ORDER BY c_mktsegment""")
     ),
+    // ------------------------------------------- Q2 min-cost supplier
+    QueryDef(
+      "tpch_q2_min_cost_supplier",
+      (s, dir) => {
+        // TPC-H Q2's correlated-min shape on the cut-down schema: the
+        // lineitem (part, supplier) pairs stand in for partsupp, with the
+        // pair's cheapest observed line price as the supply cost. The
+        // correlated `cost = min(cost) per part` subquery decorrelates to
+        // an aggregate joined back on (partkey, cost) — one shuffle on the
+        // pair grain, then part-grain; every dimension broadcasts. Costs
+        // compare as exact cent quanta so min-equality cannot split.
+        val costQ = floor(col("l_extendedprice") * 10000 + 0.5).cast("long")
+        val suEu = broadcast(
+          t(s, dir, "supplier")
+            .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+            .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), costQ.as("cost_q"))
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(min(col("cost_q")).as("cost_q"))
+          .join(suEu, col("l_suppkey") === suEu("s_suppkey"))
+        val minc = ps.groupBy(col("l_partkey").as("mp_key"))
+          .agg(min(col("cost_q")).as("min_q"))
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
+          .select("p_partkey", "p_type"))
+        ps.join(minc, ps("l_partkey") === col("mp_key") &&
+            ps("cost_q") === col("min_q"))
+          .join(p, ps("l_partkey") === p("p_partkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_type"),
+            (floor((col("cost_q") + 50) / 100) / 100.0).as("min_cost"))
+          .orderBy(desc("s_acctbal"), col("n_name"), col("s_name"),
+            col("p_partkey"))
+          .limit(100)
+      },
+      Some("""
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey,
+                 min(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS cost_q
+          FROM lineitem GROUP BY 1, 2),
+        eu AS (
+          SELECT ps.l_partkey, ps.cost_q, s_acctbal, s_name, n_name
+          FROM ps
+          JOIN supplier ON ps.l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE')
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+               floor((cost_q + 50) / 100) / 100.0 AS min_cost
+        FROM eu JOIN part ON eu.l_partkey = p_partkey
+        WHERE p_type = 'LARGE' AND p_size BETWEEN 10 AND 20
+          AND cost_q = (SELECT min(e2.cost_q) FROM eu e2
+                        WHERE e2.l_partkey = eu.l_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100""")
+    ),
+    // ------------------------------------------- Q9 product-type profit
+    QueryDef(
+      "tpch_q9_product_profit",
+      (s, dir) => {
+        // Profit by supplier nation and order year for one part family
+        // (TPC-H Q9 with p_retailprice·quantity standing in for
+        // ps_supplycost·quantity). Five-table snowflake where only the
+        // two facts shuffle (lineitem⋈orders on the order key); part,
+        // supplier, nation broadcast. Profit is computed per row in exact
+        // 1e-4 quanta — revenue quanta minus cost quanta — so the sum is
+        // partition-order independent and engine-exact.
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("%widget%"))
+          .select(col("p_partkey"),
+            floor(col("p_retailprice") * 100 + 0.5).cast("long").as("cost_c")))
+        val su = broadcast(t(s, dir, "supplier").select("s_suppkey", "s_nationkey"))
+        val n = broadcast(t(s, dir, "nation").select("n_nationkey", "n_name"))
+        val o = t(s, dir, "orders").select("o_orderkey", "o_orderdate")
+        val l = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+            "l_extendedprice", "l_discount")
+        val profitQ =
+          floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
+            .cast("long") -
+          col("cost_c") * col("l_quantity").cast("long") * lit(100L)
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .join(n, su("s_nationkey") === n("n_nationkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .groupBy(col("n_name").as("nation"),
+            year(col("o_orderdate")).as("o_year"))
+          .agg((floor((sum(profitQ) + 50) / 100) / 100.0).as("sum_profit"))
+          .orderBy(col("nation"), desc("o_year"))
+      },
+      Some("""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               floor((sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)
+                          - CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)
+                            * CAST(l_quantity AS BIGINT) * 100) + 50) / 100) / 100.0
+                 AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC""")
+    ),
+    // ------------------------------------------- Q11 important stock
+    QueryDef(
+      "tpch_q11_important_stock",
+      (s, dir) => {
+        // Parts holding an outsized share of one region's supply value
+        // (TPC-H Q11's HAVING-over-scalar-subquery). The global total and
+        // part count ride back as a broadcast 1-row join; the share
+        // predicate `value · n_parts > 2 · total` stays in exact integer
+        // quanta (no division), so the cut is scale-stable — roughly the
+        // same FRACTION of parts passes at every SF — and boundary-exact.
+        val suAsia = broadcast(
+          t(s, dir, "supplier")
+            .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+            .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("s_suppkey"))
+        val vals = t(s, dir, "lineitem")
+          .join(suAsia, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey").as("ps_partkey"))
+          .agg(sum(floor(col("l_extendedprice") * 10000 + 0.5).cast("long"))
+            .as("val_q"))
+        val tot = vals.agg(sum(col("val_q")).as("tot_q"),
+          count(lit(1)).as("n_parts"))
+        vals.crossJoin(broadcast(tot))
+          .filter(col("val_q") * col("n_parts") > col("tot_q") * 2)
+          .select(col("ps_partkey"),
+            (floor((col("val_q") + 50) / 100) / 100.0).as("stock_value"))
+          .orderBy(desc("stock_value"), col("ps_partkey"))
+      },
+      Some("""
+        WITH v AS (
+          SELECT l_partkey AS ps_partkey,
+                 sum(CAST(floor(l_extendedprice * 10000 + 0.5) AS BIGINT)) AS val_q
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation   ON s_nationkey = n_nationkey
+          JOIN region   ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+          GROUP BY 1)
+        SELECT ps_partkey, floor((val_q + 50) / 100) / 100.0 AS stock_value
+        FROM v
+        WHERE val_q * (SELECT count(*) FROM v) > 2 * (SELECT sum(val_q) FROM v)
+        ORDER BY stock_value DESC, ps_partkey""")
+    ),
+    // ------------------------------------------- Q12 lateness by ship class
+    QueryDef(
+      "tpch_q12_ship_class",
+      (s, dir) => {
+        // TPC-H Q12's conditional-sum-after-join, with a derived SLOW/FAST
+        // ship class standing in for l_shipmode (the schema carries no
+        // mode column): did late shipping correlate with order priority?
+        // One fact⋈fact join on the order key, the CASE sums partial-
+        // aggregate map-side onto two output rows.
+        val o = t(s, dir, "orders")
+          .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .select("l_orderkey", "l_shipdate")
+        val high = col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH"
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .select(
+            when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 120 DAYS"),
+              lit("SLOW")).otherwise(lit("FAST")).as("ship_class"),
+            when(high, 1L).otherwise(0L).as("is_high"))
+          .groupBy(col("ship_class"))
+          .agg(sum(col("is_high")).as("high_line_count"),
+            sum(lit(1L) - col("is_high")).as("low_line_count"))
+          .orderBy(col("ship_class"))
+      },
+      Some("""
+        SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 120 DAY
+                    THEN 'SLOW' ELSE 'FAST' END AS ship_class,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY ship_class
+        ORDER BY ship_class""")
+    ),
+    // ------------------------------------------- Q16 supplier-part counts
+    QueryDef(
+      "tpch_q16_supplier_part_count",
+      (s, dir) => {
+        // Distinct-supplier counts per part attribute triple, excluding a
+        // NOT-IN supplier list (TPC-H Q16; below-average balance stands in
+        // for the complaint-comment scan). The exclusion decorrelates to a
+        // broadcast LEFT ANTI join on the derived (part, supplier) pairs —
+        // never a per-row probe — and the count-distinct runs on the
+        // already-distinct pair grain.
+        val avgBal = t(s, dir, "supplier").agg(avg(col("s_acctbal")).as("ab"))
+        val excl = broadcast(t(s, dir, "supplier").crossJoin(broadcast(avgBal))
+          .filter(col("s_acctbal") < col("ab")).select("s_suppkey"))
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_brand") =!= "Brand#45" &&
+            col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
+          .select("p_partkey", "p_brand", "p_type", "p_size"))
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+          .join(excl, col("l_suppkey") === excl("s_suppkey"), "left_anti")
+          .join(p, col("l_partkey") === p("p_partkey"))
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+          .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
+            col("p_size"))
+      },
+      Some("""
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+          AND l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier
+            WHERE s_acctbal < (SELECT avg(s_acctbal) FROM supplier))
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+    ),
+    // ------------------------------------------- Q20 dominant suppliers
+    QueryDef(
+      "tpch_q20_dominant_suppliers",
+      (s, dir) => {
+        // Suppliers who shipped an outsized share (>30%) of any small-part
+        // family's annual volume (TPC-H Q20's nested-aggregate semi-join,
+        // with shipped share standing in for the availqty comparison).
+        // Both aggregates run on the same pair-grain pass; the share
+        // predicate compares integer quantity sums cross-multiplied — no
+        // division — and the qualifying pairs semi-join into the supplier
+        // dim, so the fact is never scanned twice.
+        val p = broadcast(t(s, dir, "part")
+          .filter(col("p_name").like("small%")).select("p_partkey"))
+        val l = t(s, dir, "lineitem")
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+          .join(p, col("l_partkey") === p("p_partkey"))
+          .select(col("l_partkey"), col("l_suppkey"),
+            col("l_quantity").cast("long").as("qty"))
+        val bySupp = l.groupBy("l_partkey", "l_suppkey")
+          .agg(sum(col("qty")).as("sq"))
+        val byPart = bySupp.groupBy(col("l_partkey").as("tp_key"))
+          .agg(sum(col("sq")).as("tq"))
+        val qual = bySupp.join(byPart, col("l_partkey") === col("tp_key"))
+          .filter(col("sq") * 10 > col("tq") * 3)
+          .select(col("l_suppkey"))
+        val n = broadcast(t(s, dir, "nation").select("n_nationkey", "n_name"))
+        t(s, dir, "supplier")
+          .join(qual, col("s_suppkey") === qual("l_suppkey"), "left_semi")
+          .join(n, col("s_nationkey") === n("n_nationkey"))
+          .select(col("s_name"), col("n_name"))
+          .orderBy(col("s_name"))
+      },
+      Some("""
+        WITH sq AS (
+          SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS sq
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'small%'
+            AND l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate <  TIMESTAMP '1998-01-01'
+          GROUP BY 1, 2),
+        tq AS (SELECT l_partkey, sum(sq) AS tq FROM sq GROUP BY 1)
+        SELECT s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey IN (
+          SELECT l_suppkey FROM sq JOIN tq USING (l_partkey)
+          WHERE sq.sq * 10 > tq.tq * 3)
+        ORDER BY s_name""")
+    ),
+    // ------------------------------------------- Q21 waiting suppliers
+    QueryDef(
+      "tpch_q21_waiting_suppliers",
+      (s, dir) => {
+        // Suppliers who were the SOLE late shipper on multi-supplier
+        // finished orders (TPC-H Q21's EXISTS + NOT-EXISTS pair, with
+        // `shipdate > orderdate + 90 days` as the lateness predicate in
+        // place of receipt/commit dates). Both correlated quantifiers
+        // decorrelate to ONE order-grain aggregate pass — distinct
+        // supplier count and distinct LATE supplier count per order — that
+        // joins back to the late lines; everything shuffles once on the
+        // order key. Counted per late LINE, exactly as the spec's l1 rows.
+        val oF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+          .select("o_orderkey", "o_orderdate")
+        val l = t(s, dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(oF, col("l_orderkey") === col("o_orderkey"))
+          .select(col("l_orderkey"), col("l_suppkey"),
+            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+              .as("is_late"))
+        val stats = l.groupBy(col("l_orderkey").as("st_key"))
+          .agg(countDistinct(col("l_suppkey")).as("ns"),
+            countDistinct(when(col("is_late"), col("l_suppkey"))).as("nl"))
+        val su = broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name"))
+        l.filter(col("is_late"))
+          .join(stats, col("l_orderkey") === col("st_key"))
+          .filter(col("ns") > 1 && col("nl") === 1)
+          .join(su, col("l_suppkey") === su("s_suppkey"))
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(desc("numwait"), col("s_name"))
+          .limit(100)
+      },
+      Some("""
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders   ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 100""")
+    ),
     // ------------------------------------------------- 3-step user paths
     QueryDef(
       "events_paths_top",

@@ -176,11 +176,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"top-10 must run as TakeOrderedAndProject, not global sort:\n$q3")
     Seq("tpch_q3_top_orders", "tpch_q5_local_supplier",
       "tpch_q8_market_share", "tpch_q18_large_orders",
-      "tpch_q10_returned_items", "tpch_q19_disjunctive").foreach { q =>
+      "tpch_q10_returned_items", "tpch_q19_disjunctive",
+      "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
+      "tpch_q12_ship_class", "tpch_q20_dominant_suppliers",
+      "tpch_q21_waiting_suppliers").foreach { q =>
       val p = planOf(q)
       assert(p.contains("BroadcastHashJoin"), s"$q: dimension joins must broadcast")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: no product joins:\n$p")
+    }
+    // Q21's top-100 must plan as a bounded TakeOrderedAndProject, and its
+    // two correlated quantifiers must have decorrelated to ONE order-grain
+    // aggregate (two HashAggregate levels for partial+final + the
+    // supplier-grain count), never a per-row probe.
+    val q21 = planOf("tpch_q21_waiting_suppliers")
+    assert(q21.contains("TakeOrderedAndProject"),
+      s"q21 top-100 must be TakeOrderedAndProject:\n$q21")
+    // Q11/Q16's scalar-subquery totals ride back as 1-row broadcast joins;
+    // the only nested-loop allowed is that bounded 1-row cross.
+    Seq("tpch_q11_important_stock", "tpch_q16_supplier_part_count").foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct"), s"$q: unbounded cartesian:\n$p")
     }
   }
 
