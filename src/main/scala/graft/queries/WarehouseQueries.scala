@@ -837,28 +837,31 @@ object WarehouseQueries {
         // finished orders (TPC-H Q21's EXISTS + NOT-EXISTS pair, with
         // `shipdate > orderdate + 90 days` as the lateness predicate in
         // place of receipt/commit dates). Both correlated quantifiers
-        // decorrelate to ONE order-grain aggregate pass — distinct
-        // supplier count and distinct LATE supplier count per order — that
-        // joins back to the late lines; everything shuffles once on the
-        // order key. Counted per late LINE, exactly as the spec's l1 rows.
+        // decorrelate through ONE (order, supplier)-grain aggregate that
+        // carries the late-LINE count per pair: the fact is scanned and
+        // pair-aggregated once (both downstream consumers reuse that
+        // exchange), order-grain stats reduce the already-small pair rows,
+        // and numwait = Σ late_lines reproduces the spec's per-l1-row
+        // count — no second fact scan, no countDistinct Expand.
         val oF = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
           .select("o_orderkey", "o_orderdate")
-        val l = t(s, dir, "lineitem")
+        val pairAgg = t(s, dir, "lineitem")
           .select("l_orderkey", "l_suppkey", "l_shipdate")
           .join(oF, col("l_orderkey") === col("o_orderkey"))
-          .select(col("l_orderkey"), col("l_suppkey"),
-            (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
-              .as("is_late"))
-        val stats = l.groupBy(col("l_orderkey").as("st_key"))
-          .agg(countDistinct(col("l_suppkey")).as("ns"),
-            countDistinct(when(col("is_late"), col("l_suppkey"))).as("nl"))
+          .groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(sum(
+            when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+              1L).otherwise(0L)).as("late_lines"))
+        val stats = pairAgg.groupBy(col("l_orderkey").as("st_key"))
+          .agg(count(lit(1)).as("ns"),
+            sum(when(col("late_lines") > 0, 1L).otherwise(0L)).as("nl"))
         val su = broadcast(t(s, dir, "supplier").select("s_suppkey", "s_name"))
-        l.filter(col("is_late"))
+        pairAgg.filter(col("late_lines") > 0)
           .join(stats, col("l_orderkey") === col("st_key"))
           .filter(col("ns") > 1 && col("nl") === 1)
           .join(su, col("l_suppkey") === su("s_suppkey"))
           .groupBy(col("s_name"))
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum(col("late_lines")).as("numwait"))
           .orderBy(desc("numwait"), col("s_name"))
           .limit(100)
       },
