@@ -558,9 +558,12 @@ object WarehouseQueries {
         // lineitem (part, supplier) pairs stand in for partsupp, with the
         // pair's cheapest observed line price as the supply cost. The
         // correlated `cost = min(cost) per part` subquery decorrelates to
-        // an aggregate joined back on (partkey, cost) — one shuffle on the
-        // pair grain, then part-grain; every dimension broadcasts. Costs
-        // compare as exact cent quanta so min-equality cannot split.
+        // an aggregate joined back on (partkey, cost) — and BOTH dimension
+        // filters (LARGE parts, EUROPE suppliers) broadcast into the fact
+        // scan BEFORE the pair-grain shuffle, since the per-part min is
+        // invariant to dropping other parts' rows. At 100 TB that prunes
+        // the shuffle ~30× vs aggregating every pair first. Costs compare
+        // as exact cent quanta so min-equality cannot split.
         val costQ = floor(col("l_extendedprice") * 10000 + 0.5).cast("long")
         val suEu = broadcast(
           t(s, dir, "supplier")
@@ -568,19 +571,20 @@ object WarehouseQueries {
             .join(t(s, dir, "region").filter(col("r_name") === "EUROPE"),
               col("n_regionkey") === col("r_regionkey"))
             .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
-        val ps = t(s, dir, "lineitem")
-          .select(col("l_partkey"), col("l_suppkey"), costQ.as("cost_q"))
-          .groupBy("l_partkey", "l_suppkey")
-          .agg(min(col("cost_q")).as("cost_q"))
-          .join(suEu, col("l_suppkey") === suEu("s_suppkey"))
-        val minc = ps.groupBy(col("l_partkey").as("mp_key"))
-          .agg(min(col("cost_q")).as("min_q"))
         val p = broadcast(t(s, dir, "part")
           .filter(col("p_type") === "LARGE" && col("p_size").between(10, 20))
           .select("p_partkey", "p_type"))
+        val ps = t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), costQ.as("cost_q"))
+          .join(p, col("l_partkey") === p("p_partkey"))
+          .join(suEu, col("l_suppkey") === suEu("s_suppkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"), col("p_partkey"),
+            col("p_type"), col("s_name"), col("s_acctbal"), col("n_name"))
+          .agg(min(col("cost_q")).as("cost_q"))
+        val minc = ps.groupBy(col("l_partkey").as("mp_key"))
+          .agg(min(col("cost_q")).as("min_q"))
         ps.join(minc, ps("l_partkey") === col("mp_key") &&
             ps("cost_q") === col("min_q"))
-          .join(p, ps("l_partkey") === p("p_partkey"))
           .select(col("s_acctbal"), col("s_name"), col("n_name"),
             col("p_partkey"), col("p_type"),
             (floor((col("cost_q") + 50) / 100) / 100.0).as("min_cost"))
@@ -749,9 +753,12 @@ object WarehouseQueries {
         // Distinct-supplier counts per part attribute triple, excluding a
         // NOT-IN supplier list (TPC-H Q16; below-average balance stands in
         // for the complaint-comment scan). The exclusion decorrelates to a
-        // broadcast LEFT ANTI join on the derived (part, supplier) pairs —
-        // never a per-row probe — and the count-distinct runs on the
-        // already-distinct pair grain.
+        // broadcast LEFT ANTI join on the fact scan — never a per-row
+        // probe — and both it and the part filter apply BEFORE the
+        // distinct's pair-grain shuffle (dropping rows by key commutes
+        // with distinct-on-those-keys), so at 100 TB only surviving pairs
+        // shuffle. The count-distinct then runs on the already-distinct
+        // pair grain.
         val avgBal = t(s, dir, "supplier").agg(avg(col("s_acctbal")).as("ab"))
         val excl = broadcast(t(s, dir, "supplier").crossJoin(broadcast(avgBal))
           .filter(col("s_acctbal") < col("ab")).select("s_suppkey"))
@@ -759,9 +766,11 @@ object WarehouseQueries {
           .filter(col("p_brand") =!= "Brand#45" &&
             col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
           .select("p_partkey", "p_brand", "p_type", "p_size"))
-        t(s, dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+        t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
           .join(excl, col("l_suppkey") === excl("s_suppkey"), "left_anti")
           .join(p, col("l_partkey") === p("p_partkey"))
+          .select("l_partkey", "l_suppkey", "p_brand", "p_type", "p_size")
+          .distinct()
           .groupBy(col("p_brand"), col("p_type"), col("p_size"))
           .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
           .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
