@@ -43,7 +43,7 @@ prev_note = base.get("bench_note", "")
 base["bench_total_s"] = median_total
 base["bench_queries"] = med
 base["bench_anchor_meta"] = {
-    "date": "2026-08-15",
+    "date": "2026-08-16",
     "round": 12,
     "sf_dir": "/root/testdata/sf0.1",
     "master": "local[32]",
