@@ -34,6 +34,8 @@ object ExplainAll {
     "agg_heavy_hitters" -> "Misra-Gries candidate pass (mapPartitions) feeds a broadcast semi-filter; the full-vocabulary groupBy never runs.",
     "tpch_q3_top_orders" -> "Fact-fact join on the order key; segment-filtered customer dim broadcasts; top-10 via TakeOrderedAndProject.",
     "tpch_q2_min_cost_supplier" -> "Correlated per-part MIN decorrelated: pair-grain aggregate joined back on (partkey, cost-quanta) equality; EU supplier info and the filtered part dim broadcast — the fact shuffles once on the pair grain.",
+    "sql_recursive_cte" -> "WITH RECURSIVE month spine as a bounded UnionLoop (84 iterations, driver-tiny); the orders fact aggregates to month grain BEFORE the spine's broadcast left join.",
+    "sql_udf_scalar" -> "SQL-language UDF inlined at resolution: the plan carries pure floor/cast expressions inside WholeStageCodegen — no ScalaUDF node, unlike a JVM udf().",
     "tpch_q21_waiting_suppliers" -> "EXISTS + NOT-EXISTS both decorrelated to ONE order-grain aggregate (distinct suppliers, distinct LATE suppliers) joined back to the late lines; single order-key shuffle, top-100 via TakeOrderedAndProject.",
     "tpch_q5_local_supplier" -> "Six-table snowflake: every dimension BroadcastHashJoin, facts shuffle once each, no cartesian.",
     "events_attribution" -> "As-of attribution as ONE running last(ignoreNulls) window per user — no join, single user_id shuffle.",

@@ -944,6 +944,111 @@ object AnalyticsQueries {
         GROUP BY o_orderpriority ORDER BY o_orderpriority""")
     ),
     QueryDef(
+      "sql_recursive_cte",
+      (s, dir) => {
+        // Spark 4's WITH RECURSIVE (SPARK-24497): the calendar month spine
+        // is generated by the recursion itself (84 iterations, driver-tiny)
+        // and the fact left-joins onto it so order-free months surface as
+        // zero rows — the gap-filled-report shape expressed purely in SQL
+        // text. The fact side aggregates to month grain BEFORE the spine
+        // join, so at 100 TB the recursion never touches fact cardinality.
+        t(s, dir, "orders").createOrReplaceTempView("orders_v")
+        s.sql("""
+          WITH RECURSIVE months(m) AS (
+            SELECT DATE '1995-01-01'
+            UNION ALL
+            SELECT m + INTERVAL '1' MONTH FROM months
+            WHERE m < DATE '2001-12-01'
+          ),
+          oc AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+                   count(*) AS n,
+                   sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS tot_e4
+            FROM orders_v GROUP BY 1
+          )
+          SELECT CAST(m AS DATE) AS month,
+                 coalesce(n, 0L) AS n_orders,
+                 coalesce(tot_e4, 0L) AS total_e4
+          FROM months LEFT JOIN oc ON CAST(m AS DATE) = om
+          ORDER BY month""")
+      },
+      Some("""
+        WITH RECURSIVE months(m) AS (
+          SELECT DATE '1995-01-01'
+          UNION ALL
+          SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM months
+          WHERE m < DATE '2001-12-01'
+        ),
+        oc AS (
+          SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS om,
+                 count(*) AS n,
+                 sum(CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)) AS tot_e4
+          FROM orders GROUP BY 1
+        )
+        SELECT m AS month,
+               CAST(coalesce(n, 0) AS BIGINT) AS n_orders,
+               CAST(coalesce(tot_e4, 0) AS BIGINT) AS total_e4
+        FROM months LEFT JOIN oc ON m = om
+        ORDER BY month""")
+    ),
+    QueryDef(
+      "sql_pipe_syntax",
+      (s, dir) => {
+        // Spark 4's SQL pipe syntax (SPARK-49555): the same declarative
+        // plan as a chained |> flow — WHERE prunes at the scan, EXTEND
+        // derives the cent quanta once, AGGREGATE partial-combines
+        // map-side. Pipe order IS evaluation order, so the derived column
+        // exists before the aggregate references it; Catalyst plans it
+        // identically to the nested-SQL equivalent the oracle runs.
+        t(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+        s.sql("""
+          FROM lineitem_v
+          |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+             AND l_shipdate < TIMESTAMP '1999-01-01'
+          |> EXTEND CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+               AS BIGINT) AS rev_q
+          |> AGGREGATE count(*) AS n_lines, sum(rev_q) AS rev_e4
+             GROUP BY l_returnflag, l_linestatus
+          |> ORDER BY l_returnflag, l_linestatus""")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n_lines,
+               CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS rev_e4
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1999-01-01'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus""")
+    ),
+    QueryDef(
+      "sql_udf_scalar",
+      (s, dir) => {
+        // Spark 4's SQL-language scalar UDF (CREATE FUNCTION ... RETURN
+        // expr): the body is INLINED into the plan at resolution — unlike
+        // a JVM udf() it stays inside WholeStageCodegen and keeps filter
+        // pushdown eligibility. CREATE OR REPLACE keeps the entry
+        // idempotent across the shared bench/verify session.
+        t(s, dir, "customer").createOrReplaceTempView("customer_v")
+        s.sql("""
+          CREATE OR REPLACE TEMPORARY FUNCTION money_e4(x DOUBLE)
+          RETURNS BIGINT RETURN CAST(floor(x * 10000 + 0.5) AS BIGINT)""")
+        s.sql("""
+          SELECT c_mktsegment, count(*) AS n_cust,
+                 sum(money_e4(c_acctbal)) AS bal_e4
+          FROM customer_v
+          WHERE money_e4(c_acctbal) > 0
+          GROUP BY c_mktsegment
+          ORDER BY c_mktsegment""")
+      },
+      Some("""
+        SELECT c_mktsegment, count(*) AS n_cust,
+               CAST(sum(CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS bal_e4
+        FROM customer
+        WHERE CAST(floor(c_acctbal * 10000 + 0.5) AS BIGINT) > 0
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    ),
+    QueryDef(
       "window_range_frame",
       (s, dir) => {
         // RANGE-framed window: per-customer rolling 30-day order total.

@@ -200,6 +200,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("sql_udf_scalar inlines the SQL-language UDF — no ScalaUDF/eval node survives resolution") {
+    val plan = planOf("sql_udf_scalar")
+    assert(!plan.contains("ScalaUDF") && !plan.contains("BatchEvalPython"),
+      s"SQL UDF must inline into codegen'd expressions:\n$plan")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate in:\n$plan")
+  }
+
+  test("sql_recursive_cte plans the recursion as a bounded loop over the tiny spine — the fact aggregates once") {
+    val plan = planOf("sql_recursive_cte")
+    assert(plan.contains("UnionLoop") || plan.contains("Recursion") ||
+      plan.contains("RecursiveRelation"),
+      s"expected a recursive-loop operator in:\n$plan")
+    // The month spine is 84 rows; the orders fact must reach its month
+    // aggregate without a cartesian against the spine.
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
   test("rfm_segmentation ranks via partitioned windows — no global ntile, no single-partition customer sort") {
     val plan = planOf("rfm_segmentation")
     // The three quartile rankings must run as distributedNtile's two-phase
