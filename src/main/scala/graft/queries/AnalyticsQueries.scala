@@ -992,6 +992,40 @@ object AnalyticsQueries {
         ORDER BY month""")
     ),
     QueryDef(
+      "sql_recursive_hierarchy",
+      (s, dir) => {
+        // Recursion with real data flow (the spine query above recurses
+        // over 84 generated rows; this one pushes the WHOLE part table
+        // through every iteration): each part walks the implicit binary
+        // tree k -> k div 2 to the root, and the report is nodes-per-depth
+        // with the ancestor-key checksum — the hierarchy-rollup shape
+        // (org charts, category trees) in pure SQL text. Depth is bounded
+        // by log2(max key) so the loop terminates in ~20 iterations
+        // regardless of SF; each iteration is a map-side projection of the
+        // previous level (no join in the recursive step), so at 100 TB the
+        // working set never exceeds one level of the frontier.
+        t(s, dir, "part").createOrReplaceTempView("part_v")
+        s.sql("""
+          WITH RECURSIVE walk(k, d) AS (
+            SELECT p_partkey, 0 FROM part_v
+            UNION ALL
+            SELECT k div 2, d + 1 FROM walk WHERE k > 0
+          )
+          SELECT d AS depth, count(*) AS n_nodes,
+                 sum(k) AS key_checksum
+          FROM walk GROUP BY d ORDER BY d""")
+      },
+      Some("""
+        WITH RECURSIVE walk(k, d) AS (
+          SELECT p_partkey, 0 FROM part
+          UNION ALL
+          SELECT k // 2, d + 1 FROM walk WHERE k > 0
+        )
+        SELECT d AS depth, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(sum(k) AS BIGINT) AS key_checksum
+        FROM walk GROUP BY d ORDER BY d""")
+    ),
+    QueryDef(
       "sql_pipe_syntax",
       (s, dir) => {
         // Spark 4's SQL pipe syntax (SPARK-49555): the same declarative
