@@ -136,7 +136,13 @@ object StreamingOps {
       needsNoDataBatches: Boolean = false): DataFrame = {
     val job = StreamJob(s"adhoc_${runId.incrementAndGet()}", mode,
       (_, _) => result, needsNoDataBatches = needsNoDataBatches)
-    runJobs(result.sparkSession, "", Seq(job))(job.name)
+    val out = runJobs(result.sparkSession, "", Seq(job))(job.name)
+    // The generated name is never returned, so its ledger entry could
+    // never be read back — drop it instead of leaking one Seq of progress
+    // objects per ad-hoc replay for the life of the JVM. (Sequential
+    // callers read lastRunProgress, which runJobs already set.)
+    progressByName.remove(job.name)
+    out
   }
 
   /** One logical streaming query of the events-replay family: a streaming
@@ -265,25 +271,37 @@ object StreamingOps {
     * clobber another's still-running scope.
     */
   private object PartitionsScope {
-    private var depth = 0
-    private var prev: String = _
+    // Keyed per SESSION: the conf being scoped is session-local, so a
+    // process-global depth counter would let two sessions' interleaved
+    // enter/exit corrupt each other's shuffle-partition conf (one never
+    // overridden, the other restored to the wrong saved value).
+    private val state =
+      scala.collection.mutable.Map.empty[String, (Int, String)]
     def enter(spark: SparkSession): Unit = synchronized {
-      if (depth == 0) {
-        prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions",
-          System.getProperty("graft.stream.partitions", "2"))
+      val id = graft.ops.SparkOps.sessionId(spark)
+      state.get(id) match {
+        case Some((d, prev)) => state(id) = (d + 1, prev)
+        case None =>
+          val prev = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions",
+            System.getProperty("graft.stream.partitions", "2"))
+          state(id) = (1, prev)
       }
-      depth += 1
     }
     def exit(spark: SparkSession): Unit = synchronized {
-      depth -= 1
-      if (depth == 0) spark.conf.set("spark.sql.shuffle.partitions", prev)
+      val id = graft.ops.SparkOps.sessionId(spark)
+      state.get(id).foreach { case (d, prev) =>
+        if (d <= 1) {
+          spark.conf.set("spark.sql.shuffle.partitions", prev)
+          state.remove(id)
+        } else state(id) = (d - 1, prev)
+      }
     }
   }
 
   /** Run ONE family job standalone (the per-operator public entry points
     * and specs use this; the graded registry goes through [[familyResult]]
-    * so a full verify/bench pass pays one wave, not 15 serial replays).
+    * so a full verify/bench pass pays one wave, not 16 serial replays).
     */
   private def runSingle(
       spark: SparkSession, dir: String, job: StreamJob): DataFrame =
@@ -299,7 +317,7 @@ object StreamingOps {
       (graft.ops.SparkOps.sessionId(spark), dir),
       _ => runFamily(spark, dir))(name)
 
-  /** One wave for the WHOLE graded family: the 15 memory-sink jobs start
+  /** One wave for the WHOLE graded family: the 16 memory-sink jobs start
     * first; once every start has captured its conf, the four bespoke-loop
     * queries (own start/stop cycles — state reader, upsert sink,
     * checkpoint restart, observed totals) launch on background threads and
@@ -311,6 +329,7 @@ object StreamingOps {
     import scala.concurrent.duration.Duration
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
     val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    var ok = false
     try {
       val bespoke = Seq[(String, () => DataFrame)](
         "stream_upsert_sink" -> (() => foreachBatchUpsert(spark, dir)._1),
@@ -346,8 +365,22 @@ object StreamingOps {
         n -> Await.result(fut, Duration.Inf)
       }.toMap
       dbg("materialized all")
+      ok = true
       out
-    } finally pool.shutdown()
+    } finally {
+      if (ok) pool.shutdown()
+      else {
+        // Failure path: a wave member or an Await died while the bespoke
+        // replays were still running on the (non-daemon) pool threads —
+        // left alone they keep competing for cores and block JVM exit
+        // until their replays finish. Interrupt the pool and best-effort
+        // stop this session's still-active streaming queries.
+        pool.shutdownNow()
+        spark.streams.active.foreach { q =>
+          try q.stop() catch { case _: Throwable => () }
+        }
+      }
+    }
   }
 
   /** The `stream_observed_totals` graded surface over
@@ -368,7 +401,7 @@ object StreamingOps {
   private val familyCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Map[String, DataFrame]]()
 
-  /** The 15 memory-sink members of the graded replay family (the four
+  /** The 16 memory-sink members of the graded replay family (the four
     * bespoke-loop queries — state reader, upsert sink, checkpoint restart,
     * observed totals — drive their own start/stop cycles and stay
     * standalone). Parameters match the graded registry entries exactly so

@@ -21,12 +21,14 @@ FULL=0
 
 # sbt's exit status must gate the run — a crash AFTER the report file is
 # written is indistinguishable from success by mtime alone (ADVICE r11).
+# The status is captured on the sbt command itself, BEFORE any display
+# filtering: a `... | grep || true` tail would reset PIPESTATUS to the
+# `true`, silently disarming the gate (caught in round-12 review).
 run_sbt() {  # run_sbt <logfile> <sbt args...>
   local log="$1"; shift
-  set -o pipefail
-  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch "$@" 2>&1 | tee "$log" \
-    | grep -E "\[recall\]|all_pass|Tests:|error\]|FAILED" || true
-  local rc=${PIPESTATUS[0]}
+  local rc=0
+  SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-16}" sbt -batch "$@" > "$log" 2>&1 || rc=$?
+  grep -E "\[recall\]|all_pass|Tests:|error\]|FAILED" "$log" || true
   if [[ $rc -ne 0 ]]; then
     echo "GATE FAIL: sbt $* exited $rc (log: $log)"; exit "$rc"
   fi
