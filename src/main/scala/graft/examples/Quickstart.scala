@@ -65,6 +65,43 @@ object Quickstart {
     pipeline.provide(SparkEnv(spark, dir)).unsafeRunTrace(())
   }
 
+  /** Warehouse companion to [[curate]]: pure SQL TEXT through the algebra.
+    * The report is TPC-H Q3's shape written with Spark-4 SQL surface
+    * features — a SQL-language UDF (`CREATE FUNCTION ... RETURN expr`,
+    * inlined into codegen at resolution) for the cent-quanta money math —
+    * wrapped in a Node with an `ensure` gate, so SQL-first teams get the
+    * same composition, validation, trace, and lineage story as the
+    * DataFrame API. ExamplesSpec runs it end-to-end and cross-checks the
+    * revenue against the DataFrame-API twin.
+    */
+  def warehouseReport(spark: SparkSession, dir: String): Trace[DataFrame] = {
+    val register: Node[Unit, Unit] = Node { _ =>
+      Seq("customer", "orders", "lineitem").foreach(t =>
+        spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
+      spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION money_e4(x DOUBLE)
+        RETURNS BIGINT RETURN CAST(floor(x * 10000 + 0.5) AS BIGINT)""")
+      ()
+    }
+    val report: Node[Unit, DataFrame] = Node { _ =>
+      spark.sql("""
+        SELECT l_orderkey, o_orderdate,
+               CAST(floor((sum(money_e4(l_extendedprice * (1 - l_discount))) + 50) / 100)
+                 AS DOUBLE) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10""")
+    }
+    val gate = report.ensure(output = Seq(
+      df => if (df.count() <= 10) None else Some("top-10 report overflow")))
+    ((register ~> gate).lineageName("warehouse-report"))
+      .unsafeRunTrace(())
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()

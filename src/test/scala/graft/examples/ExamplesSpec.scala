@@ -41,4 +41,27 @@ class ExamplesSpec extends AnyFunSuite {
     assert(again.sameElements(summary), "quickstart is not deterministic")
     assert(trace.result.columns.sameElements(Array("shard", "n_docs")))
   }
+
+  test("warehouse SQL-text report runs through the algebra and matches the DataFrame twin") {
+    val trace = Quickstart.warehouseReport(spark, dir)
+    val rows = trace.result.collect()
+    assert(rows.length > 0 && rows.length <= 10)
+    // revenue strictly ordered desc with orderkey tiebreak (total order)
+    val revs = rows.map(r => (r.getDouble(2), r.getLong(0)))
+    assert(revs.sameElements(revs.sortBy { case (rev, k) => (-rev, k) }))
+    // cross-check against the DataFrame-API computation of the same report
+    val l = spark.read.parquet(s"$dir/lineitem.parquet")
+    val o = spark.read.parquet(s"$dir/orders.parquet")
+    val c = spark.read.parquet(s"$dir/customer.parquet")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val twin = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg((floor((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+        * 10000 + 0.5).cast("long")) + 50) / 100) / 100.0).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey")).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.map(r => (r.getLong(0), r.getDouble(2))).sameElements(twin),
+      "SQL-text report diverged from the DataFrame twin")
+  }
 }
