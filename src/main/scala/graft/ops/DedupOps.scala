@@ -76,7 +76,7 @@ object DedupOps {
     * discarded (unpersisted) and the winner's returned. `build` must return
     * already-materialized persisted frames.
     */
-  private def memoize[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V], key: K)(
+  private[ops] def memoize[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V], key: K)(
       build: => V)(discard: V => Unit): V = {
     val existing = m.get(key)
     if (existing != null) existing
@@ -848,6 +848,19 @@ object DedupOps {
     // |pairs|-sized list (6M rows at sf0.1) to remove nothing.
     val la = leftIds.select(col("doc_id").as("id_a")).distinct()
     val rb = rightIds.select(col("doc_id").as("id_b")).distinct()
+    // Identity rows only for docs the index could pair: empty-token docs
+    // carry no repIndex row (their 0/0 Jaccard is undefined), so the
+    // direct miner never emits their (x,x) — the derive must not either,
+    // or the SAME call would return different rows warm vs cold cache.
+    // The pairable set comes from the CACHED grouping (docRep members
+    // whose rep has an index row) — never a re-tokenize: DedupDeriveSpec
+    // fences the derive plan against ws_distinct_tokens.
+    val (repIx, docRep) = reps(docs)
+    val pairable = docRep
+      .join(repIx.select(col("rep_id")), Seq("rep_id"), "left_semi")
+      .select(col("doc_id"))
+    val identity = la.join(rb, col("id_a") === col("id_b"), "left_semi")
+      .join(pairable, col("id_a") === col("doc_id"), "left_semi")
     val hasCounts = pairs.columns.contains("inter")
     if (hasCounts) {
       // Cached list carries the exact counts (see [[verifyPairs]]):
@@ -859,7 +872,7 @@ object DedupOps {
         .select(col("id_a"), col("id_b"), col("inter"), col("uni"), col("jaccard"))
         .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"),
           col("inter"), col("uni"), col("jaccard")))
-        .unionAll(la.join(rb, col("id_a") === col("id_b"), "left_semi")
+        .unionAll(identity
           .select(col("id_a"), col("id_a").as("id_b"),
             lit(1).as("inter"), lit(1).as("uni"), lit(1.0).as("jaccard")))
       oriented.join(la, "id_a").join(rb, "id_b")
@@ -872,7 +885,7 @@ object DedupOps {
       // re-verifies against the token index.
       val oriented = pairs.select(col("id_a"), col("id_b"), col("jaccard"))
         .unionAll(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b"), col("jaccard")))
-        .unionAll(la.join(rb, col("id_a") === col("id_b"), "left_semi")
+        .unionAll(identity
           .select(col("id_a"), col("id_a").as("id_b"), lit(1.0).as("jaccard")))
       val member = oriented.join(la, "id_a").join(rb, "id_b")
         .filter(col("jaccard") >= threshold - roundEps)
@@ -926,7 +939,14 @@ object DedupOps {
       .filter(sizeCompatible(threshold))
       .filter(positionalFilter(threshold))
       .select("id_a", "id_b")
-      .distinct()
+      // Same width guard as the self-join miner (line ~741): AQE sizes
+      // the dedup exchange by the narrow pair bytes and would coalesce
+      // the downstream exact-verify (~100× the bytes per row) into a
+      // single task without the explicit session-width repartition.
+      .repartition(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt,
+        col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
     val ri = repIx.select(col("rep_id").as("doc_id"), col("rks"), col("sz"))
     val repPairs = verifyPairs(candidates, ri, ri, threshold)
     repPairs
@@ -1134,8 +1154,12 @@ object DedupOps {
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)"))
     ).select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bv"))
-      // self-joined below: persist so the 64-bit signature isn't built twice
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // self-joined below: materialize so the 64-bit signature isn't built
+      // twice. localCheckpoint, not persist — a per-call persist with no
+      // matching unpersist (the consumer is the returned lazy frame) would
+      // pin executor storage for the session lifetime; checkpoint blocks
+      // are released by the context cleaner once the frame is unreachable.
+      .localCheckpoint(true)
     val l = banded.select(col("band"), col("bv"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("bv"),
@@ -1269,8 +1293,10 @@ object DedupOps {
     val sig = emb
       .select(col("vec_id"), col("embedding"),
         expr(s"srp_bands(embedding, $bands, $bitsPerBand)").as("bv"))
-      // consumed by the band explode and both verify re-joins
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // consumed by the band explode and both verify re-joins.
+      // localCheckpoint, not persist — same session-lifetime-pin
+      // reasoning as [[simhashPairs]]'s banded frame.
+      .localCheckpoint(true)
     val banded = sig
       .select(col("vec_id"), posexplode(col("bv")))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("v"))

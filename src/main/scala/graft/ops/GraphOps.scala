@@ -241,7 +241,12 @@ object GraphOps {
     } finally {
       e2.unpersist()
     }
-    labels
+    // Contract parity with [[ccViaForest]]: emit labels for the VERTICES
+    // table only. Edge endpoints absent from it still participate in
+    // propagation (connectivity through them is preserved) but carry no
+    // output row — without this, the |V|-threshold regime switch would
+    // silently change the output row set on inconsistent inputs.
+    labels.join(vertices.select(col("id")), Seq("id"), "left_semi")
   }
 
   /** Session-scoped cache of materialized cluster labelings, keyed by the
@@ -273,7 +278,11 @@ object GraphOps {
   def dedupClusters(docs: DataFrame, threshold: Double): DataFrame = {
     val key = (SparkOps.sessionId(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), threshold)
-    val labels = labelCache.computeIfAbsent(key, _ => {
+    // Compute OUTSIDE the map bin lock (DedupOps.memoize): the build runs
+    // a full mine + CC — minutes of Spark jobs — and holding a
+    // computeIfAbsent lock for that long would serialize concurrent
+    // builds for unrelated keys that hash to the same bin.
+    val labels = DedupOps.memoize(labelCache, key)({
       val edges = DedupOps.ngramJaccardCachedUnsorted(docs, threshold)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val verts = docs.select(col("doc_id").as("id"))
@@ -283,7 +292,7 @@ object GraphOps {
       // downstream reuse). The checkpointed RDD is released by the context
       // cleaner once the cache entry is dropped.
       connectedComponents(verts, edges).localCheckpoint()
-    })
+    })(_ => ())
     labels
       .select(col("id").as("doc_id"), col("label").as("component"))
       .orderBy("doc_id")
@@ -367,6 +376,7 @@ object GraphOps {
     // materializes the deg cache that every round reuses.
     val broadcastRanks = deg.count() <= 500000L
     var ranks = deg.select(col("src").as("id"), lit(1000000L).as("r"))
+    try {
     (1 to iterations).foreach { i =>
       val contrib = edges
         .join(if (broadcastRanks) broadcast(ranks) else ranks,
@@ -381,11 +391,14 @@ object GraphOps {
     }
     // Materialize the final ranks so the loop-scoped caches can be freed
     // eagerly instead of pinning executor storage until the caller acts.
-    val out = ranks.localCheckpoint(true)
-    // edges' checkpoint blocks are released by the context cleaner once
-    // the frame goes out of scope; only the deg cache needs explicit release.
-    deg.unpersist()
-    out
+    ranks.localCheckpoint(true)
+    } finally {
+      // edges' checkpoint blocks are released by the context cleaner once
+      // the frame goes out of scope; only the deg cache needs explicit
+      // release — in a finally so a mid-iteration failure can't pin it
+      // for the session lifetime (ccIterative's e2 gets the same guard).
+      deg.unpersist()
+    }
   }
 
   /** Small-graph PageRank regime: the (already materialized) directed edge

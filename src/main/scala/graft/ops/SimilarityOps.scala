@@ -193,7 +193,10 @@ object SimilarityOps {
   ): (Int => Column, Int) = {
     val cacheKey = (SparkOps.sessionId(emb.sparkSession),
       emb.queryExecution.logical.semanticHash(), nCentroids, replication)
-    val (nc, trained) = centroidCache.computeIfAbsent(cacheKey, _ => {
+    // Compute OUTSIDE the map bin lock (DedupOps.memoize): the fit runs
+    // count + sample-collect + Lloyd — Spark actions — and a lost race
+    // just discards the loser's pure-data codebook.
+    val (nc, trained) = DedupOps.memoize(centroidCache, cacheKey)({
       // scale-aware defaults: nc ~ sqrt(n) rounded to a power of two (the
       // classic IVF sizing — cells of ~sqrt(n) vectors); overridable
       val n0 =
@@ -205,7 +208,7 @@ object SimilarityOps {
         }
       (n0, lloyd(trainingSample(emb, 2048).map(l2normalize), n0, iters = 10)
         .map(l2normalize))
-    })
+    })(_ => ())
     val np = if (nProbe > 0) nProbe else math.max(2, nc / 4)
     // Cell assignment as ONE per-row native expression over the codebook
     // ([[graft.functions.IvfTopCells]] — codebook rides in the function
@@ -357,37 +360,17 @@ object SimilarityOps {
   ): DataFrame = {
     graft.functions.CosineSimilarity.register(emb.sparkSession)
     val codebooks = pqCodebooks(emb, m, ksub)
-    val (mm, kk, dsub) = (codebooks.length, codebooks.head.length,
-      codebooks.head.head.length)
-    val cb = typedLit(codebooks)
-    def subDist(vec: Column, s: Column, c: Column): Column =
-      aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {
-        val diff = element_at(vec, (s * dsub + i + 1).cast("int")) -
-          element_at(element_at(element_at(cb, (s + 1).cast("int")), (c + 1).cast("int")),
-            (i + 1).cast("int"))
-        acc + diff * diff
-      })
     val encodeFn = graft.functions.PqEncode.registerUnique(emb.sparkSession, codebooks)
     val codes = expr(s"$encodeFn(embedding)")
     // Per-query distance tables (|Q| rows × m × ksub doubles) — the ONLY
-    // per-query state the scan sees; same normalization/guard as pqTopK.
-    val nemb = {
-      val v = transform(col("embedding"), x => x.cast("double"))
-      val n = greatest(
-        sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)),
-        lit(Double.MinPositiveValue))
-      transform(v, x => x / n)
-    }
+    // per-query state the scan sees; normalization/subdist/ADC arithmetic
+    // shared with the single-query path via the pq* helpers below.
     val qSide = emb.filter(col("vec_id").isin(queryIds: _*))
     val qdt = qSide
-      .withColumn("__nemb", nemb)
+      .withColumn("__nemb", pqNormalizedHof)
       .select(col("vec_id").as("q_id"),
-        transform(sequence(lit(0), lit(mm - 1)), s =>
-          transform(sequence(lit(0), lit(kk - 1)), c =>
-            subDist(col("__nemb"), s, c))).as("dt"))
-    val adc = aggregate(sequence(lit(0), lit(mm - 1)), lit(0.0), (acc, s) =>
-      acc + element_at(element_at(col("dt"), (s + 1).cast("int")),
-        element_at(col("codes"), (s + 1).cast("int")) + 1))
+        pqDistanceTable(codebooks, col("__nemb")).as("dt"))
+    val adc = pqAdcExpr(codebooks.length)
     val shortlist = graft.plans.TopKPerGroup(
       emb
         .withColumn("codes", codes)
@@ -441,15 +424,28 @@ object SimilarityOps {
       nBits: Int = 4, probes: Int = 12, lowBits: Int = 4): DataFrame = {
     val bucketed = emb.withColumn("bucket", srpBucket(nBits))
     // per-bit signed projections of the query vector (margin = |p_h|),
-    // exactly consistent with srpBucket's sign test by construction
-    val proj = emb.filter(col("vec_id") === queryId)
+    // exactly consistent with srpBucket's sign test by construction.
+    // An absent queryId returns the empty frame every sibling top-k
+    // operator returns (their query side is empty and the join yields
+    // nothing) — not a head-on-empty crash.
+    val projRows = emb.filter(col("vec_id") === queryId)
       .select(expr(
         s"""transform(sequence(0, ${nBits - 1}), h ->
               aggregate(sequence(0, size(embedding) - 1), cast(0.0 as double),
                 (s, i) -> s + cast(embedding[i] as double) *
                   CASE WHEN (shiftright(xxhash64(h, i), 1) & 1) = 1
                        THEN 1.0 ELSE -1.0 END))""").as("p"))
-      .head.getSeq[Double](0).toArray
+      .take(1)
+    if (projRows.isEmpty) {
+      return emb.sparkSession.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("cosine",
+            org.apache.spark.sql.types.DoubleType))))
+    }
+    val proj = projRows.head.getSeq[Double](0).toArray
     val byMargin = proj.indices.sortBy(h => math.abs(proj(h))).take(lowBits)
     val masks: Seq[Long] = (0 until (1 << byMargin.length))
       .map { sub =>
@@ -500,7 +496,11 @@ object SimilarityOps {
     banded.filter(col("vec_id") =!= queryId)
       .join(broadcast(q), Seq("band", "v"))
       .select(col("vec_id"), col("embedding"), col("q_embedding"))
-      .distinct()
+      // dedup by the unique key, not the full row: a distinct() here
+      // would ship and hash-compare 2·d floats per candidate through the
+      // exchange purely to remove what vec_id already identifies
+      // (q_embedding is constant, embedding functionally dependent).
+      .dropDuplicates("vec_id")
       .select(col("vec_id"),
         (floor(dotD(col("embedding"), col("q_embedding")) /
           (normD(col("embedding")) * normD(col("q_embedding"))) * 10000 + 0.5) / 10000)
@@ -547,44 +547,20 @@ object SimilarityOps {
       rerank: Int = 32
   ): DataFrame = {
     val codebooks = pqCodebooks(emb, m, ksub)
-    val (mm, kk, dsub) = (codebooks.length, codebooks.head.length,
-      codebooks.head.head.length)
-    val cb = typedLit(codebooks)
-
-    def subDist(vec: Column, s: Column, c: Column): Column =
-      aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {
-        val diff = element_at(vec, (s * dsub + i + 1).cast("int")) -
-          element_at(element_at(element_at(cb, (s + 1).cast("int")), (c + 1).cast("int")),
-            (i + 1).cast("int"))
-        acc + diff * diff
-      })
     val encodeFn = graft.functions.PqEncode.registerUnique(emb.sparkSession, codebooks)
     val codes = expr(s"$encodeFn(embedding)")
 
     // Query distance table (1 row, m × ksub) — broadcast to the code scan.
-    val nemb = {
-      val v = transform(col("embedding"), x => x.cast("double"))
-      // greatest() not when(): conditionals are excluded from Catalyst
-      // common-subexpression elimination, so a when()-guard re-evaluates
-      // the norm aggregate per element; greatest is branch-free and maps
-      // a zero vector to all-zero output (0/4.9e-324 = 0), matching
-      // PqEncode's native guard.
-      val n = greatest(
-        sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)),
-        lit(Double.MinPositiveValue))
-      transform(v, x => x / n)
-    }
+    // Normalization/subdist/ADC arithmetic shared with the batch path via
+    // the pq* helpers below (one source; divergence here would make the
+    // two serving tiers compute different distances).
     val qdt = emb.filter(col("vec_id") === queryId)
-      .withColumn("__nemb", nemb)
-      .select(transform(sequence(lit(0), lit(mm - 1)), s =>
-        transform(sequence(lit(0), lit(kk - 1)), c =>
-          subDist(col("__nemb"), s, c))).as("dt"))
+      .withColumn("__nemb", pqNormalizedHof)
+      .select(pqDistanceTable(codebooks, col("__nemb")).as("dt"))
     val q = emb.filter(col("vec_id") === queryId)
       .select(col("embedding").as("q_embedding"))
 
-    val adc = aggregate(sequence(lit(0), lit(mm - 1)), lit(0.0), (acc, s) =>
-      acc + element_at(element_at(col("dt"), (s + 1).cast("int")),
-        element_at(col("codes"), (s + 1).cast("int")) + 1))
+    val adc = pqAdcExpr(codebooks.length)
 
     val candidates = emb.filter(col("vec_id") =!= queryId)
       .withColumn("codes", codes)
@@ -631,12 +607,45 @@ object SimilarityOps {
     */
   private[graft] def pqNormalizedHof: Column = {
     val v = transform(col("embedding"), x => x.cast("double"))
-    // branch-free zero-norm guard, same convention as PqEncode.nullSafeEval
+    // branch-free zero-norm guard, same convention as PqEncode.nullSafeEval:
+    // greatest() not when() — conditionals are excluded from Catalyst
+    // common-subexpression elimination, so a when()-guard re-evaluates the
+    // norm aggregate per element; greatest is branch-free and maps a zero
+    // vector to all-zero output (0/4.9e-324 = 0).
     val n = greatest(
       sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x)),
       lit(Double.MinPositiveValue))
     transform(v, x => x / n)
   }
+
+  /** The m × ksub PQ distance table of one normalized query vector against
+    * `codebooks` — SINGLE source of the subspace-distance arithmetic for
+    * both serving tiers ([[pqTopK]], [[pqBatchTopK]]); 1-based
+    * `element_at` indexing throughout.
+    */
+  private def pqDistanceTable(
+      codebooks: Seq[Seq[Seq[Double]]], vec: Column): Column = {
+    val (mm, kk, dsub) = (codebooks.length, codebooks.head.length,
+      codebooks.head.head.length)
+    val cb = typedLit(codebooks)
+    def subDist(s: Column, c: Column): Column =
+      aggregate(sequence(lit(0), lit(dsub - 1)), lit(0.0), (acc, i) => {
+        val diff = element_at(vec, (s * dsub + i + 1).cast("int")) -
+          element_at(element_at(element_at(cb, (s + 1).cast("int")),
+            (c + 1).cast("int")), (i + 1).cast("int"))
+        acc + diff * diff
+      })
+    transform(sequence(lit(0), lit(mm - 1)), s =>
+      transform(sequence(lit(0), lit(kk - 1)), c => subDist(s, c)))
+  }
+
+  /** The ADC fold over a `codes` column against a broadcast `dt` distance
+    * table — m table lookups per row, shared by both serving tiers.
+    */
+  private def pqAdcExpr(mm: Int): Column =
+    aggregate(sequence(lit(0), lit(mm - 1)), lit(0.0), (acc, s) =>
+      acc + element_at(element_at(col("dt"), (s + 1).cast("int")),
+        element_at(col("codes"), (s + 1).cast("int")) + 1))
 
   /** The HoF composition [[graft.functions.PqEncode]] replaced — kept as
     * the parity oracle for PqEncodeSpec. Takes the pre-materialized
