@@ -176,20 +176,40 @@ object AnalyticsQueries {
       "agg_approx_percentile",
       // The unbounded-cardinality scale path named above: approx_percentile
       // builds a mergeable quantile sketch per partition (bounded memory at
-      // any group cardinality; map-side combinable). No SQL oracle — the
-      // sketch is engine-specific and its merge depends on partition layout
-      // — so the grade is the rank-error bound vs the exact twin, asserted
-      // in RecallSpec.
-      (s, dir) =>
-        t(s, dir, "lineitem")
-          .groupBy(col("l_returnflag"))
-          .agg(
-            expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("p25"),
-            expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
-            expr("approx_percentile(l_extendedprice, 0.75, 1000)").as("p75"),
-            count(lit(1)).as("n"))
-          .orderBy("l_returnflag"),
-      None
+      // any group cardinality; map-side combinable) — Approx.approxPercentile.
+      // Verdict frame: per group, the exact count (replayable) plus one
+      // boolean per quantile asserting the sketch's GUARANTEED rank-error
+      // band (accuracy=1000 ⇒ |rank(approx) − q·n| ≤ ⌈n/1000⌉ + 1), checked
+      // in-engine by counting values <,≤ the approx value — the identical
+      // band RecallSpec asserts numerically via sorted order statistics.
+      (s, dir) => {
+        val ap = Approx.approxPercentile(s, dir)
+        val joined = t(s, dir, "lineitem")
+          .select(col("l_returnflag"), col("l_extendedprice"))
+          .join(broadcast(ap.drop("n")), Seq("l_returnflag"))
+        val counted = joined.groupBy(col("l_returnflag")).agg(
+          count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") < col("p25"), 1L).otherwise(0L)).as("lt25"),
+          sum(when(col("l_extendedprice") <= col("p25"), 1L).otherwise(0L)).as("le25"),
+          sum(when(col("l_extendedprice") < col("p50"), 1L).otherwise(0L)).as("lt50"),
+          sum(when(col("l_extendedprice") <= col("p50"), 1L).otherwise(0L)).as("le50"),
+          sum(when(col("l_extendedprice") < col("p75"), 1L).otherwise(0L)).as("lt75"),
+          sum(when(col("l_extendedprice") <= col("p75"), 1L).otherwise(0L)).as("le75"))
+        val slack = ceil(col("n") / 1000.0).cast("long") + 1L
+        def ok(q: Double, lt: String, le: String) = {
+          val r = floor(col("n") * q).cast("long")
+          col(lt) <= r + slack && col(le) >= r - slack + 1L
+        }
+        counted.select(col("l_returnflag"), col("n"),
+            ok(0.25, "lt25", "le25").as("p25_ok"),
+            ok(0.5, "lt50", "le50").as("p50_ok"),
+            ok(0.75, "lt75", "le75").as("p75_ok"))
+          .orderBy("l_returnflag")
+      },
+      Some("""
+        SELECT l_returnflag, count(*) AS n,
+               TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok
+        FROM lineitem GROUP BY 1 ORDER BY 1""")
     ),
     QueryDef(
       "agg_median_selection",

@@ -1,0 +1,179 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared home of the RAW approximate operators (sketches, LSH/IVF/PQ
+  * candidate generation, DEFLATE ratios) and of the VERDICT-FRAME builders
+  * that grade them in-engine against their exact twins.
+  *
+  * Round 13 graduation of the former `no_oracle` queries: each graded
+  * query used to emit the raw approximate output (engine-specific — no
+  * DuckDB oracle possible, so the driver recorded only a rows>0 check) and
+  * was floor-graded out-of-band in RecallSpec/RecallReport. Now each
+  * graded query emits a DETERMINISTIC VERDICT FRAME instead: the exact
+  * twin's replayable values plus boolean verdicts ("approx within its
+  * guaranteed error bound / recall floor") that Spark computes by running
+  * BOTH sides in-engine and DuckDB replays as the exact values + literal
+  * TRUE. The approximate computation still runs in full — the booleans
+  * depend on it — but the driver's hash gate is now exact on every query.
+  *
+  * The raw builders stay public so RecallSpec / RecallReport keep grading
+  * the underlying accuracy NUMBERS (recall, overlap@k, relative error)
+  * against fixed floors — the verdict booleans are the driver-visible
+  * projection of those same checks, with identical floors.
+  */
+object Approx {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  // ------------------------------------------------------------------
+  // raw approximate frames
+  // ------------------------------------------------------------------
+
+  /** Raw HLL estimates (rsd 0.01) over lineitem: one row
+    * `(approx_parts, approx_orders)`. The 100 TB path for COUNT(DISTINCT):
+    * fixed-size mergeable registers instead of a distinct shuffle.
+    */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  /** Raw two-level sketch rollup — the property that makes sketches the
+    * 100 TB rollup currency: per-nation Datasketches HLL sketches of
+    * distinct customers merge LOSSLESSLY to region grain via
+    * hll_union_agg, with no second scan of the fact data. Returns
+    * `(n_regionkey, approx_customers)`.
+    */
+  def hllMergeByRegion(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+    val n = broadcast(t(s, dir, "nation"))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_regionkey"), col("n_nationkey"))
+      .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"))
+      .groupBy(col("n_regionkey"))
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_customers"))
+  }
+
+  /** Raw Count-Min probes: per-nation CMS of the market-segment stream
+    * (one pass, mergeable partial aggs, fixed seed 42 ⇒ deterministic),
+    * probed for every distinct segment via a broadcast of the tiny
+    * segment list. Returns `(c_nationkey, seg, est_n)`.
+    */
+  def cmsEstimates(s: SparkSession, dir: String): DataFrame = {
+    val est = udf((b: Array[Byte], key: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(b)).estimateCount(key))
+    val c = t(s, dir, "customer")
+    val sk = c.groupBy(col("c_nationkey"))
+      .agg(expr("count_min_sketch(c_mktsegment, 0.001d, 0.99d, 42)").as("sk"))
+    val segs = c.select(col("c_mktsegment").as("seg")).distinct()
+    sk.crossJoin(broadcast(segs))
+      .select(col("c_nationkey"), col("seg"), est(col("sk"), col("seg")).as("est_n"))
+  }
+
+  /** Raw mergeable-quantile-sketch percentiles (accuracy = 1000 ⇒
+    * guaranteed rank error ≤ n/1000 per group; bounded memory at any
+    * group cardinality, map-side combinable). Returns
+    * `(l_returnflag, p25, p50, p75, n)`.
+    */
+  def approxPercentile(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("approx_percentile(l_extendedprice, 0.25, 1000)").as("p25"),
+        expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("p50"),
+        expr("approx_percentile(l_extendedprice, 0.75, 1000)").as("p75"),
+        count(lit(1)).as("n"))
+
+  /** Raw DEFLATE-ratio quality signal (the Gopher/RefinedWeb filter:
+    * highly compressible text ⇒ boilerplate/repetition, ratio near 1 ⇒
+    * noise): DEFLATE at fixed level 6 per document inside a scalar UDF —
+    * a justified UDF, the byte-level LZ77 loop has no Catalyst
+    * expression — pure map-side, no shuffle beyond the final sort.
+    * Returns `(doc_id, n_chars, deflate_ratio, is_repetitive)`.
+    */
+  def deflateRatio(docs: DataFrame): DataFrame = {
+    val ratio = udf { (text: String) =>
+      val bytes = text.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, false)
+      d.setInput(bytes); d.finish()
+      val buf = new Array[Byte](64)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      n.toDouble / math.max(1, bytes.length)
+    }
+    docs.select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        round(ratio(col("text")), 4).as("deflate_ratio"))
+      .withColumn("is_repetitive", col("deflate_ratio") < 0.25)
+  }
+
+  // ------------------------------------------------------------------
+  // verdict-frame builders
+  // ------------------------------------------------------------------
+
+  /** One-row recall verdict for a pair-mining approximation: the exact
+    * twin's pair count (DuckDB-replayable) plus
+    * `recall_ok = |exact ∩ approx| / |exact| >= floor`. One pass over the
+    * exact frame (left join against the deduped approx pairs, then a
+    * single global agg — counters only, no pair rows shuffled twice).
+    */
+  def pairRecallVerdict(exact: DataFrame, approx: DataFrame, floor: Double): DataFrame =
+    exact.select("id_a", "id_b")
+      .join(
+        approx.select("id_a", "id_b").distinct().withColumn("hit", lit(1)),
+        Seq("id_a", "id_b"), "left")
+      .agg(
+        count(lit(1)).as("exact_pairs"),
+        sum(coalesce(col("hit"), lit(0))).as("recovered"))
+      .select(col("exact_pairs"),
+        (col("recovered").cast("double") >=
+          col("exact_pairs").cast("double") * floor - 1e-9).as("recall_ok"))
+
+  /** Per-query overlap@k verdict for an ANN top-k approximation against
+    * its exact twin. Both frames carry `(q_id, vec_id)`; the exact frame
+    * also carries `cosine` (already limited to its top k rows per query).
+    * Emits one row per query: the exact top-1 neighbor (replayable — the
+    * exact twins are themselves oracle-exact queries) and
+    * `overlap_ok = |exact ∩ approx| / k >= floor`; with `meanFloor` set,
+    * also the batch-level `mean_ok` (mean per-query overlap >= meanFloor)
+    * as a constant column, mirroring RecallSpec's batch grade.
+    */
+  def topKVerdict(
+      exact: DataFrame,
+      approx: DataFrame,
+      floor: Double,
+      meanFloor: Option[Double] = None): DataFrame = {
+    val perQ = exact.select("q_id", "vec_id", "cosine")
+      .join(
+        approx.select("q_id", "vec_id").distinct().withColumn("hit", lit(1)),
+        Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(
+        count(lit(1)).as("exact_k"),
+        sum(coalesce(col("hit"), lit(0))).as("recovered"),
+        // argmax by (cosine desc, vec_id asc) as an associative min(struct)
+        min(struct((-col("cosine")).as("nc"), col("vec_id").as("v"))).as("b"))
+      .select(col("q_id"), col("exact_k"), col("recovered"),
+        col("b.v").as("exact_top1"))
+    val withOk = perQ.withColumn("overlap_ok",
+      col("recovered").cast("double") >=
+        col("exact_k").cast("double") * floor - 1e-9)
+    meanFloor match {
+      case None =>
+        withOk.select("q_id", "exact_top1", "overlap_ok").orderBy("q_id")
+      case Some(mf) =>
+        val mean = withOk.agg(
+          (sum(col("recovered").cast("double") / col("exact_k")) /
+            count(lit(1))).as("mean_overlap"))
+        withOk.crossJoin(broadcast(mean))
+          .select(col("q_id"), col("exact_top1"), col("overlap_ok"),
+            (col("mean_overlap") >= mf - 1e-9).as("mean_ok"))
+          .orderBy("q_id")
+    }
+  }
+}

@@ -4,9 +4,11 @@ import graft.ops.{DedupOps, GraphOps, MultimodalOps, SimilarityOps, TextOps}
 
 /** Training-data pipeline operators as graded queries: dedup family,
   * similarity search, text analysis, multimodal plumbing. Probabilistic /
-  * engine-hash-based operators (MinHash-LSH, SimHash, SRP buckets) have no
-  * SQL oracle and get the rows-only check; each has an exact oracle-backed
-  * counterpart grading the same semantics.
+  * engine-hash-based operators (MinHash-LSH, SRP buckets, IVF/PQ) run in
+  * full and grade as deterministic VERDICT FRAMES (see [[Approx]]): the
+  * exact twin's replayable values + boolean "recall/overlap ≥ floor"
+  * verdicts computed in-engine, which DuckDB replays as exact values +
+  * literal TRUE — so every query here is hash-checked by the driver.
   */
 object PipelineQueries {
 
@@ -14,6 +16,74 @@ object PipelineQueries {
     s.read.parquet(s"$dir/documents.parquet")
   private val emb = (s: org.apache.spark.sql.SparkSession, dir: String) =>
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Exact bounded-heap top-10 twins for the ANN verdict frames — the
+    * same computation the oracle-exact similarity_topk /
+    * similarity_batch_topk queries grade directly.
+    */
+  private def exactSingleTopK(s: org.apache.spark.sql.SparkSession, dir: String) =
+    SimilarityOps.batchTopK(emb(s, dir), Seq(0L), k = 10)
+  private def exactBatchTopK(s: org.apache.spark.sql.SparkSession, dir: String) =
+    SimilarityOps.batchTopK(emb(s, dir), 0L to 7L, k = 10)
+
+  /** DuckDB side of the single-query ANN verdicts: exact top-1 of the
+    * brute-force cosine top-10 for vec_id 0 (same rounding/tiebreak as
+    * the similarity_topk oracle) + literal TRUE for the verdict bit.
+    */
+  private val singleTopkVerdictOracle = """
+        WITH q AS (
+          SELECT unnest(embedding) AS qx,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id = 0),
+        v AS (
+          SELECT vec_id, unnest(embedding) AS vx,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id <> 0),
+        d AS (
+          SELECT v.vec_id,
+                 sum(CAST(v.vx AS DOUBLE) * CAST(q.qx AS DOUBLE)) AS dot,
+                 sum(CAST(v.vx AS DOUBLE) * CAST(v.vx AS DOUBLE)) AS vn2
+          FROM v JOIN q USING (i) GROUP BY v.vec_id),
+        qn AS (SELECT sum(CAST(qx AS DOUBLE) * CAST(qx AS DOUBLE)) AS qn2 FROM q),
+        top AS (
+          SELECT d.vec_id,
+                 floor(dot / (sqrt(vn2) * sqrt(qn2)) * 10000 + 0.5) / 10000 AS cosine
+          FROM d, qn ORDER BY cosine DESC, vec_id LIMIT 10)
+        SELECT CAST(0 AS BIGINT) AS q_id,
+               (SELECT vec_id FROM top ORDER BY cosine DESC, vec_id LIMIT 1)
+                 AS exact_top1,
+               TRUE AS overlap_ok"""
+
+  /** DuckDB side of the batched ANN verdicts: per-query exact top-1 of
+    * the 8-query brute-force batch (same shape as the
+    * similarity_batch_topk oracle) + literal TRUE verdict bits.
+    */
+  private val batchTopkVerdictOracle = """
+        WITH qv AS (
+          SELECT vec_id AS q_id, unnest(embedding) AS qx,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings WHERE vec_id < 8),
+        v AS (
+          SELECT vec_id, unnest(embedding) AS vx,
+                 generate_subscripts(embedding, 1) AS i
+          FROM embeddings),
+        n AS (SELECT vec_id, sum(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)) AS n2
+              FROM v GROUP BY vec_id),
+        d AS (
+          SELECT qv.q_id, v.vec_id,
+                 sum(CAST(v.vx AS DOUBLE) * CAST(qv.qx AS DOUBLE)) AS dot
+          FROM v JOIN qv USING (i) WHERE v.vec_id <> qv.q_id
+          GROUP BY 1, 2),
+        s AS (
+          SELECT q_id, d.vec_id,
+                 floor(dot / (sqrt(nq.n2) * sqrt(nv.n2)) * 10000 + 0.5) / 10000
+                   AS cosine
+          FROM d JOIN n nq ON nq.vec_id = d.q_id
+                 JOIN n nv ON nv.vec_id = d.vec_id),
+        r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY cosine DESC, vec_id) AS rn FROM s)
+        SELECT q_id, vec_id AS exact_top1, TRUE AS overlap_ok, TRUE AS mean_ok
+        FROM r WHERE rn = 1 ORDER BY q_id"""
 
   /** Exact token-Jaccard >= 0.95 pairs as a CTE fragment (shared by the
     * cluster oracles; mirrors the dedup_ngram_jaccard oracle at a higher
@@ -107,9 +177,33 @@ object PipelineQueries {
       // Band/row split fit per corpus by DedupOps.autoMinHashConfig from a
       // sampled boundary-similarity distribution (recall >= 0.85 modeled
       // against BOTH miss sources: banding and the k-component estimate
-      // filter); candidates stay an ids-only band equi-join.
-      (s, dir) => DedupOps.minhashLshAuto(docs(s, dir), threshold = 0.8),
-      None // engine-hash-based candidate generation; exact counterpart above
+      // filter); candidates stay an ids-only band equi-join. Verdict
+      // frame: the full LSH mining runs in-engine and is graded against
+      // the exact-Jaccard twin (the τ=0.8 pair cache dedup_ngram_jaccard
+      // also serves) — emits the exact pair count (replayable) +
+      // recall ≥ 0.85, the same floor RecallSpec asserts numerically.
+      (s, dir) => {
+        val d = docs(s, dir)
+        Approx.pairRecallVerdict(
+          DedupOps.ngramJaccardCached(d, threshold = 0.8),
+          DedupOps.minhashLshAuto(d, threshold = 0.8),
+          floor = 0.85)
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(list_distinct(list_filter(
+            string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
+          FROM documents),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        shared AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+          FROM toks a JOIN toks b USING (tok)
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        SELECT count(*) AS exact_pairs, TRUE AS recall_ok
+        FROM shared
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8""")
     ),
     QueryDef(
       "dedup_decontaminate",
@@ -277,16 +371,56 @@ object PipelineQueries {
       // similarity histogram (replaces the hand-picked 16×6 of earlier
       // rounds): bits from corpus size (bucket-population control), bands
       // from the SRP recall identity at the sampled mean agreement of
-      // above-threshold pairs. Recall vs the exact twin (0.92 at sf0.001,
-      // 1.00 at sf0.01, up from hand-tuned 0.79) is asserted in RecallSpec.
-      (s, dir) => DedupOps.cosineLshPairsAuto(emb(s, dir), threshold = 0.3),
-      None
+      // above-threshold pairs. Verdict frame: SRP-LSH mining runs
+      // in-engine (threshold 0.3 — a margin below the graded 0.4) and is
+      // graded inside the exact twin's id window (vec_id < 300, the
+      // dedup_embedding_cosine baseline): exact cos ≥ 0.4 pair count
+      // (replayable) + recall ≥ 0.85, RecallSpec's floor (measured 0.92 /
+      // 1.00 at sf0.001 / sf0.01).
+      (s, dir) => {
+        import org.apache.spark.sql.functions.col
+        Approx.pairRecallVerdict(
+          DedupOps.cosineNearDupExact(emb(s, dir), maxId = 300, threshold = 0.4),
+          DedupOps.cosineLshPairsAuto(emb(s, dir), threshold = 0.3)
+            .filter(col("id_a") < 300 && col("id_b") < 300),
+          floor = 0.85)
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
+        v AS (SELECT vec_id, unnest(embedding) AS vx,
+                     generate_subscripts(embedding, 1) AS i FROM e),
+        n AS (SELECT vec_id, sum(CAST(vx AS DOUBLE) * CAST(vx AS DOUBLE)) AS n2
+              FROM v GROUP BY vec_id),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     sum(CAST(a.vx AS DOUBLE) * CAST(b.vx AS DOUBLE)) AS dot
+              FROM v a JOIN v b USING (i) WHERE a.vec_id < b.vec_id
+              GROUP BY 1, 2)
+        SELECT count(*) AS exact_pairs, TRUE AS recall_ok
+        FROM p JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4""")
     ),
     // -------------------------------------------------------- similarity
+    //
+    // All six ANN queries grade as deterministic verdict frames (round-13
+    // graduation): the full approximate index + search runs in-engine, the
+    // exact twin (bounded-heap brute-force top-k — itself the oracle-exact
+    // similarity_topk / similarity_batch_topk shape) runs beside it, and
+    // the emitted frame is per-query (exact_top1, overlap@10 ≥ floor[,
+    // batch mean ≥ floor]) — DuckDB replays the exact side + literal TRUE.
+    // RecallSpec / RecallReport keep the numeric overlap floors on the raw
+    // approximate outputs (same floors as the booleans here).
     QueryDef(
       "similarity_lsh_topk",
-      (s, dir) => SimilarityOps.lshTopK(emb(s, dir), queryId = 0, k = 10, nBits = 4),
-      None // approximate by design; exact baseline = similarity_topk
+      // Query-adaptive multi-probe of a single 4-bit SRP table (margin-
+      // ordered probe set, Lv et al.): measured overlap@10 0.9 at
+      // sf0.001/0.01/0.1; floor 0.8. Scale path is the _banded variant.
+      (s, dir) =>
+        Approx.topKVerdict(
+          exactSingleTopK(s, dir),
+          SimilarityOps.lshTopK(emb(s, dir), queryId = 0, k = 10, nBits = 4)
+            .withColumn("q_id", org.apache.spark.sql.functions.lit(0L)),
+          floor = 0.8),
+      Some(singleTopkVerdictOracle)
     ),
     QueryDef(
       "similarity_lsh_topk_banded",
@@ -294,18 +428,29 @@ object PipelineQueries {
       // is configurable upward at any corpus size, unlike single-table
       // multi-probe above), band config fit per corpus by autoBandConfig
       // at a 0.95 per-pair recall target: measured top-10 overlap vs exact
-      // 0.9 / 1.0 / 0.9 at sf0.001 / 0.01 / 0.1.
+      // 0.9 / 1.0 / 0.9 at sf0.001 / 0.01 / 0.1; floor 0.8.
       (s, dir) => {
         val e = emb(s, dir)
         val (bands, bits) = DedupOps.autoBandConfig(e, threshold = 0.3, targetRecall = 0.95)
-        SimilarityOps.lshTopKBanded(e, queryId = 0, k = 10, bands, bits)
+        Approx.topKVerdict(
+          exactSingleTopK(s, dir),
+          SimilarityOps.lshTopKBanded(e, queryId = 0, k = 10, bands, bits)
+            .withColumn("q_id", org.apache.spark.sql.functions.lit(0L)),
+          floor = 0.8)
       },
-      None // approximate by design; exact baseline = similarity_topk
+      Some(singleTopkVerdictOracle)
     ),
     QueryDef(
       "similarity_ivf_topk",
-      (s, dir) => SimilarityOps.ivfTopK(emb(s, dir), queryId = 0, k = 10),
-      None // approximate by design; exact baseline = similarity_topk
+      // Inverted-file routing (centroids trained on a bounded hash-sample,
+      // replication ×3, multi-probe): measured overlap@10 0.9; floor 0.85.
+      (s, dir) =>
+        Approx.topKVerdict(
+          exactSingleTopK(s, dir),
+          SimilarityOps.ivfTopK(emb(s, dir), queryId = 0, k = 10)
+            .withColumn("q_id", org.apache.spark.sql.functions.lit(0L)),
+          floor = 0.85),
+      Some(singleTopkVerdictOracle)
     ),
     QueryDef(
       "similarity_ivf_batch_topk",
@@ -313,22 +458,28 @@ object PipelineQueries {
       // routes through the IVF index in ONE cell-id equi-join (each query
       // touches only its probed cells; the corpus is assigned once), then
       // per-query exact re-rank through the bounded-heap grouped top-k.
-      // Approximate by design; exact twin = similarity_batch_topk
-      // (RecallSpec/RecallReport floor the mean per-query overlap@10).
-      (s, dir) => {
-        import org.apache.spark.sql.functions.col
-        SimilarityOps.ivfBatchTopK(emb(s, dir), 0L to 7L, k = 10)
-          .orderBy(col("q_id"), col("cosine").desc, col("vec_id"))
-      },
-      None
+      // Per-query floor 0.6, batch mean floor 0.85 (measured mean
+      // 0.91/0.94/0.91 at sf0.001/0.01/0.1, per-query min 0.7).
+      (s, dir) =>
+        Approx.topKVerdict(
+          exactBatchTopK(s, dir),
+          SimilarityOps.ivfBatchTopK(emb(s, dir), 0L to 7L, k = 10),
+          floor = 0.6, meanFloor = Some(0.85)),
+      Some(batchTopkVerdictOracle)
     ),
     QueryDef(
       "similarity_pq_topk",
       // Product-quantization ADC scan (codes instead of vectors) + exact
       // re-rank of the top candidates — the memory-bandwidth-bound ANN
       // shape for corpora whose raw vectors don't fit the scan budget.
-      (s, dir) => SimilarityOps.pqTopK(emb(s, dir), queryId = 0, k = 10),
-      None // approximate by design; exact baseline = similarity_topk
+      // Floor 0.7 (measured 1.0 at the default rerank budget).
+      (s, dir) =>
+        Approx.topKVerdict(
+          exactSingleTopK(s, dir),
+          SimilarityOps.pqTopK(emb(s, dir), queryId = 0, k = 10)
+            .withColumn("q_id", org.apache.spark.sql.functions.lit(0L)),
+          floor = 0.7),
+      Some(singleTopkVerdictOracle)
     ),
     QueryDef(
       "similarity_pq_batch_topk",
@@ -336,19 +487,17 @@ object PipelineQueries {
       // pass over the encoded corpus scores all 8 broadcast distance
       // tables at once (m lookups per query per row), per-query ADC
       // shortlist via the bounded-heap grouped top-k, then one exact
-      // re-rank of the bounded shortlist. Approximate by design; exact
-      // twin = similarity_batch_topk on the same batch (RecallSpec /
-      // RecallReport floor the mean per-query overlap@10).
-      (s, dir) => {
-        import org.apache.spark.sql.functions.col
-        // rerank=64 (vs the single-query default 32): the shortlist is the
-        // recall knob, and doubling it costs 640 bounded-heap rows per
-        // query — nothing at any scale (measured sf0.1 mean overlap@10
-        // 0.76 at 32 → 0.925 at 64, per-query min 0.5 → 0.7)
-        SimilarityOps.pqBatchTopK(emb(s, dir), 0L to 7L, k = 10, rerank = 64)
-          .orderBy(col("q_id"), col("cosine").desc, col("vec_id"))
-      },
-      None
+      // re-rank of the bounded shortlist. rerank=64 (vs the single-query
+      // default 32): the shortlist is the recall knob, and doubling it
+      // costs 640 bounded-heap rows per query — nothing at any scale
+      // (measured sf0.1 mean overlap@10 0.76 at 32 → 0.925 at 64,
+      // per-query min 0.5 → 0.7). Per-query floor 0.5, mean floor 0.7.
+      (s, dir) =>
+        Approx.topKVerdict(
+          exactBatchTopK(s, dir),
+          SimilarityOps.pqBatchTopK(emb(s, dir), 0L to 7L, k = 10, rerank = 64),
+          floor = 0.5, meanFloor = Some(0.7)),
+      Some(batchTopkVerdictOracle)
     ),
     // ------------------------------------------------------ text analysis
     QueryDef(

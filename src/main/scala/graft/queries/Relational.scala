@@ -370,62 +370,84 @@ object Relational {
     ),
     QueryDef(
       "agg_approx_distinct",
-      // HLL sketch — algorithm-specific estimates have no DuckDB oracle;
-      // rows-only check. The 100 TB path for COUNT(DISTINCT) at scale.
+      // HLL sketch (Approx.approxDistinct, rsd=0.01) — the 100 TB path for
+      // COUNT(DISTINCT) — graded as a deterministic verdict frame: Spark
+      // runs the sketch AND the exact twin, emits the exact counts plus
+      // "estimate within 5% of exact" booleans (5σ of the configured rsd);
+      // DuckDB replays the exact counts + literal TRUE. RecallSpec keeps
+      // the numeric relative-error floor on the raw estimates.
       (s, dir) =>
         t(s, dir, "lineitem").agg(
-          approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders")
-        ),
-      None
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"))
+          .crossJoin(broadcast(Approx.approxDistinct(s, dir)))
+          .select(col("exact_parts"), col("exact_orders"),
+            (abs(col("approx_parts").cast("double") /
+              col("exact_parts") - 1) <= 0.05).as("parts_within_5pct"),
+            (abs(col("approx_orders").cast("double") /
+              col("exact_orders") - 1) <= 0.05).as("orders_within_5pct")),
+      Some("""
+        SELECT count(DISTINCT l_partkey) AS exact_parts,
+               count(DISTINCT l_orderkey) AS exact_orders,
+               TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+        FROM lineitem""")
     ),
     QueryDef(
       "agg_hll_merge",
       // Sketch REAGGREGATION — the property that makes sketches the 100 TB
       // rollup currency: per-nation HLL sketches of distinct customers
       // (Datasketches hll_sketch_agg) merge LOSSLESSLY to region grain via
-      // hll_union_agg, with no second scan of the fact data. A production
-      // pipeline materializes the fine-grain sketch table once and serves
-      // every coarser rollup from it. Estimates are algorithm-specific ⇒
-      // rows-only; RecallSpec bounds the relative error against the exact
-      // per-region distinct twin.
+      // hll_union_agg, with no second scan of the fact data
+      // (Approx.hllMergeByRegion). Verdict frame: exact per-region
+      // distinct counts (replayable) + "merged estimate within tolerance"
+      // (lgK=14 ⇒ rse ≈ 0.8%; 5σ = 4%, with a small-count floor of 3 —
+      // the same band RecallSpec floors numerically).
       (s, dir) => {
         val c = t(s, dir, "customer")
         val n = broadcast(t(s, dir, "nation"))
-        val perNation = c.join(n, c("c_nationkey") === n("n_nationkey"))
-          .groupBy(col("n_regionkey"), col("n_nationkey"))
-          .agg(expr("hll_sketch_agg(c_custkey, 14)").as("sk"))
-        perNation
+        val exact = c.join(n, c("c_nationkey") === n("n_nationkey"))
           .groupBy(col("n_regionkey"))
-          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_customers"))
+          .agg(countDistinct(col("c_custkey")).as("exact_customers"))
+        exact.join(Approx.hllMergeByRegion(s, dir), Seq("n_regionkey"))
+          .select(col("n_regionkey"), col("exact_customers"),
+            (abs(col("approx_customers").cast("double") -
+              col("exact_customers")) <=
+              greatest(lit(3.0), col("exact_customers") * 0.04))
+              .as("within_tol"))
           .orderBy("n_regionkey")
       },
-      None
+      Some("""
+        SELECT n_regionkey, count(DISTINCT c_custkey) AS exact_customers,
+               TRUE AS within_tol
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY n_regionkey ORDER BY n_regionkey""")
     ),
     QueryDef(
       "agg_cms_freq",
       // The frequency-sketch sibling of agg_hll_merge: per-nation
-      // Count-Min sketches of the market-segment stream (one pass,
-      // mergeable partial aggs, fixed seed ⇒ deterministic), probed for
-      // every segment via a broadcast of the tiny segment list. The CMS
-      // one-sided guarantee — never under-estimates, over-estimate
-      // ≤ ε·N with the configured confidence — is fenced against the
-      // exact GROUP BY twin in CmsSpec; the sketch binary itself is
-      // engine-specific, so the query grades rows-only.
+      // Count-Min sketches of the market-segment stream, probed for every
+      // segment (Approx.cmsEstimates; fixed seed 42 ⇒ deterministic).
+      // Verdict frame over the observed (nation, segment) cells: exact
+      // counts (replayable) + the CMS one-sided guarantee as a boolean —
+      // never under-estimates, over-estimate ≤ max(1, ⌈ε·N⌉) — the same
+      // band RecallSpec asserts per probe.
       (s, dir) => {
-        val est = udf((b: Array[Byte], key: String) =>
-          org.apache.spark.util.sketch.CountMinSketch
-            .readFrom(new java.io.ByteArrayInputStream(b)).estimateCount(key))
         val c = t(s, dir, "customer")
-        val sk = c.groupBy(col("c_nationkey"))
-          .agg(expr("count_min_sketch(c_mktsegment, 0.001d, 0.99d, 42)").as("sk"))
-        val segs = c.select(col("c_mktsegment").as("seg")).distinct()
-        sk.crossJoin(broadcast(segs))
-          .select(col("c_nationkey"), col("seg"),
-            est(col("sk"), col("seg")).as("est_n"))
+        val exact = c.groupBy(col("c_nationkey"), col("c_mktsegment").as("seg"))
+          .agg(count(lit(1)).as("exact_n"))
+        val slack = c.agg(
+          greatest(lit(1L), ceil(count(lit(1)) * 0.001).cast("long")).as("slack"))
+        exact.join(Approx.cmsEstimates(s, dir), Seq("c_nationkey", "seg"))
+          .crossJoin(broadcast(slack))
+          .select(col("c_nationkey"), col("seg"), col("exact_n"),
+            (col("est_n") >= col("exact_n") &&
+              col("est_n") <= col("exact_n") + col("slack")).as("cms_ok"))
           .orderBy("c_nationkey", "seg")
       },
-      None
+      Some("""
+        SELECT c_nationkey, c_mktsegment AS seg, count(*) AS exact_n,
+               TRUE AS cms_ok
+        FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")
     ),
     QueryDef(
       "agg_rollup",

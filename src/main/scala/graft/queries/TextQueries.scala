@@ -936,29 +936,22 @@ object TextQueries {
       // highly compressible text ⇒ boilerplate/repetition, ratio near 1
       // ⇒ noise): DEFLATE at fixed level 6 per document inside a scalar
       // UDF — a justified UDF, the byte-level LZ77 loop has no Catalyst
-      // expression — pure map-side, no shuffle beyond the final sort.
-      // No SQL oracle (DuckDB has no deflate); CompressionRatioSpec
-      // fences the signal: repetitive text compresses far below natural
-      // text, ratios bounded, byte counts exact, deterministic reruns.
-      (s, dir) => {
-        val ratio = udf { (text: String) =>
-          val bytes = text.getBytes("UTF-8")
-          val d = new java.util.zip.Deflater(6, false)
-          d.setInput(bytes); d.finish()
-          val buf = new Array[Byte](64)
-          var n = 0L
-          while (!d.finished()) n += d.deflate(buf)
-          d.end()
-          n.toDouble / math.max(1, bytes.length)
-        }
-        s.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"),
-            length(col("text")).as("n_chars"),
-            round(ratio(col("text")), 4).as("deflate_ratio"))
-          .withColumn("is_repetitive", col("deflate_ratio") < 0.25)
-          .orderBy("doc_id")
-      },
-      None
+      // expression — pure map-side, no shuffle beyond the final sort
+      // (Approx.deflateRatio). DuckDB has no deflate, so the verdict
+      // frame grades the signal's invariant per document: exact char
+      // count (replayable) + ratio ∈ (0, 1.2) — DEFLATE always emits
+      // >0 bytes and at most ~1.03× the input on incompressible data.
+      // RecallSpec keeps the stronger fences (determinism across reruns,
+      // repetition separating far below natural text).
+      (s, dir) =>
+        Approx.deflateRatio(s.read.parquet(s"$dir/documents.parquet"))
+          .select(col("doc_id"), col("n_chars"),
+            (col("deflate_ratio") > 0.0 && col("deflate_ratio") < 1.2)
+              .as("ratio_ok"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, length(text) AS n_chars, TRUE AS ratio_ok
+        FROM documents ORDER BY doc_id""")
     ),
     QueryDef(
       "text_zipf_alpha",

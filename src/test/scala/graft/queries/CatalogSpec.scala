@@ -26,22 +26,14 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
-  test("rows-only queries (no oracle) are exactly the accuracy-graded set") {
-    val rowsOnly = Catalog.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // Each entry is graded against an exact twin or property fence:
-    // most in RecallSpec (thresholded floors; CMS one-sided bound;
-    // deflate-ratio bounds/determinism/separation). dedup_simhash and
-    // dedup_substring_hashed graduated to exact SQL oracles in round 9
-    // (md5-lower64 token hash / digest ≡ string counts) and keep their
-    // set-equality grades as belt-and-braces.
-    val accuracyGraded = Set(
-      "dedup_minhash_lsh", "dedup_embedding_lsh",
-      "similarity_lsh_topk", "similarity_lsh_topk_banded",
-      "similarity_ivf_topk", "similarity_ivf_batch_topk",
-      "similarity_pq_topk", "similarity_pq_batch_topk", "agg_approx_distinct",
-      "agg_approx_percentile", "agg_hll_merge",
-      "agg_cms_freq", "text_compression_ratio")
-    assert(rowsOnly == accuracyGraded,
-      s"every no-oracle query needs an exact-twin grading spec; unexpected: ${(rowsOnly -- accuracyGraded).mkString(", ")}; missing: ${(accuracyGraded -- rowsOnly).mkString(", ")}")
+  test("every registered query has a SQL oracle (no rows-only queries left)") {
+    // Round 13 graduated the last 13 rows-only queries (approx sketches +
+    // ANN top-k) to deterministic verdict frames: exact-twin values +
+    // boolean floors that DuckDB replays as exact values + literal TRUE.
+    // RecallSpec keeps the numeric accuracy floors on the raw frames.
+    val rowsOnly = Catalog.all.filter(_.oracle.isEmpty).map(_.name)
+    assert(rowsOnly.isEmpty,
+      s"queries without a DuckDB oracle: ${rowsOnly.mkString(", ")} — " +
+        "grade them as verdict frames (see graft.queries.Approx)")
   }
 }

@@ -4,12 +4,19 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Thresholded accuracy grading for every rows-only (no-SQL-oracle) query:
-  * each approximate algorithm is scored against its EXACT twin on the real
-  * testdata corpus, with a fixed numeric floor. All candidate generation is
-  * seeded-hash deterministic, so these scores are exact reproducible
-  * numbers, not flaky statistics — a future regression that degrades
-  * recall fails loudly here.
+/** Thresholded accuracy grading for every approximate operator: each is
+  * scored against its EXACT twin on the real testdata corpus, with a fixed
+  * numeric floor. All candidate generation is seeded-hash deterministic,
+  * so these scores are exact reproducible numbers, not flaky statistics —
+  * a future regression that degrades recall fails loudly here.
+  *
+  * Since the round-13 graduation, the graded QUERIES emit deterministic
+  * verdict frames (exact values + boolean floors, hash-checked by the
+  * driver's DuckDB oracle); this spec keeps the underlying accuracy
+  * NUMBERS floored by grading the RAW approximate frames
+  * ([[graft.queries.Approx]] / the ops builders) — same floors as the
+  * verdict booleans — plus a belt-and-braces check that every verdict
+  * frame actually reads all-true.
   */
 class RecallSpec extends AnyFunSuite {
 
@@ -35,16 +42,27 @@ class RecallSpec extends AnyFunSuite {
     Catalog.queriesMap(name)(spark, dir)
       .select("vec_id").collect().map(_.getLong(0)).toSet
 
+  private def rawPairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def rawTopIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).toSet
+
+  private def docsDf = spark.read.parquet(s"$dir/documents.parquet")
+  private def embDf = spark.read.parquet(s"$dir/embeddings.parquet")
+
   test("dedup_minhash_lsh recall vs exact jaccard pairs") {
     val exact = idPairs("dedup_ngram_jaccard") // exact J >= 0.8
-    val lsh = idPairs("dedup_minhash_lsh") // est_jaccard >= 0.8, auto-fit bands
+    // est_jaccard >= 0.8, auto-fit bands (raw LSH frame under the verdict)
+    val lsh = rawPairs(graft.ops.DedupOps.minhashLshAuto(docsDf, threshold = 0.8))
     val recall = (lsh & exact).size.toDouble / exact.size
     info(f"minhash-LSH recall = ${(lsh & exact).size}/${exact.size} = $recall%.3f")
     assert(recall >= 0.85, f"minhash recall degraded: $recall%.3f")
   }
 
   test("agg_cms_freq never under-estimates; over-estimate bounded by eps*N") {
-    val est = Catalog.queriesMap("agg_cms_freq")(spark, dir)
+    val est = Approx.cmsEstimates(spark, dir)
       .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
     val cust = spark.read.parquet(s"$dir/customer.parquet")
     val exact = cust.groupBy("c_nationkey", "c_mktsegment").count()
@@ -60,13 +78,13 @@ class RecallSpec extends AnyFunSuite {
 
   test("text_compression_ratio: bounded, deterministic, separates repetition from natural text") {
     import spark.implicits._
-    val run1 = Catalog.queriesMap("text_compression_ratio")(spark, dir).collect()
+    val run1 = Approx.deflateRatio(docsDf).orderBy("doc_id").collect()
     assert(run1.nonEmpty)
     run1.foreach { r =>
       val ratio = r.getDouble(2)
       assert(ratio > 0 && ratio < 1.2, s"deflate ratio out of bounds: $ratio")
     }
-    val run2 = Catalog.queriesMap("text_compression_ratio")(spark, dir).collect()
+    val run2 = Approx.deflateRatio(docsDf).orderBy("doc_id").collect()
     assert(run1.map(_.toSeq).toSeq == run2.map(_.toSeq).toSeq,
       "deflate ratio must be deterministic across runs")
     // Synthetic separation probe: a pure repetition vs hash-noise words.
@@ -75,7 +93,7 @@ class RecallSpec extends AnyFunSuite {
     val tmp = java.nio.file.Files.createTempDirectory("graft_cr").toString
     Seq((1L, rep), (2L, nat)).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
-    val out = Catalog.queriesMap("text_compression_ratio")(spark, tmp)
+    val out = Approx.deflateRatio(spark.read.parquet(s"$tmp/documents.parquet"))
       .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
     info(f"repetitive=${out(1L)}%.4f natural=${out(2L)}%.4f")
     assert(out(1L) < out(2L) * 0.5,
@@ -100,7 +118,7 @@ class RecallSpec extends AnyFunSuite {
 
   test("dedup_embedding_lsh (auto band config) recall vs exact cosine pairs") {
     val exact = idPairs("dedup_embedding_cosine") // cos >= 0.4, vec_id < 300
-    val lsh = idPairs("dedup_embedding_lsh")
+    val lsh = rawPairs(graft.ops.DedupOps.cosineLshPairsAuto(embDf, threshold = 0.3))
       .filter(p => p._1 < 300 && p._2 < 300) // exact twin's id window
     val recall = (lsh & exact).size.toDouble / exact.size
     info(f"SRP-LSH recall = ${(lsh & exact).size}/${exact.size} = $recall%.3f")
@@ -125,7 +143,8 @@ class RecallSpec extends AnyFunSuite {
 
   test("similarity_lsh_topk overlap vs exact top-k") {
     val exact = topIds("similarity_topk")
-    val lsh = topIds("similarity_lsh_topk")
+    val lsh = rawTopIds(
+      graft.ops.SimilarityOps.lshTopK(embDf, queryId = 0, k = 10, nBits = 4))
     val overlap = (lsh & exact).size.toDouble / exact.size
     info(f"LSH top-k overlap = ${(lsh & exact).size}/${exact.size} = $overlap%.2f")
     // query-adaptive multi-probe (margin-ordered, 12 probes of a 4-bit
@@ -135,19 +154,23 @@ class RecallSpec extends AnyFunSuite {
 
   test("similarity_lsh_topk_banded (auto-fit L tables) overlap vs exact top-k") {
     val exact = topIds("similarity_topk")
-    val banded = topIds("similarity_lsh_topk_banded")
+    val (bands, bits) = graft.ops.DedupOps
+      .autoBandConfig(embDf, threshold = 0.3, targetRecall = 0.95)
+    val banded = rawTopIds(
+      graft.ops.SimilarityOps.lshTopKBanded(embDf, queryId = 0, k = 10, bands, bits))
     val overlap = (banded & exact).size.toDouble / exact.size
     info(f"banded LSH top-k overlap = ${(banded & exact).size}/${exact.size} = $overlap%.2f")
     assert(overlap >= 0.8, f"banded LSH top-k overlap degraded: $overlap%.2f") // measured 0.90
   }
 
+  private def batchTop(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("q_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
+      .map { case (q, xs) => q -> xs.map(_._2).toSet }
+
   test("similarity_ivf_batch_topk per-query overlap vs the exact batch twin") {
-    def top(name: String): Map[Long, Set[Long]] =
-      Catalog.queriesMap(name)(spark, dir).select("q_id", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-        .map { case (q, xs) => q -> xs.map(_._2).toSet }
-    val exact = top("similarity_batch_topk")
-    val ivf = top("similarity_ivf_batch_topk")
+    val exact = batchTop(Catalog.queriesMap("similarity_batch_topk")(spark, dir))
+    val ivf = batchTop(graft.ops.SimilarityOps.ivfBatchTopK(embDf, 0L to 7L, k = 10))
     val per = exact.keys.toSeq.sorted
       .map(q => (ivf.getOrElse(q, Set.empty) & exact(q)).size / 10.0)
     val mean = per.sum / per.size
@@ -158,12 +181,9 @@ class RecallSpec extends AnyFunSuite {
   }
 
   test("similarity_pq_batch_topk per-query overlap vs the exact batch twin") {
-    def top(name: String): Map[Long, Set[Long]] =
-      Catalog.queriesMap(name)(spark, dir).select("q_id", "vec_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1)
-        .map { case (q, xs) => q -> xs.map(_._2).toSet }
-    val exact = top("similarity_batch_topk")
-    val pq = top("similarity_pq_batch_topk")
+    val exact = batchTop(Catalog.queriesMap("similarity_batch_topk")(spark, dir))
+    val pq = batchTop(
+      graft.ops.SimilarityOps.pqBatchTopK(embDf, 0L to 7L, k = 10, rerank = 64))
     val per = exact.keys.toSeq.sorted
       .map(q => (pq.getOrElse(q, Set.empty) & exact(q)).size / 10.0)
     val mean = per.sum / per.size
@@ -174,7 +194,7 @@ class RecallSpec extends AnyFunSuite {
 
   test("similarity_ivf_topk overlap vs exact top-k") {
     val exact = topIds("similarity_topk")
-    val ivf = topIds("similarity_ivf_topk")
+    val ivf = rawTopIds(graft.ops.SimilarityOps.ivfTopK(embDf, queryId = 0, k = 10))
     val overlap = (ivf & exact).size.toDouble / exact.size
     info(f"IVF top-k overlap = ${(ivf & exact).size}/${exact.size} = $overlap%.2f")
     assert(overlap >= 0.85, f"IVF top-k overlap degraded: $overlap%.2f") // measured 0.90
@@ -182,7 +202,7 @@ class RecallSpec extends AnyFunSuite {
 
   test("similarity_pq_topk overlap vs exact top-k") {
     val exact = topIds("similarity_topk")
-    val pq = topIds("similarity_pq_topk")
+    val pq = rawTopIds(graft.ops.SimilarityOps.pqTopK(embDf, queryId = 0, k = 10))
     val overlap = (pq & exact).size.toDouble / exact.size
     info(f"PQ top-k overlap = ${(pq & exact).size}/${exact.size} = $overlap%.2f")
     // measured overlap at rerank budget 2/4/8/16 = 0.5/0.7/0.8/1.0 —
@@ -198,7 +218,7 @@ class RecallSpec extends AnyFunSuite {
       .groupBy(col("n_regionkey"))
       .agg(countDistinct(col("c_custkey")).as("n"))
       .collect().map(r => r.get(0).toString -> r.getLong(1)).toMap
-    val approx = Catalog.queriesMap("agg_hll_merge")(spark, dir)
+    val approx = Approx.hllMergeByRegion(spark, dir)
       .collect().map(r => r.get(0).toString -> r.getLong(1).toDouble).toMap
     assert(approx.keySet == exact.keySet)
     approx.foreach { case (region, est) =>
@@ -218,7 +238,7 @@ class RecallSpec extends AnyFunSuite {
     // values at ranks floor(q*n) -+ n/1000 (+1 slack for interpolation).
     val li = spark.read.parquet(s"$dir/lineitem.parquet")
       .select(col("l_returnflag"), col("l_extendedprice"))
-    val approx = Catalog.queriesMap("agg_approx_percentile")(spark, dir).collect()
+    val approx = Approx.approxPercentile(spark, dir).collect()
     val byGroup = li.collect().groupBy(_.getString(0))
       .map { case (g, rows) => g -> rows.map(_.getDouble(1)).sorted }
     approx.foreach { row =>
@@ -243,12 +263,42 @@ class RecallSpec extends AnyFunSuite {
     val exact = li.agg(
       countDistinct(col("l_partkey")).as("p"),
       countDistinct(col("l_orderkey")).as("o")).collect()(0)
-    val approx = Catalog.queriesMap("agg_approx_distinct")(spark, dir).collect()(0)
+    val approx = Approx.approxDistinct(spark, dir).collect()(0)
     val relP = math.abs(approx.getLong(0).toDouble / exact.getLong(0) - 1)
     val relO = math.abs(approx.getLong(1).toDouble / exact.getLong(1) - 1)
     info(f"HLL rel error: parts=$relP%.4f orders=$relO%.4f")
     // configured rsd = 0.01; 5 sigma headroom keeps this deterministic
     // check meaningful without being fragile to an implementation change
     assert(relP <= 0.05 && relO <= 0.05, f"HLL error parts=$relP%.4f orders=$relO%.4f")
+  }
+
+  test("every graduated verdict frame reads all-true (the driver's oracle gate)") {
+    // The 13 round-13 graduations: each query's boolean columns are the
+    // in-engine projection of the floors this spec asserts numerically;
+    // the DuckDB oracle replays them as literal TRUE, so a single false
+    // bit is a driver-visible hash mismatch. Assert the same here.
+    val graduated = Seq(
+      "agg_approx_distinct", "agg_approx_percentile", "agg_cms_freq",
+      "agg_hll_merge", "dedup_embedding_lsh", "dedup_minhash_lsh",
+      "similarity_ivf_batch_topk", "similarity_ivf_topk",
+      "similarity_lsh_topk", "similarity_lsh_topk_banded",
+      "similarity_pq_batch_topk", "similarity_pq_topk",
+      "text_compression_ratio")
+    graduated.foreach { name =>
+      val out = Catalog.queriesMap(name)(spark, dir)
+      val boolCols = out.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.BooleanType).map(_.name)
+      assert(boolCols.nonEmpty, s"$name verdict frame has no boolean verdict column")
+      val rows = out.collect()
+      assert(rows.nonEmpty, s"$name verdict frame is empty")
+      rows.foreach { r =>
+        boolCols.foreach { c =>
+          val i = r.fieldIndex(c)
+          assert(!r.isNullAt(i) && r.getBoolean(i),
+            s"$name: verdict column $c is not true on row $r")
+        }
+      }
+      info(s"$name: ${rows.length} rows, verdict cols ${boolCols.mkString(",")} all true")
+    }
   }
 }
