@@ -76,8 +76,13 @@ object Quickstart {
     */
   def warehouseReport(spark: SparkSession, dir: String): Trace[DataFrame] = {
     val register: Node[Unit, Unit] = Node { _ =>
+      // Suffixed view names (same convention as the graded queries'
+      // `_v` views): registering bare `customer`/`orders`/`lineitem`
+      // session-global views would silently clobber — or be clobbered
+      // by — a user's own views of those names in a shared session.
       Seq("customer", "orders", "lineitem").foreach(t =>
-        spark.read.parquet(s"$dir/$t.parquet").createOrReplaceTempView(t))
+        spark.read.parquet(s"$dir/$t.parquet")
+          .createOrReplaceTempView(s"${t}_wr"))
       spark.sql("""
         CREATE OR REPLACE TEMPORARY FUNCTION money_e4(x DOUBLE)
         RETURNS BIGINT RETURN CAST(floor(x * 10000 + 0.5) AS BIGINT)""")
@@ -88,9 +93,9 @@ object Quickstart {
         SELECT l_orderkey, o_orderdate,
                CAST(floor((sum(money_e4(l_extendedprice * (1 - l_discount))) + 50) / 100)
                  AS DOUBLE) / 100.0 AS revenue
-        FROM lineitem
-        JOIN orders   ON l_orderkey = o_orderkey
-        JOIN customer ON o_custkey = c_custkey
+        FROM lineitem_wr
+        JOIN orders_wr   ON l_orderkey = o_orderkey
+        JOIN customer_wr ON o_custkey = c_custkey
         WHERE c_mktsegment = 'BUILDING'
         GROUP BY l_orderkey, o_orderdate
         ORDER BY revenue DESC, l_orderkey

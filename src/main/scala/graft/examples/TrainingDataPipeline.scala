@@ -1,6 +1,7 @@
 package graft.examples
 
 import graft.core._
+import graft.ops.SparkOps.Materialize
 import graft.ops.{DedupOps, SparkEnv, SparkOps => O, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -72,7 +73,7 @@ object TrainingDataPipeline {
       // expensive stage)
       val hits = DedupOps.containmentBest(
         docs.select("doc_id", "text"), isEval, !isEval, threshold = 0.95)
-        .localCheckpoint(true)
+        .materialized
       Tel.addCounter("contaminated_train_docs", hits.count())
       docs.filter(!isEval)
         .join(hits.select(col("matched_doc").as("doc_id")), Seq("doc_id"), "left_anti")

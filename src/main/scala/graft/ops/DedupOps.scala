@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.SparkOps.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -213,13 +214,13 @@ object DedupOps {
         // need not be dense, only order-consistent) — no single-partition
         // rank window anywhere in the mining plan (PlanShapeSpec fences
         // this). The eager checkpoint pins the assignment: ids must be a
-        // one-time fact, never recomputed mid-session (on a real cluster
-        // use `checkpoint()` against a reliable dir — same call shape).
+        // one-time fact, never recomputed mid-session (durability
+        // follows graft.checkpoint.dir — SparkOps.materialize).
         val dict = rtoks.groupBy("tok").agg(sum("cnt").as("df"))
           .repartitionByRange(width, col("df"), col("tok"))
           .sortWithinPartitions(col("df"), col("tok"))
           .select(col("tok"), col("df"), monotonically_increasing_id().as("rk"))
-          .localCheckpoint(true)
+          .materialized
         val repIx = rtoks
           .join(dict, "tok")
           .groupBy("rep_id")
@@ -353,7 +354,7 @@ object DedupOps {
     val sig = minhashSignature(
         repIx.select(col("rep_id").as("doc_id"), col("stoks").as("toks")), "toks", k)
       .select(col("doc_id").as("rep_id"), col("sig"))
-      .localCheckpoint(true)
+      .materialized
     val repPairs = minhashLshFrom(sig, threshold, bands, rowsPerBand, k)
     expandSelfPairs(repPairs, docRep, Seq("est_jaccard"))
       .unionAll(withinGroupPairs(repIx, docRep, "est_jaccard"))
@@ -1163,6 +1164,14 @@ object DedupOps {
     * candidate generation by 16-bit band equality — pigeonhole: ≤3
     * differing bits cannot touch all 4 bands, so recall is exact; 16-bit
     * values keep buckets narrow even on highly-correlated corpora.
+    *
+    * NOTE: the banded signature frame materializes EAGERLY at call time
+    * (one Spark job runs even if the caller never executes an action on
+    * the returned frame) and its lineage is truncated — not recomputable
+    * from source. Durability of the truncated blocks follows
+    * `graft.checkpoint.dir` ([[SparkOps.materialize]]): unset ⇒
+    * executor-storage localCheckpoint (right for `local[*]`); set ⇒
+    * reliable checkpoint that survives executor loss on a cluster.
     */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     require(maxHamming < 4, "4x16-bit banding guarantees recall only for d <= 3")
@@ -1177,7 +1186,7 @@ object DedupOps {
       // matching unpersist (the consumer is the returned lazy frame) would
       // pin executor storage for the session lifetime; checkpoint blocks
       // are released by the context cleaner once the frame is unreachable.
-      .localCheckpoint(true)
+      .materialized
     val l = banded.select(col("band"), col("bv"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("bv"),
@@ -1300,6 +1309,15 @@ object DedupOps {
     cosineLshPairs(emb, bands, bits, threshold)
   }
 
+  /** SRP-LSH cosine near-dup pairs: banded sign-random-projection
+    * signatures → band-equality candidates → exact cosine verify.
+    *
+    * NOTE: the signature frame materializes EAGERLY at call time (the
+    * signature job runs even if the caller never executes an action on
+    * the returned frame) and its lineage is truncated — not recomputable
+    * from source. Durability follows `graft.checkpoint.dir`
+    * ([[SparkOps.materialize]]), same contract as [[simhashPairs]].
+    */
   def cosineLshPairs(
       emb: DataFrame,
       bands: Int = 16,
@@ -1314,7 +1332,7 @@ object DedupOps {
       // consumed by the band explode and both verify re-joins.
       // localCheckpoint, not persist — same session-lifetime-pin
       // reasoning as [[simhashPairs]]'s banded frame.
-      .localCheckpoint(true)
+      .materialized
     val banded = sig
       .select(col("vec_id"), posexplode(col("bv")))
       .select(col("vec_id"), col("pos").as("band"), col("col").as("v"))

@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.SparkOps.Materialize
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
@@ -19,9 +20,9 @@ object GraphOps {
     * Scale shape: each round is one equi-join (edges ⋈ labels on src) plus
     * one groupBy(id).min — both shuffle on the same key, and AQE coalesces
     * the tiny tail rounds. Rounds needed = graph diameter (near-dup
-    * clusters are clique-ish, so 2-3 in practice). `localCheckpoint`
-    * truncates the per-round lineage — on a real cluster use
-    * `checkpoint()` against a reliable dir instead (same call shape).
+    * clusters are clique-ish, so 2-3 in practice). [[SparkOps.materialize]]
+    * truncates the per-round lineage (localCheckpoint by default;
+    * reliable checkpoint when `graft.checkpoint.dir` is set).
     * Convergence test: labels only ever decrease, so an unchanged label
     * SUM is a fixpoint proof — one cheap scalar action per round instead
     * of a change-count join.
@@ -163,7 +164,7 @@ object GraphOps {
         struct(col("src").as("s"), col("dst").as("d")),
         struct(col("dst").as("s"), col("src").as("d")))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
-      .localCheckpoint(true)
+      .materialized
     val nEdges2 = e2raw.count()
     // Size the per-round materializations to the DATA, not the session
     // default: localCheckpoint materializes every partition of the
@@ -197,7 +198,7 @@ object GraphOps {
     e2.count()
     var labels = vertices.select(col("id"), col("id").as("label"))
       .coalesce(parts)
-      .localCheckpoint(true)
+      .materialized
     var prevSum: java.math.BigDecimal = null
     var iter = 0
     var done = false
@@ -225,7 +226,7 @@ object GraphOps {
           // narrow merge down to the vertex-sized width before the
           // checkpoint materializes partitions (no extra shuffle)
           .coalesce(parts)
-          .localCheckpoint(true)
+          .materialized
         val cur = next.agg(sum(col("label")).cast("decimal(38,0)").as("s"))
           .head.getDecimal(0)
         done = prevSum != null && cur.compareTo(prevSum) == 0
@@ -291,7 +292,7 @@ object GraphOps {
       // unmaterialized cache entry would re-run the mine+CC on every
       // downstream reuse). The checkpointed RDD is released by the context
       // cleaner once the cache entry is dropped.
-      connectedComponents(verts, edges).localCheckpoint()
+      connectedComponents(verts, edges).materialized
     })(_ => ())
     labels
       .select(col("id").as("doc_id"), col("label").as("component"))
@@ -360,7 +361,7 @@ object GraphOps {
         struct(col("id_a").as("s"), col("id_b").as("d")),
         struct(col("id_b").as("s"), col("id_a").as("d")))).as("e"))
       .select(col("e.s").as("src"), col("e.d").as("dst"))
-      .localCheckpoint(true)
+      .materialized
     if (edges.count() <= smallEdgeThreshold)
       return pagerankSingleTask(edges, iterations)
     // deg is joined every round — persist, or each round re-aggregates the
@@ -386,12 +387,12 @@ object GraphOps {
       ranks = contrib.groupBy("id")
         .agg((lit(150000L) + floor(lit(0.85) * sum(col("c")))).cast("long").as("r"))
       if (i % checkpointInterval == 0 && i < iterations) {
-        ranks = ranks.localCheckpoint(true)
+        ranks = ranks.materialized
       }
     }
     // Materialize the final ranks so the loop-scoped caches can be freed
     // eagerly instead of pinning executor storage until the caller acts.
-    ranks.localCheckpoint(true)
+    ranks.materialized
     } finally {
       // edges' checkpoint blocks are released by the context cleaner once
       // the frame goes out of scope; only the deg cache needs explicit
@@ -508,13 +509,13 @@ object GraphOps {
     // semi-join has no stats, falls back to sort-merge, and shuffles the
     // |wedges|-sized side (measured 2.2× slower at sf0.1's 20M wedges;
     // with the checkpoint AQE broadcasts the edge side whenever it fits
-    // and sort-merges otherwise — the right call at either scale). On a
-    // real cluster use checkpoint() against a reliable dir — same shape.
+    // and sort-merges otherwise — the right call at either scale).
+    // Durability follows graft.checkpoint.dir (SparkOps.materialize).
     val oriented = withDeg.select(
       when(aFirst, col("a")).otherwise(col("b")).as("src"),
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
       when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
-      .localCheckpoint(true)
+      .materialized
     val o1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
     val o2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
     val wedges = o1.join(o2, Seq("src"))

@@ -38,6 +38,46 @@ object SparkOps {
   def sessionId(spark: org.apache.spark.sql.SparkSession): String =
     sessionIdMap.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
+  /** Eager lineage-truncating materialization — the single primitive
+    * behind every "compute this expensive frame once for its N consumers
+    * / per-iteration plan reset" site in the mining, graph, and ANN ops.
+    *
+    * Durability is a DEPLOYMENT property, so it is config-driven, not a
+    * per-site decision:
+    *
+    *  - `graft.checkpoint.dir` unset (default, and always on `local[*]`):
+    *    `localCheckpoint(eager = true)` — blocks live in executor
+    *    storage, zero filesystem traffic. On a single-JVM master,
+    *    executor loss ≡ application loss, so durability buys nothing.
+    *  - `graft.checkpoint.dir` set (a real cluster): reliable
+    *    `checkpoint(eager = true)` into that directory (HDFS/object
+    *    store) — the truncated lineage is NOT recomputable, so on a
+    *    multi-executor deployment the blocks must survive executor loss;
+    *    local-checkpointed blocks don't.
+    *
+    * The session's Spark checkpoint dir is initialized from the config on
+    * first use (an explicit earlier `setCheckpointDir` wins).
+    */
+  def materialize[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    val spark = ds.sparkSession
+    spark.conf.getOption("graft.checkpoint.dir").filter(_.nonEmpty) match {
+      case Some(dir) =>
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        ds.checkpoint(eager = true)
+      case None => ds.localCheckpoint(eager = true)
+    }
+  }
+
+  /** `.materialized` postfix syntax for [[materialize]] — keeps the
+    * lineage-truncation sites as readable as the raw `localCheckpoint`
+    * calls they replace.
+    */
+  implicit class Materialize[T](private val ds: org.apache.spark.sql.Dataset[T])
+      extends AnyVal {
+    def materialized: org.apache.spark.sql.Dataset[T] = SparkOps.materialize(ds)
+  }
+
   /** Mining caches outside [[graft.ops]] (e.g. the ER fuzzy pair cache in
     * `graft.queries`) register a per-session clear hook here so
     * [[clearMiningCaches]] / [[DedupOps.clearCaches]] reach them without a
@@ -393,7 +433,7 @@ object SparkOps {
     // ranked join — and chained ntile calls (one per metric) would
     // otherwise re-execute the whole upstream multiplicatively per phase.
     // The checkpoint also keeps each phase planning against a leaf.
-    val base = df.localCheckpoint(true)
+    val base = materialize(df)
     val withRn = base.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_ntile_pid", spark_partition_id())

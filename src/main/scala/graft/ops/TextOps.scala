@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.SparkOps.Materialize
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -36,6 +37,12 @@ object TextOps {
     */
   private[graft] def inListAnsi(words: Seq[String]): String =
     words.map(w => "'" + w.replace("'", "''") + "'").mkString("(", ", ", ")")
+
+  /** DuckDB list-literal (`[...]`) twin of [[inListAnsi]] — same ANSI
+    * quote-doubling, bracket delimiters for list expressions.
+    */
+  private[graft] def listAnsi(words: Seq[String]): String =
+    words.map(w => "'" + w.replace("'", "''") + "'").mkString("[", ", ", "]")
 
   /** Stopword-hit count per language as expression SQL over `toks`. */
   private def scoreExpr(lang: String): String =
@@ -626,7 +633,7 @@ object TextOps {
     // way (see the same note in GraphOps.pagerankQuantized).
     var vocab = vocabDf
       .select(bpeSpaced(col("word")).as("ws"), col("n"))
-      .localCheckpoint(true)
+      .materialized
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (step <- 1 to k if !exhausted) {
@@ -649,7 +656,7 @@ object TextOps {
         merges += ((step, a, b, cnt))
         vocab = vocab
           .withColumn("ws", bpeApplyMerge(col("ws"), a, b))
-          .localCheckpoint(true)
+          .materialized
       }
     }
     merges.result()

@@ -505,8 +505,7 @@ object PipelineQueries {
       (s, dir) => TextOps.langId(docs(s, dir)),
       Some {
         val langs = Seq("en", "es", "de", "fr", "zh")
-        def lst(l: String) =
-          TextOps.stopwords(l).map(w => s"'$w'").mkString("(", ", ", ")")
+        def lst(l: String) = TextOps.inListAnsi(TextOps.stopwords(l))
         val scores = langs
           .map(l => s"len(list_filter(toks, t -> t IN ${lst(l)})) AS s_$l")
           .mkString(", ")
@@ -542,8 +541,7 @@ object PipelineQueries {
       },
       Some {
         val langs = Seq("en", "es", "de", "fr", "zh")
-        def lst(l: String) =
-          TextOps.stopwords(l).map(w => s"'$w'").mkString("(", ", ", ")")
+        def lst(l: String) = TextOps.inListAnsi(TextOps.stopwords(l))
         val scores = langs
           .map(l => s"len(list_filter(toks, t -> t IN ${lst(l)})) AS s_$l")
           .mkString(", ")
@@ -566,7 +564,7 @@ object PipelineQueries {
       "quality_score",
       (s, dir) => TextOps.qualityScore(docs(s, dir)),
       Some {
-        val en = TextOps.stopwords("en").map(w => s"'$w'").mkString("(", ", ", ")")
+        val en = TextOps.inListAnsi(TextOps.stopwords("en"))
         s"""
         WITH t AS (
           SELECT doc_id, list_filter(
@@ -791,7 +789,7 @@ object PipelineQueries {
         pipe(docs(s, dir))
       },
       Some {
-        val en = TextOps.stopwords("en").map(w => s"'$w'").mkString("(", ", ", ")")
+        val en = TextOps.inListAnsi(TextOps.stopwords("en"))
         s"""
         WITH t0 AS (
           SELECT doc_id, list_filter(
@@ -1229,8 +1227,7 @@ object PipelineQueries {
           .orderBy("doc_id")
       },
       Some {
-        val stopList = TextOps.stopwords("en")
-          .map(w => s"'$w'").mkString("[", ", ", "]")
+        val stopList = TextOps.listAnsi(TextOps.stopwords("en"))
         s"""
         WITH t AS (
           SELECT doc_id,

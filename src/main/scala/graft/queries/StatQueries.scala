@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.SparkOps.Materialize
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -97,7 +98,7 @@ object StatQueries {
       c.queryExecution.logical.semanticHash())
     fuzzyPairsCache.computeIfAbsent(key, _ => {
       val (pigeonhole, n) = fuzzyRegime(c)
-      val pairs = fuzzyNameVerifiedPairs(c, pigeonhole).localCheckpoint(true)
+      val pairs = fuzzyNameVerifiedPairs(c, pigeonhole).materialized
       (pairs, pigeonhole, n)
     })
   }
@@ -543,7 +544,7 @@ object StatQueries {
         // tf is consumed twice (df derives from it + the ranked filter);
         // materialize once so the explode+shuffle doesn't run per branch.
         val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-          .localCheckpoint(true)
+          .materialized
         // tf holds one row per (doc, term) — so document frequency is a
         // plain count per term, no second tokenize/explode pass.
         val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
@@ -954,7 +955,7 @@ object StatQueries {
         val daily = Tables.events(s, dir)
           .groupBy(date_trunc("day", col("ts")).cast("date").as("day"))
           .agg(sum(cents(col("value"))).as("v"))
-          .localCheckpoint(true)
+          .materialized
         val lags = Seq(1, 7).map { k =>
           val lead = daily.select(date_add(col("day"), k).as("day"),
             col("v").as("x"))

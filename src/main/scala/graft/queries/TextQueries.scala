@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.SparkOps.Materialize
 import graft.ops.TextOps
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -348,7 +349,7 @@ object TextQueries {
           .select(col("lang"), explode(expr(
             "filter(split(lower(text), '\\\\s+'), t -> t <> '')")).as("tok"))
           .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
-          .localCheckpoint(true)
+          .materialized
         val vocab = tc.groupBy("tok").agg(sum(col("n")).as("tot"))
           .orderBy(col("tot").desc, col("tok")).limit(16)
           .select(col("tok"), lit(1).as("inv"))

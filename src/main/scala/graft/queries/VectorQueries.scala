@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.functions.CosineSimilarity
+import graft.ops.SparkOps.Materialize
 import org.apache.spark.sql.functions._
 
 /** Embedding-column operators over `embeddings` (vec_id, embedding
@@ -176,7 +177,7 @@ object VectorQueries {
           .groupBy("label", "i")
           .agg(count(lit(1)).as("n"), sum(col("x_e6")).as("sx"))
           .select(col("label"), col("i"), floor(col("sx") / col("n")).as("m"))
-          .localCheckpoint(true)
+          .materialized
         val a = cent.toDF("label_a", "i", "ma")
         val b = cent.toDF("label_b", "i", "mb")
         a.join(b, "i")

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.SparkOps.Materialize
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -758,10 +759,17 @@ object WarehouseQueries {
         // distinct's pair-grain shuffle (dropping rows by key commutes
         // with distinct-on-those-keys), so at 100 TB only surviving pairs
         // shuffle. The count-distinct then runs on the already-distinct
-        // pair grain.
-        val avgBal = t(s, dir, "supplier").agg(avg(col("s_acctbal")).as("ab"))
-        val excl = broadcast(t(s, dir, "supplier").crossJoin(broadcast(avgBal))
-          .filter(col("s_acctbal") < col("ab")).select("s_suppkey"))
+        // pair grain. The below-average predicate is EXACT-INTEGER, the
+        // repo convention (Q11/Q20): balances in cent quanta,
+        // cross-multiplied against (count, sum) — `bal·n < Σbal` — so no
+        // partition-order-dependent double summation can flip membership
+        // at the mean boundary.
+        val sup = t(s, dir, "supplier").select(col("s_suppkey"),
+          floor(col("s_acctbal") * 100 + 0.5).cast("long").as("bal_q"))
+        val tot = sup.agg(count(lit(1)).as("n_sup"), sum(col("bal_q")).as("sum_q"))
+        val excl = broadcast(sup.crossJoin(broadcast(tot))
+          .filter(col("bal_q") * col("n_sup") < col("sum_q"))
+          .select("s_suppkey"))
         val p = broadcast(t(s, dir, "part")
           .filter(col("p_brand") =!= "Brand#45" &&
             col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40))
@@ -785,7 +793,10 @@ object WarehouseQueries {
           AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
           AND l_suppkey NOT IN (
             SELECT s_suppkey FROM supplier
-            WHERE s_acctbal < (SELECT avg(s_acctbal) FROM supplier))
+            WHERE CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT) *
+                    (SELECT count(*) FROM supplier)
+                  < (SELECT sum(CAST(floor(s_acctbal * 100 + 0.5) AS BIGINT))
+                     FROM supplier))
         GROUP BY p_brand, p_type, p_size
         ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
     ),
@@ -1003,7 +1014,7 @@ object WarehouseQueries {
         val ot = t(s, dir, "lineitem").select("l_orderkey", "l_partkey")
           .join(p, col("l_partkey") === col("p_partkey"))
           .select("l_orderkey", "p_type").distinct()
-          .localCheckpoint(true)
+          .materialized
         val totals = ot.select("l_orderkey").distinct()
           .agg(count(lit(1)).as("n_total"))
         val perType = ot.groupBy(col("p_type")).agg(count(lit(1)).as("n_t"))

@@ -376,9 +376,13 @@ object StreamingOps {
         // until their replays finish. Interrupt the pool and best-effort
         // stop this session's still-active streaming queries.
         pool.shutdownNow()
-        spark.streams.active.foreach { q =>
-          try q.stop() catch { case _: Throwable => () }
-        }
+        // Stop ONLY this module's own queries (every query StreamingOps
+        // starts carries the graft_stream_ name prefix) — a concurrent
+        // caller's unrelated streaming query on the same session must
+        // not be collateral of a wave failure.
+        spark.streams.active
+          .filter(q => Option(q.name).exists(_.startsWith("graft_stream_")))
+          .foreach { q => try q.stop() catch { case _: Throwable => () } }
       }
     }
   }
@@ -1277,6 +1281,7 @@ object StreamingOps {
         .foreachBatch { (batch: DataFrame, _: Long) =>
           batch.write.mode("append").parquet(sink.toString)
         }
+        .queryName(s"graft_stream_restart_${runId.incrementAndGet()}")
         .start()
       try q.processAllAvailable() finally q.stop()
     }
@@ -1325,6 +1330,7 @@ object StreamingOps {
     try {
       val q = stream.writeStream
         .format("noop")
+        .queryName(s"graft_stream_observe_${runId.incrementAndGet()}")
         .start()
       try q.processAllAvailable() finally q.stop()
       q.recentProgress.foreach { p =>
@@ -1385,6 +1391,7 @@ object StreamingOps {
           merged.write.mode("overwrite").parquet(s"$stateRoot/v${version + 1}")
           version += 1
         }
+        .queryName(s"graft_stream_upsert_${runId.incrementAndGet()}")
         .start()
       try q.processAllAvailable() finally q.stop()
     } finally PartitionsScope.exit(spark)

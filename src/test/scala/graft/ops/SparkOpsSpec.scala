@@ -201,4 +201,27 @@ class SparkOpsSpec extends AnyFunSuite {
     assert(joined.count() == 25)
     assert(joined.columns.contains("r_name"))
   }
+
+  test("graft.checkpoint.dir switches materialize to a reliable checkpoint " +
+      "with identical mining output") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    def pairs(): Seq[(Long, Long, Int)] =
+      DedupOps.simhashPairs(docs).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val local = pairs() // default path: localCheckpoint
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_ck").toString
+    spark.conf.set("graft.checkpoint.dir", ckDir)
+    try {
+      val durable = pairs() // reliable-checkpoint path
+      assert(durable == local,
+        "simhashPairs must be bit-identical under graft.checkpoint.dir")
+      // the reliable path must actually have written checkpoint files
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(ckDir)),
+        s"no checkpoint data written under $ckDir — reliable path not taken")
+    } finally {
+      spark.conf.unset("graft.checkpoint.dir")
+    }
+  }
 }
