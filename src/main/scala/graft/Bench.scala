@@ -99,8 +99,26 @@ object Bench {
         }
         .mkString("[", ",", "]")
     } catch { case _: Throwable => "[]" }
+    // Streaming-wave accounting: the 20-query replay family runs as ONE
+    // memoized wave whose whole wall lands on the first member the bench
+    // hits in catalog order; the other members are memo reads. Emit the
+    // split so a capture reader never mistakes the absorbing query
+    // (stream_tumbling_agg in catalog order) for a per-query regression —
+    // compare the family by wave_wall_s + memo-read sum across rounds.
+    val waveJson = graft.streaming.StreamingOps.familyWaveWall(spark, sfDir)
+      .map { wall =>
+        val members = graft.streaming.StreamingOps.familyMemberNames
+        val memberSet = members.toSet
+        val charged = results.collectFirst {
+          case (k, v) if memberSet.contains(k) && v >= 0 => k
+        }.getOrElse("")
+        val memoSum = results.collect {
+          case (k, v) if memberSet.contains(k) && v >= 0 && k != charged => v
+        }.sum
+        f"""{"wave_wall_s":$wall%.3f,"charged_to":"$charged","memo_read_sum_s":$memoSum%.3f,"members_n":${members.size}}"""
+      }.getOrElse("null")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"storm_windows":$stormJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"storm_windows":$stormJson,"streaming_wave":$waveJson}"""
     println(line)
     Console.out.flush()
     // Belt-and-braces copy for the driver: stdout interleaving with Spark

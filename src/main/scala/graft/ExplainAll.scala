@@ -41,7 +41,7 @@ object ExplainAll {
     "events_attribution" -> "As-of attribution as ONE running last(ignoreNulls) window per user — no join, single user_id shuffle.",
     "dedup_decontaminate" -> "Containment prefix candidates; train-side index pruned by broadcast LeftSemi on the eval prefix vocab before any shuffle.",
     "zorder_layout" -> "Rectangle predicate over the Morton-clustered layout: both filters pushed to the parquet scan of the curve-ordered files.",
-    "similarity_pq_topk" -> "ADC scan: per-row code lookups against the broadcast distance table, TakeOrdered candidates, exact re-rank.",
+    "similarity_pq_topk" -> "ADC scan: per-row code lookups against the broadcast distance table, TakeOrdered candidates, exact re-rank; since r13 the graded frame joins the exact twin for the overlap verdict (two bounded top-k branches into a tiny agg).",
     "join_dpp_pruned" -> "Dynamic partition pruning: the month-partitioned fact scan carries a dynamicpruning PartitionFilter fed by the filtered dim's broadcast — surviving partitions known only at runtime.",
     "bpe_encode" -> "Tokenizer apply: merge rules inlined as literals, encode is pure map-side work inside WholeStageCodegen; one data-sized exchange (the map-side-combinable per-document aggregate), then a small range exchange for the final sort of the one-row-per-doc result.",
     "join_interval_overlap" -> "Two-sided interval overlap: session intervals explode to spanned hour buckets, candidates equi-join on the bucket (lossless), exact overlap predicate + pair distinct — an equi-join on bkt (broadcast at this SF, sort-merge at scale), no cartesian, no nested loop.",
@@ -51,12 +51,12 @@ object ExplainAll {
     "orders_pareto" -> "Global revenue-ordered cumsum WITHOUT a single-partition window: range-partition by (rev desc, key), per-partition sums, ≤8-row offset scan broadcast back — the two-phase distributed prefix sum.",
     "graph_triangles" -> "Triangle census: DEGREE-ordered wedge orientation (per-key fan-out ≤ O(√m) under hub skew), checkpointed oriented list so AQE broadcasts the closing LeftSemi — every step an equi-join on vertex keys, no cartesian.",
     "similarity_batch_topk" -> "Batched ANN serving: one scan scores the broadcast query batch, PartialTopK bounded heaps → one hash exchange of k·|Q| survivors per partition → FinalTopK; no window, no global sort.",
-    "similarity_pq_batch_topk" -> "Batched PQ serving: codes computed once inside the corpus scan, |Q| distance tables broadcast (BroadcastNestedLoop bounded by the fixed batch), PartialTopK/FinalTopK bounded heaps for BOTH the ADC shortlist and the exact re-rank — no window, no global sort, the raw-vector read confined to the shortlist join.",
+    "similarity_pq_batch_topk" -> "Batched PQ serving: codes computed once inside the corpus scan, |Q| distance tables broadcast (BroadcastNestedLoop bounded by the fixed batch), PartialTopK/FinalTopK bounded heaps for BOTH the ADC shortlist and the exact re-rank — no window, no global sort, the raw-vector read confined to the shortlist join. Since r13 the graded frame joins the exact batch twin for the per-query overlap verdicts.",
     "embedding_top_pc" -> "PCA power iteration: per round one broadcast of the 64-dim v (a literal array), map-side quantized dots, one d-key aggregation — the d×d covariance never exists.",
     "histogram_equi_depth" -> "Equi-depth deciles via distributedNtile: range-repartition + per-partition rank + broadcast offsets — no single-partition ntile window anywhere in the plan.",
     "events_anomaly_mad" -> "Median/MAD robust gate: both per-type median tables broadcast back onto events; the outlier flag is a pure integer comparison inside codegen.",
     "join_fuzzy_blocked" -> "Two-regime record linkage over the session-cached pair mine: the regime is priced by the BLOCKED PAIR BUDGET sum n(n-1)/2 (not row count — see PLANS appendix, regime boundary): under 2e9 budgeted pairs candidates come from the (nation, segment) equi-join; above, the PartEnum pigeonhole piece-join bounds blocks. Levenshtein (threshold overload, banded DP) evaluates post-join as a filter — no cartesian, no nested loop (fence now in PlanShapeSpec over BOTH regimes' mining plans; the graded plan below is the cached derive).",
-    "dedup_minhash_lsh" -> "MinHash-LSH at the auto-fit (bands, rows) split: ids-only band equi-join for candidates; the signature frame localCheckpoints once for its three consumers; the estimate filter is the native sig_agree_count lane counter (the interpreted zip_with chain dominated the pipeline at k=176).",
+    "dedup_minhash_lsh" -> "MinHash-LSH at the auto-fit (bands, rows) split: ids-only band equi-join for candidates; the signature frame materializes once for its three consumers; the estimate filter is the native sig_agree_count lane counter (the interpreted zip_with chain dominated the pipeline at k=176). Since r13 the graded frame left-joins the LSH pairs onto the cached exact twin and aggregates to the one-row recall verdict.",
     "multimodal_image_pipeline" -> "Real codec chain: PNG encode -> decode -> NN-resize -> re-encode -> decode, every stage mapPartitions with per-partition ImageReader init; the only exchange is the final range sort.",
     "ext_sql_topk" -> "Deployment packaging: pure SQL text on the extensions-conf session — injected native ws_distinct_tokens in the scan projection, injected TopKRewrite planning PartialTopK/FinalTopK per-group heaps instead of a full window sort.",
     "text_keyword_rank" -> "Keyword ranking: one tokenize/explode pass materialized; corpus df derives from the tf table and broadcasts; the top-3 window partitions by doc_id.",

@@ -50,6 +50,12 @@ object RegimeBoundary {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Optional comma-separated probe filter for local iteration
+    // (mining,bpe,curation,ann,triangles,fuzzy,pagerank,wave); the full
+    // artifact run sets no filter.
+    val only = sys.env.get("SPARK_GRAFT_REGIME_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(key: String): Boolean = only.forall(_.contains(key))
 
     // ---------------------------------------------- 10x document corpus
     val docs10xPath = s"${System.getProperty("java.io.tmpdir")}/graft_regime_docs10x"
@@ -70,23 +76,114 @@ object RegimeBoundary {
     val n10x = docs10x.count()
     println(s"[regime] 10x corpus: $n10x docs")
 
-    {
-      val (nPairs, tMine) = timed(
-        graft.ops.DedupOps.ngramJaccardCached(docs10x, threshold = 0.8).count())
-      results += "mine_ppjoin_10x" -> s"""{"docs": $n10x, "pairs": $nPairs, "wall_s": ${f"$tMine%.1f"}}"""
-      println(s"[regime] PPJoin exact mine 10x: $nPairs pairs in ${f"$tMine%.1f"}s")
-      val (nLsh, tLsh) = timed(
-        graft.ops.DedupOps.minhashLshAuto(docs10x, threshold = 0.8).count())
-      results += "minhash_lsh_10x" -> s"""{"docs": $n10x, "pairs": $nLsh, "wall_s": ${f"$tLsh%.1f"}}"""
-      println(s"[regime] MinHash-LSH 10x: $nLsh pairs in ${f"$tLsh%.1f"}s")
-      val (nSh, tSh) = timed(
-        graft.ops.DedupOps.simhashPairs(docs10x, maxHamming = 3).count())
-      results += "simhash_10x" -> s"""{"docs": $n10x, "pairs": $nSh, "wall_s": ${f"$tSh%.1f"}}"""
-      println(s"[regime] SimHash 10x: $nSh pairs in ${f"$tSh%.1f"}s")
+    if (want("mining")) {
+      def med3(xs: Seq[Double]): Double = xs.sorted.apply(1)
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ", ", "]")
+      // Top-3 mining probes at the 100×-grading scale as MEDIAN-OF-3
+      // (round-13): the single-shot walls of earlier rounds sample the
+      // box's bimodal state once; medians make the recorded number the
+      // engine's. The exact mine memoizes per corpus, so its cache is
+      // cleared before each iteration (the LAST iteration leaves the
+      // τ=0.8 cache primed for the derive probe below — same order the
+      // graded registry pays).
+      var nPairs = 0L
+      val tMines = (1 to 3).map { _ =>
+        graft.ops.DedupOps.clearCaches(spark)
+        val (n, t) = timed(
+          graft.ops.DedupOps.ngramJaccardCached(docs10x, threshold = 0.8).count())
+        nPairs = n
+        t
+      }
+      val tMine = med3(tMines)
+      results += "mine_ppjoin_10x" ->
+        s"""{"docs": $n10x, "pairs": $nPairs, "wall_s": ${f"$tMine%.1f"}, "walls_s": ${arr(tMines)}, "protocol": "median_of_3"}"""
+      println(s"[regime] PPJoin exact mine 10x: $nPairs pairs in ${f"$tMine%.1f"}s ${arr(tMines)}")
+      var nLsh = 0L
+      val tLshs = (1 to 3).map { _ =>
+        val (n, t) = timed(
+          graft.ops.DedupOps.minhashLshAuto(docs10x, threshold = 0.8).count())
+        nLsh = n
+        t
+      }
+      val tLsh = med3(tLshs)
+      results += "minhash_lsh_10x" ->
+        s"""{"docs": $n10x, "pairs": $nLsh, "wall_s": ${f"$tLsh%.1f"}, "walls_s": ${arr(tLshs)}, "protocol": "median_of_3"}"""
+      println(s"[regime] MinHash-LSH 10x: $nLsh pairs in ${f"$tLsh%.1f"}s ${arr(tLshs)}")
+      var nSh = 0L
+      val tShs = (1 to 3).map { _ =>
+        val (n, t) = timed(
+          graft.ops.DedupOps.simhashPairs(docs10x, maxHamming = 3).count())
+        nSh = n
+        t
+      }
+      val tSh = med3(tShs)
+      results += "simhash_10x" ->
+        s"""{"docs": $n10x, "pairs": $nSh, "wall_s": ${f"$tSh%.1f"}, "walls_s": ${arr(tShs)}, "protocol": "median_of_3"}"""
+      println(s"[regime] SimHash 10x: $nSh pairs in ${f"$tSh%.1f"}s ${arr(tShs)}")
       val (nCl, tCl) = timed(
         graft.ops.GraphOps.dedupClusters(docs10x, threshold = 0.95).count())
       results += "dedup_clusters_10x" -> s"""{"docs": $n10x, "rows": $nCl, "wall_s": ${f"$tCl%.1f"}}"""
       println(s"[regime] clusters (tau 0.95, derive+CC) 10x: $nCl rows in ${f"$tCl%.1f"}s")
+    }
+
+    // ----------------------- BPE distributed regime: incremental vs full
+    // The round-13 incremental pair-count maintenance vs the previous
+    // full-re-explode-per-step loop, A/B on the SAME 10x vocabulary with
+    // the driver regime bypassed (this probe is exactly the >2M-type
+    // path). Identical merge sequences asserted; walls recorded.
+    if (want("bpe")) try {
+      val k = 40
+      // The synthetic corpus has only ~300 token types — far below the
+      // 2M-type driver bound this regime exists for. Scale the TYPE count
+      // into distributed territory by salting each occurrence with a
+      // 4-digit id suffix (~300 × 10000 types, realistic long-tail
+      // counts), keeping characters in [a-z0-9] so the merge alphabet is
+      // the trainer's own.
+      val vocabDf = docs10x
+        .select(col("doc_id"), posexplode(expr(
+          "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
+        .select(concat(col("col"),
+          pmod(xxhash64(col("doc_id"), col("pos")), lit(30000))
+            .cast("string")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val nTypes = vocabDf.count()
+      val (inc, tInc) = timed(graft.ops.TextOps.trainMergesDistributed(vocabDf, k))
+      // the pre-r13 shape: re-explode the whole vocabulary every step
+      // (same bpeSpaced/bpeApplyMerge primitives, so the sequences must
+      // be identical — only the pair-count maintenance differs)
+      val (full, tFull) = timed {
+        var vocab = vocabDf
+          .select(graft.ops.TextOps.bpeSpaced(col("word")).as("ws"), col("n"))
+          .localCheckpoint(true)
+        val out = Seq.newBuilder[(Int, String, String, Long)]
+        for (step <- 1 to k) {
+          val top = vocab
+            .select(col("n"), split(trim(col("ws")), " ").as("l"))
+            .filter(size(col("l")) >= 2)
+            .select(col("n"), explode(expr(
+              "transform(sequence(0, size(l) - 2), j -> struct(l[j] AS a, l[j + 1] AS b))"))
+              .as("pr"))
+            .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+            .agg(sum(col("n")).as("cnt"))
+            .orderBy(col("cnt").desc, col("a"), col("b"))
+            .limit(1).collect()
+          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          out += ((step, a, b, cnt))
+          vocab = vocab
+            .withColumn("ws", graft.ops.TextOps.bpeApplyMerge(col("ws"), a, b))
+            .localCheckpoint(true)
+        }
+        out.result()
+      }
+      val same = inc == full
+      results += "bpe_distributed_10x" ->
+        s"""{"vocab_types": $nTypes, "k": $k, "incremental_wall_s": ${f"$tInc%.1f"}, "full_reexplode_wall_s": ${f"$tFull%.1f"}, "same_merges": $same}"""
+      println(s"[regime] BPE distributed 10x ($nTypes types, k=$k): " +
+        s"incremental ${f"$tInc%.1f"}s vs full re-explode ${f"$tFull%.1f"}s same=$same")
+    } catch { case e: Throwable =>
+      results += "bpe_distributed_10x" -> s"""{"error": "${e.getClass.getName}"}"""
+      println(s"[regime] BPE probe failed: $e")
     }
 
     // ------------------------------- composite curation pipeline at 10x
@@ -98,7 +195,7 @@ object RegimeBoundary {
     // stages compose: no re-shuffle blowup or lost pushdown at the `~>`
     // seams. Median-of-3 wall + an order-independent output hash (the
     // rollup is per-lang, so the hash pins plan-equivalence across runs).
-    {
+    if (want("curation")) {
       val fullPath =
         s"${System.getProperty("java.io.tmpdir")}/graft_regime_docs10x_full"
       if (!Files.exists(Paths.get(fullPath, "documents.parquet", "_SUCCESS"))) {
@@ -137,7 +234,7 @@ object RegimeBoundary {
     }
 
     // ------------------------------------------- 10x embeddings (ANN)
-    {
+    if (want("ann")) {
       val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val emb10x = (0 until 10).map { r =>
         base.select(
@@ -197,7 +294,7 @@ object RegimeBoundary {
     // wedge fan-out is O(c^2) on a single join key. 5k-spoke star (hub at
     // the LOWEST id — the a<b worst case) + a 40-clique overlay so the
     // count is non-trivial: true triangles = C(40,3) + C(40,2).
-    {
+    if (want("triangles")) {
       val spokes = spark.range(1, 5001).select(lit(0L).as("a"), col("id").as("b"))
       val clique = spark.range(1, 41).select(col("id").as("a"))
         .crossJoin(spark.range(1, 41).select(col("id").as("b")))
@@ -243,7 +340,7 @@ object RegimeBoundary {
     }
 
     // ------------------------------- fuzzy-match regimes at 250k names
-    {
+    if (want("fuzzy")) {
       val n = 250000L
       val names = spark.range(n).select(
         col("id").as("c_custkey"),
@@ -283,7 +380,7 @@ object RegimeBoundary {
     }
 
     // -------------------------------- PageRank regimes at ~11M directed
-    {
+    if (want("pagerank")) {
       val pairs = spark.range(12000000L).select(
         pmod(xxhash64(col("id")), lit(1000000L)).as("id_a"),
         pmod(xxhash64(col("id") + 7777777L), lit(1000000L)).as("id_b"))
@@ -330,6 +427,53 @@ object RegimeBoundary {
            | "bit_identical": $identical}""".stripMargin.replace("\n", "")
       println(s"[regime] pagerank ${nDirected} directed: single=${f"$tSingle%.1f"}s " +
         s"${arr(tSingles)} join=${f"$tJoin%.1f"}s ${arr(tJoins)} identical=$identical")
+    }
+
+    // ------------------------- streaming replay wave at the 10x boundary
+    // The 20-query graded family as ONE memoized wave over a 10x events
+    // table (1M rows = 100x the grading scale): proves the wave shape —
+    // 16 concurrent memory-sink replays + 4 overlapped bespoke loops —
+    // holds when the replayed volume scales, not just at sf0.1. Probe
+    // records the wave wall and a content checksum of one member.
+    if (want("wave")) try {
+      val ev10xDir = s"${System.getProperty("java.io.tmpdir")}/graft_regime_events10x"
+      // the wave's stream-static members read dim tables from the same
+      // dir — link the sf tables in beside the 10x events
+      Files.createDirectories(Paths.get(ev10xDir))
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+        val link = Paths.get(ev10xDir, s"$t.parquet")
+        if (!Files.exists(link))
+          Files.createSymbolicLink(link, Paths.get(s"$sfDir/$t.parquet"))
+      }
+      if (!Files.exists(Paths.get(ev10xDir, "events.parquet", "_SUCCESS"))) {
+        val base = spark.read.parquet(s"$sfDir/events.parquet")
+        (0 until 10).map { r =>
+          base.select(
+            (col("event_id") + lit(r * 100000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + lit(r * 10000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _)
+          .repartition(32).write.mode("overwrite")
+          .parquet(s"$ev10xDir/events.parquet")
+      }
+      val nEv = spark.read.parquet(s"$ev10xDir/events.parquet").count()
+      val (tumbling, tWaveQ) = timed(
+        graft.streaming.StreamingOps
+          .familyResult(spark, ev10xDir, "stream_tumbling_agg").collect())
+      val waveWall = graft.streaming.StreamingOps
+        .familyWaveWall(spark, ev10xDir).getOrElse(tWaveQ)
+      val (nTopk, tMemo) = timed(
+        graft.streaming.StreamingOps
+          .familyResult(spark, ev10xDir, "stream_topk").count())
+      results += "streaming_wave_10x" ->
+        s"""{"events": $nEv, "wave_wall_s": ${f"$waveWall%.1f"}, "members_n": ${graft.streaming.StreamingOps.familyMemberNames.size}, "tumbling_rows": ${tumbling.length}, "memo_read_s": ${f"$tMemo%.2f"}, "memo_rows": $nTopk}"""
+      println(s"[regime] streaming wave 10x: $nEv events, wave ${f"$waveWall%.1f"}s, " +
+        s"memo read ${f"$tMemo%.2f"}s")
+    } catch { case e: Throwable =>
+      results += "streaming_wave_10x" -> s"""{"error": "${e.getClass.getName}: ${String.valueOf(e.getMessage).replace('"', ' ').take(160)}"}"""
+      println(s"[regime] streaming wave probe failed: $e")
     }
 
     val json = results.map { case (k, v) => s""""$k": $v""" }

@@ -455,14 +455,14 @@ object TextOps {
     * encode-equals-trainer's-vocab guarantee depends on these being
     * bit-identical expressions.
     */
-  private def bpeSpaced(wordCol: Column): Column =
+  private[graft] def bpeSpaced(wordCol: Column): Column =
     concat(lit(" "), regexp_replace(wordCol, "(.)", "$1 "))
 
   /** One merge rule applied to a spaced symbol string — the two-pass
     * non-overlapping replace convention (see [[bpeTrainMerges]]). Shared
     * by train and encode for the same reason as [[bpeSpaced]].
     */
-  private def bpeApplyMerge(c: Column, a: String, b: String): Column = {
+  private[graft] def bpeApplyMerge(c: Column, a: String, b: String): Column = {
     val (pat, rep) = (s" $a $b ", s" $a$b ")
     regexp_replace(regexp_replace(c, pat, rep), pat, rep)
   }
@@ -623,28 +623,49 @@ object TextOps {
     onePassMerge(onePassMerge(syms, a, b), a, b)
 
   /** Big-dictionary regime: the per-round distributed loop (one merge rule
-    * crosses the driver per iteration).
+    * crosses the driver per iteration — inherent to greedy BPE).
+    *
+    * INCREMENTAL pair counts (round-13): the exploded pair-count table is
+    * built ONCE from the full vocabulary and then maintained by delta —
+    * each merge step touches only the words that CONTAIN the merged
+    * adjacency (`ws LIKE '% a b %'`): their pair counts are subtracted
+    * before the merge and re-added after, and the global table absorbs
+    * the delta with one bounded union+sum. The previous shape re-exploded
+    * the ENTIRE vocabulary every step, so k merges cost k full-corpus
+    * explodes; now the full explode happens once and each step's work
+    * scales with the affected-word slice (for a frequent pair early on
+    * that can be large; by the tail it is a sliver). The top-1 probe per
+    * step reads the maintained table — pairs-sized, not exploded-corpus-
+    * sized. Merge sequence is IDENTICAL (same counts, same (cnt desc, a,
+    * b) tie-break; unaffected words contribute identical pairs before and
+    * after, so excluding them from the delta is exact) —
+    * BpePropertySpec asserts both regimes equal the reference trainer.
     */
-  private[ops] def trainMergesDistributed(
+  private[graft] def trainMergesDistributed(
       vocabDf: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
-    // localCheckpoint (eager), not persist: a persisted vocab still
-    // carries the growing merge lineage, and every step's two actions
+    // Materialize (localCheckpoint by default; durable under
+    // graft.checkpoint.dir), not persist: a persisted vocab still
+    // carries the growing merge lineage, and every step's actions
     // re-analyze/re-optimize it — per-step plans stay leaf-rooted this
     // way (see the same note in GraphOps.pagerankQuantized).
     var vocab = vocabDf
       .select(bpeSpaced(col("word")).as("ws"), col("n"))
       .materialized
+    // (a, b) -> total count over the whole vocabulary; sign = +1 adds a
+    // slice's pairs, -1 retracts it.
+    def pairsOf(df: DataFrame, sign: Int): DataFrame = df
+      .select(col("n"), split(trim(col("ws")), " ").as("l"))
+      .filter(size(col("l")) >= 2) // sequence() DESCENDS below 2 symbols
+      .select(col("n"), explode(expr(
+        "transform(sequence(0, size(l) - 2), j -> struct(l[j] AS a, l[j + 1] AS b))"))
+        .as("pr"))
+      .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
+      .agg((sum(col("n")) * sign).as("cnt"))
+    var pairCounts = pairsOf(vocab, 1).materialized
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var exhausted = false
     for (step <- 1 to k if !exhausted) {
-      val top = vocab
-        .select(col("n"), split(trim(col("ws")), " ").as("l"))
-        .filter(size(col("l")) >= 2)
-        .select(col("n"), explode(expr(
-          "transform(sequence(0, size(l) - 2), j -> struct(l[j] AS a, l[j + 1] AS b))"))
-          .as("pr"))
-        .groupBy(col("pr.a").as("a"), col("pr.b").as("b"))
-        .agg(sum(col("n")).as("cnt"))
+      val top = pairCounts
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
       if (top.isEmpty) {
@@ -654,8 +675,23 @@ object TextOps {
       } else {
         val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((step, a, b, cnt))
+        // Only words containing the merged adjacency change; the slice is
+        // a cheap filter over the materialized vocab leaf, so the
+        // retraction and re-add scan it lazily inside ONE delta job.
+        val pat = s" $a $b "
+        val hit = vocab.filter(col("ws").contains(pat))
+        val mergedHit = hit.withColumn("ws", bpeApplyMerge(col("ws"), a, b))
+        pairCounts = pairCounts
+          .unionByName(pairsOf(hit, -1))
+          .unionByName(pairsOf(mergedHit, 1))
+          .groupBy(col("a"), col("b"))
+          .agg(sum(col("cnt")).as("cnt"))
+          .filter(col("cnt") > 0)
+          .materialized
         vocab = vocab
-          .withColumn("ws", bpeApplyMerge(col("ws"), a, b))
+          .withColumn("ws",
+            when(col("ws").contains(pat), bpeApplyMerge(col("ws"), a, b))
+              .otherwise(col("ws")))
           .materialized
       }
     }

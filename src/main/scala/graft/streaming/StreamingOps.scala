@@ -315,7 +315,12 @@ object StreamingOps {
   def familyResult(spark: SparkSession, dir: String, name: String): DataFrame =
     familyCache.computeIfAbsent(
       (graft.ops.SparkOps.sessionId(spark), dir),
-      _ => runFamily(spark, dir))(name)
+      key => {
+        val t0 = System.nanoTime()
+        val out = runFamily(spark, dir)
+        familyWaveWalls.put(key, (System.nanoTime() - t0) / 1e9)
+        out
+      })(name)
 
   /** One wave for the WHOLE graded family: the 16 memory-sink jobs start
     * first; once every start has captured its conf, the four bespoke-loop
@@ -404,6 +409,27 @@ object StreamingOps {
 
   private val familyCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), Map[String, DataFrame]]()
+
+  /** Wall-clock of each memoized wave build, keyed like [[familyCache]].
+    * Benchmark accounting: the first family member a bench hits in
+    * catalog order absorbs this whole wall while the other members are
+    * ~0.05 s memo reads — [[graft.Bench]] emits this split into
+    * `bench_last.json` so a driver capture can't misread the absorbing
+    * query as a per-query regression (see BASELINE.md, round-12 caveat).
+    */
+  private val familyWaveWalls = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Double]()
+
+  /** Wave wall for `dir`, if the memoized family wave already ran in this
+    * session, plus the graded member names (wave + bespoke) whose bench
+    * entries are memo reads once the wave is built.
+    */
+  def familyWaveWall(spark: SparkSession, dir: String): Option[Double] =
+    Option(familyWaveWalls.get((graft.ops.SparkOps.sessionId(spark), dir)))
+  def familyMemberNames: Seq[String] =
+    familyJobs.map(_.name) ++ Seq("stream_upsert_sink",
+      "stream_checkpoint_restart", "stream_state_reader",
+      "stream_observed_totals")
 
   /** The 16 memory-sink members of the graded replay family (the four
     * bespoke-loop queries — state reader, upsert sink, checkpoint restart,

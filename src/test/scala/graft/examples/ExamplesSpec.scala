@@ -1,5 +1,6 @@
 package graft.examples
 
+import graft.core._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -63,5 +64,32 @@ class ExamplesSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(2)))
     assert(rows.map(r => (r.getLong(0), r.getDouble(2))).sameElements(twin),
       "SQL-text report diverged from the DataFrame twin")
+  }
+
+  test("OtelQuickstart: the SDK-shaped adapter receives spans, counters, gauges") {
+    // prod path: the OTel adapter against the recording SDK shim
+    val (out, Some(sdk)) = OtelQuickstart.run("prod"): @unchecked
+    assert(out == 10) // "spark" + "graft" lengths
+    val calls = sdk.calls.toList
+    assert(calls.head.startsWith("span.start:processing env=prod"),
+      s"first SDK call must open the span: $calls")
+    assert(calls.last == "span.end:processing",
+      s"span must close after the block: $calls")
+    assert(calls.contains("counter:items+=3"), calls.toString)
+    assert(calls.exists(_.startsWith("gauge:data.quality.ratio=0.666")), calls.toString)
+    assert(calls.exists(_.startsWith("histogram:item.length<<10")), calls.toString)
+    // dev path: console provider, no SDK constructed
+    val (devOut, devSdk) = OtelQuickstart.run("dev")
+    assert(devOut == 10 && devSdk.isEmpty)
+    // failure path: the span still closes and records the exception
+    val sdk2 = new OtelQuickstart.RecordingOtelSdk
+    val tel = new OtelQuickstart.OtelTelemetry(sdk2, sdk2)
+    val boom = Node[Unit, Int] { _ =>
+      Tel.withSpan("explodes") { throw new IllegalStateException("die") }
+    }
+    assert(boom.safeRun(())(tel).isFailure)
+    assert(sdk2.calls.toList == List("span.start:explodes",
+      "span.exception:explodes/IllegalStateException", "span.end:explodes"),
+      sdk2.calls.toString)
   }
 }
