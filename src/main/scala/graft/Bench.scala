@@ -109,8 +109,11 @@ object Bench {
       .map { wall =>
         val members = graft.streaming.StreamingOps.familyMemberNames
         val memberSet = members.toSet
+        // first family member in catalog order absorbed the wall even if
+        // its post-projection later failed (v = -1) — name it regardless,
+        // or a memo read would be blamed for the whole wave
         val charged = results.collectFirst {
-          case (k, v) if memberSet.contains(k) && v >= 0 => k
+          case (k, _) if memberSet.contains(k) => k
         }.getOrElse("")
         val memoSum = results.collect {
           case (k, v) if memberSet.contains(k) && v >= 0 && k != charged => v

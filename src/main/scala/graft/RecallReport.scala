@@ -235,8 +235,9 @@ object RecallReport {
         s"${exact.size - bad}/${exact.size} probes in [exact, exact+$slack]")
     }
     grade("text_compression_ratio") {
-      val rows = graft.queries.Approx.deflateRatio(docsDf).collect()
-      val inBounds = rows.count { r => val x = r.getDouble(2); x > 0 && x < 1.2 }
+      val rows = graft.queries.Approx.deflateRatio(docsDf)
+        .select("deflate_ratio").collect()
+      val inBounds = rows.count { r => val x = r.getDouble(0); x > 0 && x < 1.2 }
       Score("frac_ratios_in_bounds",
         inBounds.toDouble / math.max(1, rows.length), 1.0,
         s"$inBounds/${rows.length} deflate ratios in (0, 1.2)")

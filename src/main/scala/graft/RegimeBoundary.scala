@@ -443,8 +443,14 @@ object RegimeBoundary {
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings").foreach { t =>
         val link = Paths.get(ev10xDir, s"$t.parquet")
-        if (!Files.exists(link))
-          Files.createSymbolicLink(link, Paths.get(s"$sfDir/$t.parquet"))
+        val target = Paths.get(s"$sfDir/$t.parquet")
+        // NOFOLLOW: a dangling link (regenerated testdata) reads as
+        // absent under plain exists() but still blocks createSymbolicLink;
+        // a stale link to a DIFFERENT sfDir would silently mix corpora.
+        if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != target)
+          Files.delete(link)
+        if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          Files.createSymbolicLink(link, target)
       }
       if (!Files.exists(Paths.get(ev10xDir, "events.parquet", "_SUCCESS"))) {
         val base = spark.read.parquet(s"$sfDir/events.parquet")

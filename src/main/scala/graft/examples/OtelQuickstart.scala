@@ -53,14 +53,24 @@ object OtelQuickstart {
     * identical except for the two import lines.
     */
   final class OtelTelemetry(tracer: Tracer, meter: Meter) extends GraftTelemetry {
+    // Current-span stack per thread — the shim equivalent of the real
+    // SDK's Span.current()/makeCurrent() scope, so Tel.addEvent lands on
+    // the enclosing span instead of vanishing.
+    private val current = new ThreadLocal[List[Span]] {
+      override def initialValue(): List[Span] = Nil
+    }
     def withSpan[T](name: String, attributes: (String, Any)*)(block: => T): T = {
       val builder = attributes.foldLeft(tracer.spanBuilder(name)) {
         case (b, (k, v)) => b.setAttribute(k, String.valueOf(v))
       }
       val span = builder.startSpan()
+      current.set(span :: current.get())
       try block
       catch { case t: Throwable => span.recordException(t); throw t }
-      finally span.end()
+      finally {
+        current.set(current.get().tail)
+        span.end()
+      }
     }
     def addCounter(name: String, value: Long): Unit =
       meter.counterBuilder(name).build().add(value)
@@ -68,7 +78,8 @@ object OtelQuickstart {
       meter.gaugeBuilder(name).build().set(value)
     def recordHistogram(name: String, value: Double): Unit =
       meter.histogramBuilder(name).build().record(value)
-    override def addEvent(name: String, attributes: (String, Any)*): Unit = ()
+    override def addEvent(name: String, attributes: (String, Any)*): Unit =
+      current.get().headOption.foreach(_.addEvent(name))
   }
 
   /** In-memory shim SDK for the spec (and for running this example in a
@@ -125,6 +136,7 @@ object OtelQuickstart {
     val process = Node[List[String], Int] { data =>
       Tel.withSpan("processing", "env" -> env) {
         Tel.addCounter("items", data.size)
+        Tel.addEvent("validation.start")
         val valid = data.filter(_.nonEmpty)
         Tel.setGauge("data.quality.ratio",
           valid.size.toDouble / math.max(1, data.size))

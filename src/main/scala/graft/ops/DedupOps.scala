@@ -1182,10 +1182,12 @@ object DedupOps {
         "transform(sequence(0, 3), b -> shiftright(simhash, b * 16) & 65535)"))
     ).select(col("doc_id"), col("simhash"), col("pos").as("band"), col("col").as("bv"))
       // self-joined below: materialize so the 64-bit signature isn't built
-      // twice. localCheckpoint, not persist — a per-call persist with no
+      // twice. Materialize, not persist — a per-call persist with no
       // matching unpersist (the consumer is the returned lazy frame) would
-      // pin executor storage for the session lifetime; checkpoint blocks
-      // are released by the context cleaner once the frame is unreachable.
+      // pin executor storage for the session lifetime; localCheckpoint
+      // blocks (the default path) are cleaner-released once the frame is
+      // unreachable, and reliable-checkpoint FILES follow the
+      // cleanCheckpoints conf (see SparkOps.materialize).
       .materialized
     val l = banded.select(col("band"), col("bv"),
       col("doc_id").as("id_a"), col("simhash").as("sh_a"))

@@ -260,8 +260,10 @@ object GraphOps {
   private val labelCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), DataFrame]()
 
-  /** Drop this session's cached labelings (the checkpointed RDDs are
-    * released by the context cleaner once unreferenced). Invoked by
+  /** Drop this session's cached labelings (local-checkpoint RDD blocks
+    * are cleaner-released once unreferenced; durable checkpoint files
+    * follow the cleanCheckpoints conf — see SparkOps.materialize).
+    * Invoked by
     * [[graft.ops.DedupOps.clearCaches]] — same cache contract: keys hash
     * the plan, so entries are valid only while source files are immutable.
     */
@@ -394,8 +396,9 @@ object GraphOps {
     // eagerly instead of pinning executor storage until the caller acts.
     ranks.materialized
     } finally {
-      // edges' checkpoint blocks are released by the context cleaner once
-      // the frame goes out of scope; only the deg cache needs explicit
+      // edges' local-checkpoint blocks are cleaner-released once the
+      // frame goes out of scope (durable files follow the cleanCheckpoints
+      // conf — SparkOps.materialize); only the deg cache needs explicit
       // release — in a finally so a mid-iteration failure can't pin it
       // for the session lifetime (ccIterative's e2 gets the same guard).
       deg.unpersist()

@@ -53,18 +53,30 @@ object SparkOps {
     *    `checkpoint(eager = true)` into that directory (HDFS/object
     *    store) — the truncated lineage is NOT recomputable, so on a
     *    multi-executor deployment the blocks must survive executor loss;
-    *    local-checkpointed blocks don't.
+    *    local-checkpointed blocks don't. The frame is persisted for the
+    *    duration of the checkpoint write (reliable checkpointing
+    *    otherwise RECOMPUTES the plan for the file-write job — 2× every
+    *    iterative call site) and unpersisted after. Checkpoint FILES are
+    *    cleaned by the ContextCleaner only when the session was built
+    *    with `spark.cleaner.referenceTracking.cleanCheckpoints=true`
+    *    (a static conf, default false) — set it on durable deployments
+    *    or clean the directory per job; localCheckpoint blocks (the
+    *    default path) are always cleaner-released.
     *
-    * The session's Spark checkpoint dir is initialized from the config on
-    * first use (an explicit earlier `setCheckpointDir` wins).
+    * The session's Spark checkpoint dir follows the config: it is
+    * (re)initialized whenever the current dir is not already under the
+    * configured one, so re-pointing `graft.checkpoint.dir` mid-session
+    * takes effect on the next call.
     */
   def materialize[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
     val spark = ds.sparkSession
     spark.conf.getOption("graft.checkpoint.dir").filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-        ds.checkpoint(eager = true)
+        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        val persisted = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try persisted.checkpoint(eager = true)
+        finally persisted.unpersist(blocking = false)
       case None => ds.localCheckpoint(eager = true)
     }
   }

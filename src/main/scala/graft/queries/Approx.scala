@@ -96,7 +96,7 @@ object Approx {
     * Returns `(doc_id, n_chars, deflate_ratio, is_repetitive)`.
     */
   def deflateRatio(docs: DataFrame): DataFrame = {
-    val ratio = udf { (text: String) =>
+    val deflated = udf { (text: String) =>
       val bytes = text.getBytes("UTF-8")
       val d = new java.util.zip.Deflater(6, false)
       d.setInput(bytes); d.finish()
@@ -104,11 +104,14 @@ object Approx {
       var n = 0L
       while (!d.finished()) n += d.deflate(buf)
       d.end()
-      n.toDouble / math.max(1, bytes.length)
+      n
     }
     docs.select(col("doc_id"),
         length(col("text")).as("n_chars"),
-        round(ratio(col("text")), 4).as("deflate_ratio"))
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        deflated(col("text")).as("n_deflate"))
+      .withColumn("deflate_ratio",
+        round(col("n_deflate") / greatest(col("n_bytes"), lit(1L)), 4))
       .withColumn("is_repetitive", col("deflate_ratio") < 0.25)
   }
 
@@ -131,8 +134,12 @@ object Approx {
         count(lit(1)).as("exact_pairs"),
         sum(coalesce(col("hit"), lit(0))).as("recovered"))
       .select(col("exact_pairs"),
-        (col("recovered").cast("double") >=
-          col("exact_pairs").cast("double") * floor - 1e-9).as("recall_ok"))
+        // empty exact set ⇒ sum() is NULL ⇒ the comparison is NULL, not
+        // true — coalesce to the vacuous-recall verdict (0/0 = recalled)
+        coalesce(
+          col("recovered").cast("double") >=
+            col("exact_pairs").cast("double") * floor - 1e-9,
+          lit(true)).as("recall_ok"))
 
   /** Per-query overlap@k verdict for an ANN top-k approximation against
     * its exact twin. Both frames carry `(q_id, vec_id)`; the exact frame

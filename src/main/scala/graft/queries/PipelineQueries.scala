@@ -85,24 +85,36 @@ object PipelineQueries {
         SELECT q_id, vec_id AS exact_top1, TRUE AS overlap_ok, TRUE AS mean_ok
         FROM r WHERE rn = 1 ORDER BY q_id"""
 
-  /** Exact token-Jaccard >= 0.95 pairs as a CTE fragment (shared by the
-    * cluster oracles; mirrors the dedup_ngram_jaccard oracle at a higher
-    * threshold).
+  /** The exact token-Jaccard oracle CTEs, defined ONCE and parameterized
+    * (round-13 cleanup of seven hand-synchronized copies): [[tokSharedCte]]
+    * = token sets + set sizes + ordered-pair intersection counts;
+    * [[pairsAt]] adds the thresholded pair list under a chosen CTE name —
+    * a tokenization-convention change now edits ONE string.
     */
-  private val pairCte = """toks AS (
+  private val tokSizesCte = """toks AS (
           SELECT doc_id, unnest(list_distinct(list_filter(
             string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
           FROM documents),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id)"""
+
+  private val tokSharedCte = tokSizesCte + """,
         shared AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
           FROM toks a JOIN toks b USING (tok)
-          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        pairs AS (
+          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)"""
+
+  private def pairsAt(threshold: Double, name: String = "pairs"): String =
+    tokSharedCte + s""",
+        $name AS (
           SELECT id_a, id_b FROM shared
           JOIN sizes sa ON sa.doc_id = id_a
           JOIN sizes sb ON sb.doc_id = id_b
-          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.95)"""
+          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= $threshold)"""
+
+  /** Exact token-Jaccard >= 0.95 pairs (toks → sizes → shared → pairs) —
+    * the cluster-family oracle base.
+    */
+  private val pairCte = pairsAt(0.95)
 
   def queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------- dedup
@@ -112,16 +124,8 @@ object PipelineQueries {
       // artifact, so dedup_incremental (τ=0.9 A×B) and the τ=0.95 cluster
       // family all derive from it instead of re-mining the corpus.
       (s, dir) => DedupOps.ngramJaccardCached(docs(s, dir), threshold = 0.8),
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(list_distinct(list_filter(
-            string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
-          FROM documents),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-        shared AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM toks a JOIN toks b USING (tok)
-          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+      Some(s"""
+        WITH $tokSharedCte
         SELECT id_a, id_b,
                floor((CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter)) * 10000 + 0.5) / 10000 AS jaccard
         FROM shared
@@ -189,21 +193,9 @@ object PipelineQueries {
           DedupOps.minhashLshAuto(d, threshold = 0.8),
           floor = 0.85)
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(list_distinct(list_filter(
-            string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
-          FROM documents),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-        shared AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM toks a JOIN toks b USING (tok)
-          WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
-        SELECT count(*) AS exact_pairs, TRUE AS recall_ok
-        FROM shared
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8""")
+      Some(s"""
+        WITH ${pairsAt(0.8)}
+        SELECT count(*) AS exact_pairs, TRUE AS recall_ok FROM pairs""")
     ),
     QueryDef(
       "dedup_decontaminate",
@@ -219,12 +211,8 @@ object PipelineQueries {
         DedupOps.containmentBest(docs(s, dir),
           col("doc_id") % 10 === 0, col("doc_id") % 10 =!= 0, threshold = 0.9)
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(list_distinct(list_filter(
-            string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
-          FROM documents),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      Some(s"""
+        WITH $tokSizesCte,
         shared AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
           FROM toks a JOIN toks b USING (tok)
@@ -255,12 +243,8 @@ object PipelineQueries {
           col("doc_id") % 2 === 1, col("doc_id") % 2 === 0,
           threshold = 0.9)
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(list_distinct(list_filter(
-            string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
-          FROM documents),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+      Some(s"""
+        WITH $tokSizesCte,
         shared AS (
           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
           FROM toks a JOIN toks b USING (tok)
@@ -849,21 +833,8 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_pairs"))
           .orderBy("source_a", "source_b")
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(list_distinct(list_filter(
-            string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
-          FROM documents),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-        shared AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM toks a JOIN toks b USING (tok)
-          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        pairs08 AS (
-          SELECT id_a, id_b FROM shared
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8)
+      Some(s"""
+        WITH ${pairsAt(0.8, "pairs08")}
         SELECT least(da.source, db.source) AS source_a,
                greatest(da.source, db.source) AS source_b,
                count(*) AS n_pairs
@@ -889,21 +860,8 @@ object PipelineQueries {
           .agg(count(lit(1)).as("n_docs"))
           .orderBy("degree")
       },
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(list_distinct(list_filter(
-            string_split_regex(lower(text), '\s+'), t -> t <> ''))) AS tok
-          FROM documents),
-        sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
-        shared AS (
-          SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-          FROM toks a JOIN toks b USING (tok)
-          WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
-        pairs08 AS (
-          SELECT id_a, id_b FROM shared
-          JOIN sizes sa ON sa.doc_id = id_a
-          JOIN sizes sb ON sb.doc_id = id_b
-          WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.8),
+      Some(s"""
+        WITH ${pairsAt(0.8, "pairs08")},
         ends AS (SELECT id_a AS doc_id FROM pairs08
                  UNION ALL SELECT id_b FROM pairs08),
         deg AS (SELECT doc_id, count(*) AS degree FROM ends GROUP BY 1)

@@ -76,6 +76,8 @@ class ExamplesSpec extends AnyFunSuite {
     assert(calls.last == "span.end:processing",
       s"span must close after the block: $calls")
     assert(calls.contains("counter:items+=3"), calls.toString)
+    assert(calls.contains("span.event:processing/validation.start"),
+      s"Tel.addEvent must land on the enclosing span: $calls")
     assert(calls.exists(_.startsWith("gauge:data.quality.ratio=0.666")), calls.toString)
     assert(calls.exists(_.startsWith("histogram:item.length<<10")), calls.toString)
     // dev path: console provider, no SDK constructed

@@ -78,13 +78,15 @@ class RecallSpec extends AnyFunSuite {
 
   test("text_compression_ratio: bounded, deterministic, separates repetition from natural text") {
     import spark.implicits._
-    val run1 = Approx.deflateRatio(docsDf).orderBy("doc_id").collect()
+    def ratios(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "deflate_ratio").orderBy("doc_id").collect()
+    val run1 = ratios(Approx.deflateRatio(docsDf))
     assert(run1.nonEmpty)
     run1.foreach { r =>
-      val ratio = r.getDouble(2)
+      val ratio = r.getDouble(1)
       assert(ratio > 0 && ratio < 1.2, s"deflate ratio out of bounds: $ratio")
     }
-    val run2 = Approx.deflateRatio(docsDf).orderBy("doc_id").collect()
+    val run2 = ratios(Approx.deflateRatio(docsDf))
     assert(run1.map(_.toSeq).toSeq == run2.map(_.toSeq).toSeq,
       "deflate ratio must be deterministic across runs")
     // Synthetic separation probe: a pure repetition vs hash-noise words.
@@ -94,7 +96,8 @@ class RecallSpec extends AnyFunSuite {
     Seq((1L, rep), (2L, nat)).toDF("doc_id", "text")
       .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val out = Approx.deflateRatio(spark.read.parquet(s"$tmp/documents.parquet"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      .select("doc_id", "deflate_ratio")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     info(f"repetitive=${out(1L)}%.4f natural=${out(2L)}%.4f")
     assert(out(1L) < out(2L) * 0.5,
       s"repetition (${out(1L)}) must compress far below natural text (${out(2L)})")
@@ -270,6 +273,17 @@ class RecallSpec extends AnyFunSuite {
     // configured rsd = 0.01; 5 sigma headroom keeps this deterministic
     // check meaningful without being fragile to an implementation change
     assert(relP <= 0.05 && relO <= 0.05, f"HLL error parts=$relP%.4f orders=$relO%.4f")
+  }
+
+  test("pairRecallVerdict: empty exact set reads vacuously true, never null") {
+    import spark.implicits._
+    val exact = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    val approx = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val row = Approx.pairRecallVerdict(exact, approx, 0.85).collect()(0)
+    assert(row.getLong(0) == 0L)
+    assert(!row.isNullAt(1) && row.getBoolean(1),
+      "0 exact pairs must grade as vacuous recall = true (a NULL here " +
+        "would hash-mismatch the oracle's literal TRUE)")
   }
 
   test("every graduated verdict frame reads all-true (the driver's oracle gate)") {
