@@ -4,10 +4,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths}
 
-/** Machine-readable accuracy report for every `no_oracle` query: each
-  * approximate operator is scored against its EXACT twin on the same
-  * testdata the driver grades (RecallSpec's checks, emitted as JSON the
-  * driver can archive per round instead of trusting test logs).
+/** Machine-readable accuracy report for every approximate operator:
+  * each raw approximate frame (the computation under the round-13
+  * verdict-frame queries — see [[graft.queries.Approx]]) is scored
+  * against its EXACT twin on the same testdata the driver grades
+  * (RecallSpec's checks, emitted as JSON the driver can archive per
+  * round instead of trusting test logs).
   *
   * All candidate generation is seeded-hash deterministic, so the scores
   * are reproducible numbers, not statistics.
@@ -68,9 +70,9 @@ object RecallReport {
     // -- pair-recall family (exact twin: mined exact-Jaccard / cosine pairs)
     val exactJaccard = pairs("dedup_ngram_jaccard")
     grade("dedup_minhash_lsh") {
-      val lsh = rawPairs(graft.ops.DedupOps.minhashLshAuto(docsDf, threshold = 0.8))
+      val lsh = rawPairs(graft.queries.Approx.minhashPairs(docsDf))
       val (r, d) = recallOf(lsh, exactJaccard)
-      Score("recall_vs_exact_jaccard_pairs", r, 0.85, d)
+      Score("recall_vs_exact_jaccard_pairs", r, graft.queries.Approx.MinhashRecallFloor, d)
     }
     grade("dedup_simhash") {
       // 4x16-bit banding pigeonholes hamming<=3: must EQUAL brute force
@@ -89,10 +91,11 @@ object RecallReport {
     grade("dedup_embedding_lsh") {
       // exact twin is windowed to vec_id < 300; grade inside that window
       val exact = pairs("dedup_embedding_cosine")
-      val lsh = rawPairs(graft.ops.DedupOps.cosineLshPairsAuto(embDf, threshold = 0.3))
-        .filter(p => p._1 < 300 && p._2 < 300)
+      val w = graft.queries.Approx.EmbeddingExactMaxId
+      val lsh = rawPairs(graft.queries.Approx.embeddingLshPairs(embDf))
+        .filter(p => p._1 < w && p._2 < w)
       val (r, d) = recallOf(lsh, exact)
-      Score("recall_vs_exact_cosine_pairs", r, 0.85, d)
+      Score("recall_vs_exact_cosine_pairs", r, graft.queries.Approx.EmbeddingLshRecallFloor, d)
     }
     grade("dedup_substring_hashed") {
       // digest variant must produce IDENTICAL per-doc dup-gram counts
@@ -113,27 +116,20 @@ object RecallReport {
         s"${(ids & exact).size}/${exact.size} of exact top-k recovered")
     }
     grade("similarity_lsh_topk") {
-      val (v, d) = rawOverlap(
-        graft.ops.SimilarityOps.lshTopK(embDf, queryId = 0, k = 10, nBits = 4),
-        exactTopK)
+      val (v, d) = rawOverlap(graft.queries.Approx.lshTopK(embDf), exactTopK)
       // query-adaptive multi-probe (margin-ordered probe set, Lv et al.):
       // measured 0.9 at sf0.001/0.01/0.1 — same floor as the banded
       // production path now that the probe policy is principled
-      Score("topk_overlap_vs_exact", v, 0.8,
+      Score("topk_overlap_vs_exact", v, graft.queries.Approx.LshTopKFloor,
         d + " (single-table adaptive multi-probe; scale path is _banded)")
     }
     grade("similarity_lsh_topk_banded") {
-      val (bands, bits) = graft.ops.DedupOps
-        .autoBandConfig(embDf, threshold = 0.3, targetRecall = 0.95)
-      val (v, d) = rawOverlap(
-        graft.ops.SimilarityOps.lshTopKBanded(embDf, queryId = 0, k = 10, bands, bits),
-        exactTopK)
-      Score("topk_overlap_vs_exact", v, 0.8, d)
+      val (v, d) = rawOverlap(graft.queries.Approx.lshTopKBanded(embDf), exactTopK)
+      Score("topk_overlap_vs_exact", v, graft.queries.Approx.LshTopKBandedFloor, d)
     }
     grade("similarity_ivf_topk") {
-      val (v, d) = rawOverlap(
-        graft.ops.SimilarityOps.ivfTopK(embDf, queryId = 0, k = 10), exactTopK)
-      Score("topk_overlap_vs_exact", v, 0.85, d)
+      val (v, d) = rawOverlap(graft.queries.Approx.ivfTopK(embDf), exactTopK)
+      Score("topk_overlap_vs_exact", v, graft.queries.Approx.IvfTopKFloor, d)
     }
     // Shared collector for the batched-serving grades: per-query id sets
     // keyed by q_id; the exact batch twin runs ONCE for both grades.
@@ -149,21 +145,18 @@ object RecallReport {
       (per.sum / per.size, s"per-query overlap@10 = ${per.mkString(",")}")
     }
     grade("similarity_ivf_batch_topk") {
-      val (v, d) = batchOverlap(
-        graft.ops.SimilarityOps.ivfBatchTopK(embDf, 0L to 7L, k = 10))
-      Score("mean_per_query_overlap_vs_exact_batch", v, 0.85,
-        d + " (min floor 0.6 in RecallSpec)")
+      val (v, d) = batchOverlap(graft.queries.Approx.ivfBatchTopK(embDf))
+      Score("mean_per_query_overlap_vs_exact_batch", v, graft.queries.Approx.IvfBatchMeanFloor,
+        d + s" (min floor ${graft.queries.Approx.IvfBatchPerQueryFloor} in RecallSpec)")
     }
     grade("similarity_pq_topk") {
-      val (v, d) = rawOverlap(
-        graft.ops.SimilarityOps.pqTopK(embDf, queryId = 0, k = 10), exactTopK)
-      Score("topk_overlap_vs_exact", v, 0.7, d)
+      val (v, d) = rawOverlap(graft.queries.Approx.pqTopK(embDf), exactTopK)
+      Score("topk_overlap_vs_exact", v, graft.queries.Approx.PqTopKFloor, d)
     }
     grade("similarity_pq_batch_topk") {
-      val (v, d) = batchOverlap(
-        graft.ops.SimilarityOps.pqBatchTopK(embDf, 0L to 7L, k = 10, rerank = 64))
-      Score("mean_per_query_overlap_vs_exact_batch", v, 0.7,
-        d + " (min floor 0.5 in RecallSpec)")
+      val (v, d) = batchOverlap(graft.queries.Approx.pqBatchTopK(embDf))
+      Score("mean_per_query_overlap_vs_exact_batch", v, graft.queries.Approx.PqBatchMeanFloor,
+        d + s" (min floor ${graft.queries.Approx.PqBatchPerQueryFloor} in RecallSpec)")
     }
 
     // -- sketch-error family (value = 1 - normalized error, floor on that)
@@ -226,7 +219,8 @@ object RecallReport {
         .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
       val est = graft.queries.Approx.cmsEstimates(spark, sfDir)
         .collect().map(r => (r.getInt(0), r.getString(1)) -> r.getLong(2)).toMap
-      val slack = math.max(1L, math.ceil(0.001 * cust.count()).toLong)
+      val slack = math.max(1L,
+        math.ceil(graft.queries.Approx.CmsEps * cust.count()).toLong)
       val bad = exact.count { case (k, e) =>
         val a = est(k); a < e || a > e + slack
       }

@@ -157,7 +157,8 @@ object RegimeBoundary {
           .select(graft.ops.TextOps.bpeSpaced(col("word")).as("ws"), col("n"))
           .localCheckpoint(true)
         val out = Seq.newBuilder[(Int, String, String, Long)]
-        for (step <- 1 to k) {
+        var exhausted = false
+        for (step <- 1 to k if !exhausted) {
           val top = vocab
             .select(col("n"), split(trim(col("ws")), " ").as("l"))
             .filter(size(col("l")) >= 2)
@@ -168,11 +169,14 @@ object RegimeBoundary {
             .agg(sum(col("n")).as("cnt"))
             .orderBy(col("cnt").desc, col("a"), col("b"))
             .limit(1).collect()
-          val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          out += ((step, a, b, cnt))
-          vocab = vocab
-            .withColumn("ws", graft.ops.TextOps.bpeApplyMerge(col("ws"), a, b))
-            .localCheckpoint(true)
+          if (top.isEmpty) exhausted = true // same early stop as the trainer
+          else {
+            val (a, b, cnt) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+            out += ((step, a, b, cnt))
+            vocab = vocab
+              .withColumn("ws", graft.ops.TextOps.bpeApplyMerge(col("ws"), a, b))
+              .localCheckpoint(true)
+          }
         }
         out.result()
       }

@@ -64,16 +64,28 @@ object SparkOps {
     *    default path) are always cleaner-released.
     *
     * The session's Spark checkpoint dir follows the config: it is
-    * (re)initialized whenever the current dir is not already under the
-    * configured one, so re-pointing `graft.checkpoint.dir` mid-session
-    * takes effect on the next call.
+    * (re)initialized whenever the conf value differs from the one this
+    * session was last initialized from (tracked per session below), so
+    * re-pointing `graft.checkpoint.dir` mid-session takes effect on the
+    * next call.
     */
+  // The graft.checkpoint.dir value this session's checkpoint dir was last
+  // initialized from — exact-string bookkeeping, because sc.getCheckpointDir
+  // returns a qualified path + UUID subdir that cannot be compared to the
+  // raw conf value without false substring matches.
+  private val configuredCkptDir =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   def materialize[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
     val spark = ds.sparkSession
     spark.conf.getOption("graft.checkpoint.dir").filter(_.nonEmpty) match {
       case Some(dir) =>
         val sc = spark.sparkContext
-        if (!sc.getCheckpointDir.exists(_.contains(dir))) sc.setCheckpointDir(dir)
+        val sid = sessionId(spark)
+        if (sc.getCheckpointDir.isEmpty || configuredCkptDir.get(sid) != dir) {
+          sc.setCheckpointDir(dir)
+          configuredCkptDir.put(sid, dir)
+        }
         val persisted = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try persisted.checkpoint(eager = true)
         finally persisted.unpersist(blocking = false)

@@ -29,6 +29,68 @@ object Approx {
     s.read.parquet(s"$dir/$name.parquet")
 
   // ------------------------------------------------------------------
+  // single source of truth: approximate builders + accuracy floors
+  //
+  // Each (builder, floor) pair below is consumed by THREE places — the
+  // graded verdict query, RecallSpec, and RecallReport. Defining them
+  // once makes the round-13 invariant structural: the driver-visible
+  // verdict booleans are BY CONSTRUCTION the same parameters and floors
+  // the numeric grades assert.
+  // ------------------------------------------------------------------
+  import graft.ops.{DedupOps, SimilarityOps}
+
+  /** Exact token-Jaccard τ=0.8 pairs — MinHash's exact twin (the shared
+    * mine-once pair cache the graded dedup family derives from).
+    */
+  def exactJaccardPairs(docs: DataFrame): DataFrame =
+    DedupOps.ngramJaccardCached(docs, threshold = 0.8)
+  def minhashPairs(docs: DataFrame): DataFrame =
+    DedupOps.minhashLshAuto(docs, threshold = 0.8)
+  val MinhashRecallFloor = 0.85
+
+  /** Exact windowed cosine twin (vec_id < 300, cos ≥ 0.4) and the SRP-LSH
+    * miner it grades (threshold 0.3 — a margin below the graded 0.4).
+    */
+  val EmbeddingExactMaxId = 300L
+  def embeddingExactPairs(emb: DataFrame): DataFrame =
+    DedupOps.cosineNearDupExact(emb, maxId = EmbeddingExactMaxId, threshold = 0.4)
+  def embeddingLshPairs(emb: DataFrame): DataFrame =
+    DedupOps.cosineLshPairsAuto(emb, threshold = 0.3)
+  val EmbeddingLshRecallFloor = 0.85
+
+  /** ANN top-k raw searches, all at k = 10 over query vec_id 0 (single)
+    * or the 0..7 batch — parameters identical to the graded queries.
+    */
+  def lshTopK(emb: DataFrame): DataFrame =
+    SimilarityOps.lshTopK(emb, queryId = 0, k = 10, nBits = 4)
+  val LshTopKFloor = 0.8
+  def lshTopKBanded(emb: DataFrame): DataFrame = {
+    val (bands, bits) = DedupOps.autoBandConfig(emb, threshold = 0.3, targetRecall = 0.95)
+    SimilarityOps.lshTopKBanded(emb, queryId = 0, k = 10, bands, bits)
+  }
+  val LshTopKBandedFloor = 0.8
+  def ivfTopK(emb: DataFrame): DataFrame =
+    SimilarityOps.ivfTopK(emb, queryId = 0, k = 10)
+  val IvfTopKFloor = 0.85
+  def pqTopK(emb: DataFrame): DataFrame =
+    SimilarityOps.pqTopK(emb, queryId = 0, k = 10)
+  val PqTopKFloor = 0.7
+  def ivfBatchTopK(emb: DataFrame): DataFrame =
+    SimilarityOps.ivfBatchTopK(emb, 0L to 7L, k = 10)
+  val IvfBatchPerQueryFloor = 0.6
+  val IvfBatchMeanFloor = 0.85
+  def pqBatchTopK(emb: DataFrame): DataFrame =
+    SimilarityOps.pqBatchTopK(emb, 0L to 7L, k = 10, rerank = 64)
+  val PqBatchPerQueryFloor = 0.5
+  val PqBatchMeanFloor = 0.7
+
+  /** Sketch error tolerances (verdict booleans AND numeric grades). */
+  val ApproxDistinctRelTol = 0.05 // rsd 0.01 with 5σ headroom
+  val HllMergeRelTol = 0.04 // lgK=14 ⇒ rse ≈ 0.8%; 5σ
+  val HllMergeAbsFloor = 3.0 // small-count floor
+  val CmsEps = 0.001 // CMS width parameter ⇒ over-estimate ≤ ⌈ε·N⌉
+
+  // ------------------------------------------------------------------
   // raw approximate frames
   // ------------------------------------------------------------------
 
@@ -68,7 +130,7 @@ object Approx {
         .readFrom(new java.io.ByteArrayInputStream(b)).estimateCount(key))
     val c = t(s, dir, "customer")
     val sk = c.groupBy(col("c_nationkey"))
-      .agg(expr("count_min_sketch(c_mktsegment, 0.001d, 0.99d, 42)").as("sk"))
+      .agg(expr(s"count_min_sketch(c_mktsegment, ${CmsEps}d, 0.99d, 42)").as("sk"))
     val segs = c.select(col("c_mktsegment").as("seg")).distinct()
     sk.crossJoin(broadcast(segs))
       .select(col("c_nationkey"), col("seg"), est(col("sk"), col("seg")).as("est_n"))
@@ -93,7 +155,8 @@ object Approx {
     * noise): DEFLATE at fixed level 6 per document inside a scalar UDF —
     * a justified UDF, the byte-level LZ77 loop has no Catalyst
     * expression — pure map-side, no shuffle beyond the final sort.
-    * Returns `(doc_id, n_chars, deflate_ratio, is_repetitive)`.
+    * Returns `(doc_id, n_chars, n_bytes, n_deflate, deflate_ratio,
+    * is_repetitive)`.
     */
   def deflateRatio(docs: DataFrame): DataFrame = {
     val deflated = udf { (text: String) =>

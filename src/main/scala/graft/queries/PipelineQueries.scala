@@ -189,9 +189,8 @@ object PipelineQueries {
       (s, dir) => {
         val d = docs(s, dir)
         Approx.pairRecallVerdict(
-          DedupOps.ngramJaccardCached(d, threshold = 0.8),
-          DedupOps.minhashLshAuto(d, threshold = 0.8),
-          floor = 0.85)
+          Approx.exactJaccardPairs(d), Approx.minhashPairs(d),
+          floor = Approx.MinhashRecallFloor)
       },
       Some(s"""
         WITH ${pairsAt(0.8)}
@@ -364,10 +363,11 @@ object PipelineQueries {
       (s, dir) => {
         import org.apache.spark.sql.functions.col
         Approx.pairRecallVerdict(
-          DedupOps.cosineNearDupExact(emb(s, dir), maxId = 300, threshold = 0.4),
-          DedupOps.cosineLshPairsAuto(emb(s, dir), threshold = 0.3)
-            .filter(col("id_a") < 300 && col("id_b") < 300),
-          floor = 0.85)
+          Approx.embeddingExactPairs(emb(s, dir)),
+          Approx.embeddingLshPairs(emb(s, dir))
+            .filter(col("id_a") < Approx.EmbeddingExactMaxId &&
+              col("id_b") < Approx.EmbeddingExactMaxId),
+          floor = Approx.EmbeddingLshRecallFloor)
       },
       Some("""
         WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
@@ -401,9 +401,9 @@ object PipelineQueries {
       (s, dir) =>
         Approx.topKVerdict(
           exactSingleTopK(s, dir),
-          SimilarityOps.lshTopK(emb(s, dir), queryId = 0, k = 10, nBits = 4)
+          Approx.lshTopK(emb(s, dir))
             .withColumn("q_id", org.apache.spark.sql.functions.lit(0L)),
-          floor = 0.8),
+          floor = Approx.LshTopKFloor),
       Some(singleTopkVerdictOracle)
     ),
     QueryDef(
@@ -413,15 +413,12 @@ object PipelineQueries {
       // multi-probe above), band config fit per corpus by autoBandConfig
       // at a 0.95 per-pair recall target: measured top-10 overlap vs exact
       // 0.9 / 1.0 / 0.9 at sf0.001 / 0.01 / 0.1; floor 0.8.
-      (s, dir) => {
-        val e = emb(s, dir)
-        val (bands, bits) = DedupOps.autoBandConfig(e, threshold = 0.3, targetRecall = 0.95)
+      (s, dir) =>
         Approx.topKVerdict(
           exactSingleTopK(s, dir),
-          SimilarityOps.lshTopKBanded(e, queryId = 0, k = 10, bands, bits)
+          Approx.lshTopKBanded(emb(s, dir))
             .withColumn("q_id", org.apache.spark.sql.functions.lit(0L)),
-          floor = 0.8)
-      },
+          floor = Approx.LshTopKBandedFloor),
       Some(singleTopkVerdictOracle)
     ),
     QueryDef(
@@ -431,9 +428,9 @@ object PipelineQueries {
       (s, dir) =>
         Approx.topKVerdict(
           exactSingleTopK(s, dir),
-          SimilarityOps.ivfTopK(emb(s, dir), queryId = 0, k = 10)
+          Approx.ivfTopK(emb(s, dir))
             .withColumn("q_id", org.apache.spark.sql.functions.lit(0L)),
-          floor = 0.85),
+          floor = Approx.IvfTopKFloor),
       Some(singleTopkVerdictOracle)
     ),
     QueryDef(
@@ -447,8 +444,9 @@ object PipelineQueries {
       (s, dir) =>
         Approx.topKVerdict(
           exactBatchTopK(s, dir),
-          SimilarityOps.ivfBatchTopK(emb(s, dir), 0L to 7L, k = 10),
-          floor = 0.6, meanFloor = Some(0.85)),
+          Approx.ivfBatchTopK(emb(s, dir)),
+          floor = Approx.IvfBatchPerQueryFloor,
+          meanFloor = Some(Approx.IvfBatchMeanFloor)),
       Some(batchTopkVerdictOracle)
     ),
     QueryDef(
@@ -460,9 +458,9 @@ object PipelineQueries {
       (s, dir) =>
         Approx.topKVerdict(
           exactSingleTopK(s, dir),
-          SimilarityOps.pqTopK(emb(s, dir), queryId = 0, k = 10)
+          Approx.pqTopK(emb(s, dir))
             .withColumn("q_id", org.apache.spark.sql.functions.lit(0L)),
-          floor = 0.7),
+          floor = Approx.PqTopKFloor),
       Some(singleTopkVerdictOracle)
     ),
     QueryDef(
@@ -479,8 +477,9 @@ object PipelineQueries {
       (s, dir) =>
         Approx.topKVerdict(
           exactBatchTopK(s, dir),
-          SimilarityOps.pqBatchTopK(emb(s, dir), 0L to 7L, k = 10, rerank = 64),
-          floor = 0.5, meanFloor = Some(0.7)),
+          Approx.pqBatchTopK(emb(s, dir)),
+          floor = Approx.PqBatchPerQueryFloor,
+          meanFloor = Some(Approx.PqBatchMeanFloor)),
       Some(batchTopkVerdictOracle)
     ),
     // ------------------------------------------------------ text analysis

@@ -383,9 +383,11 @@ object Relational {
           .crossJoin(broadcast(Approx.approxDistinct(s, dir)))
           .select(col("exact_parts"), col("exact_orders"),
             (abs(col("approx_parts").cast("double") /
-              col("exact_parts") - 1) <= 0.05).as("parts_within_5pct"),
+              col("exact_parts") - 1) <= Approx.ApproxDistinctRelTol)
+              .as("parts_within_5pct"),
             (abs(col("approx_orders").cast("double") /
-              col("exact_orders") - 1) <= 0.05).as("orders_within_5pct")),
+              col("exact_orders") - 1) <= Approx.ApproxDistinctRelTol)
+              .as("orders_within_5pct")),
       Some("""
         SELECT count(DISTINCT l_partkey) AS exact_parts,
                count(DISTINCT l_orderkey) AS exact_orders,
@@ -412,7 +414,8 @@ object Relational {
           .select(col("n_regionkey"), col("exact_customers"),
             (abs(col("approx_customers").cast("double") -
               col("exact_customers")) <=
-              greatest(lit(3.0), col("exact_customers") * 0.04))
+              greatest(lit(Approx.HllMergeAbsFloor),
+                col("exact_customers") * Approx.HllMergeRelTol))
               .as("within_tol"))
           .orderBy("n_regionkey")
       },
@@ -436,7 +439,8 @@ object Relational {
         val exact = c.groupBy(col("c_nationkey"), col("c_mktsegment").as("seg"))
           .agg(count(lit(1)).as("exact_n"))
         val slack = c.agg(
-          greatest(lit(1L), ceil(count(lit(1)) * 0.001).cast("long")).as("slack"))
+          greatest(lit(1L), ceil(count(lit(1)) * Approx.CmsEps).cast("long"))
+            .as("slack"))
         exact.join(Approx.cmsEstimates(s, dir), Seq("c_nationkey", "seg"))
           .crossJoin(broadcast(slack))
           .select(col("c_nationkey"), col("seg"), col("exact_n"),

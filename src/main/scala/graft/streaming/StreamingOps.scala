@@ -418,14 +418,18 @@ object StreamingOps {
     * query as a per-query regression (see BASELINE.md, round-12 caveat).
     */
   private val familyWaveWalls = new java.util.concurrent.ConcurrentHashMap[
-    (String, String), Double]()
+    (String, String), java.lang.Double]()
 
   /** Wave wall for `dir`, if the memoized family wave already ran in this
     * session, plus the graded member names (wave + bespoke) whose bench
-    * entries are memo reads once the wave is built.
+    * entries are memo reads once the wave is built. The map value is the
+    * BOXED Double deliberately: a primitive-valued CHM unboxes a missing
+    * key's null to 0.0, which would turn "no wave ran" into Some(0.0) —
+    * a phantom zero-second wave in bench_last.json.
     */
   def familyWaveWall(spark: SparkSession, dir: String): Option[Double] =
     Option(familyWaveWalls.get((graft.ops.SparkOps.sessionId(spark), dir)))
+      .map(_.doubleValue())
   def familyMemberNames: Seq[String] =
     familyJobs.map(_.name) ++ Seq("stream_upsert_sink",
       "stream_checkpoint_restart", "stream_state_reader",

@@ -55,10 +55,11 @@ class RecallSpec extends AnyFunSuite {
   test("dedup_minhash_lsh recall vs exact jaccard pairs") {
     val exact = idPairs("dedup_ngram_jaccard") // exact J >= 0.8
     // est_jaccard >= 0.8, auto-fit bands (raw LSH frame under the verdict)
-    val lsh = rawPairs(graft.ops.DedupOps.minhashLshAuto(docsDf, threshold = 0.8))
+    val lsh = rawPairs(Approx.minhashPairs(docsDf))
     val recall = (lsh & exact).size.toDouble / exact.size
     info(f"minhash-LSH recall = ${(lsh & exact).size}/${exact.size} = $recall%.3f")
-    assert(recall >= 0.85, f"minhash recall degraded: $recall%.3f")
+    assert(recall >= Approx.MinhashRecallFloor,
+      f"minhash recall degraded: $recall%.3f")
   }
 
   test("agg_cms_freq never under-estimates; over-estimate bounded by eps*N") {
@@ -67,7 +68,7 @@ class RecallSpec extends AnyFunSuite {
     val cust = spark.read.parquet(s"$dir/customer.parquet")
     val exact = cust.groupBy("c_nationkey", "c_mktsegment").count()
       .collect().map(r => ((r.getInt(0), r.getString(1)), r.getLong(2))).toMap
-    val slack = math.max(1L, math.ceil(0.001 * cust.count()).toLong)
+    val slack = math.max(1L, math.ceil(Approx.CmsEps * cust.count()).toLong)
     exact.foreach { case (key, e) =>
       val a = est(key)
       assert(a >= e, s"CMS under-estimated $key: $a < $e — violates the one-sided guarantee")
@@ -121,11 +122,13 @@ class RecallSpec extends AnyFunSuite {
 
   test("dedup_embedding_lsh (auto band config) recall vs exact cosine pairs") {
     val exact = idPairs("dedup_embedding_cosine") // cos >= 0.4, vec_id < 300
-    val lsh = rawPairs(graft.ops.DedupOps.cosineLshPairsAuto(embDf, threshold = 0.3))
-      .filter(p => p._1 < 300 && p._2 < 300) // exact twin's id window
+    val w = Approx.EmbeddingExactMaxId
+    val lsh = rawPairs(Approx.embeddingLshPairs(embDf))
+      .filter(p => p._1 < w && p._2 < w) // exact twin's id window
     val recall = (lsh & exact).size.toDouble / exact.size
     info(f"SRP-LSH recall = ${(lsh & exact).size}/${exact.size} = $recall%.3f")
-    assert(recall >= 0.85, f"embedding-LSH recall degraded: $recall%.3f") // measured 0.917
+    assert(recall >= Approx.EmbeddingLshRecallFloor,
+      f"embedding-LSH recall degraded: $recall%.3f") // measured 0.917
   }
 
   test("auto band config holds the recall floor at sf0.01 too") {
@@ -146,24 +149,22 @@ class RecallSpec extends AnyFunSuite {
 
   test("similarity_lsh_topk overlap vs exact top-k") {
     val exact = topIds("similarity_topk")
-    val lsh = rawTopIds(
-      graft.ops.SimilarityOps.lshTopK(embDf, queryId = 0, k = 10, nBits = 4))
+    val lsh = rawTopIds(Approx.lshTopK(embDf))
     val overlap = (lsh & exact).size.toDouble / exact.size
     info(f"LSH top-k overlap = ${(lsh & exact).size}/${exact.size} = $overlap%.2f")
     // query-adaptive multi-probe (margin-ordered, 12 probes of a 4-bit
     // table): measured 0.9 at sf0.001/0.01/0.1
-    assert(overlap >= 0.8, f"LSH top-k overlap degraded: $overlap%.2f")
+    assert(overlap >= Approx.LshTopKFloor,
+      f"LSH top-k overlap degraded: $overlap%.2f")
   }
 
   test("similarity_lsh_topk_banded (auto-fit L tables) overlap vs exact top-k") {
     val exact = topIds("similarity_topk")
-    val (bands, bits) = graft.ops.DedupOps
-      .autoBandConfig(embDf, threshold = 0.3, targetRecall = 0.95)
-    val banded = rawTopIds(
-      graft.ops.SimilarityOps.lshTopKBanded(embDf, queryId = 0, k = 10, bands, bits))
+    val banded = rawTopIds(Approx.lshTopKBanded(embDf))
     val overlap = (banded & exact).size.toDouble / exact.size
     info(f"banded LSH top-k overlap = ${(banded & exact).size}/${exact.size} = $overlap%.2f")
-    assert(overlap >= 0.8, f"banded LSH top-k overlap degraded: $overlap%.2f") // measured 0.90
+    assert(overlap >= Approx.LshTopKBandedFloor,
+      f"banded LSH top-k overlap degraded: $overlap%.2f") // measured 0.90
   }
 
   private def batchTop(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
@@ -173,45 +174,50 @@ class RecallSpec extends AnyFunSuite {
 
   test("similarity_ivf_batch_topk per-query overlap vs the exact batch twin") {
     val exact = batchTop(Catalog.queriesMap("similarity_batch_topk")(spark, dir))
-    val ivf = batchTop(graft.ops.SimilarityOps.ivfBatchTopK(embDf, 0L to 7L, k = 10))
+    val ivf = batchTop(Approx.ivfBatchTopK(embDf))
     val per = exact.keys.toSeq.sorted
       .map(q => (ivf.getOrElse(q, Set.empty) & exact(q)).size / 10.0)
     val mean = per.sum / per.size
     info(f"IVF batch overlap@10: mean=$mean%.3f per-query=${per.mkString(",")}")
     // measured mean 0.91/0.94/0.91 at sf0.001/0.01/0.1, per-query min 0.7
-    assert(mean >= 0.85, f"IVF batch mean overlap degraded: $mean%.3f")
-    assert(per.min >= 0.6, f"a query fell through the probed cells: ${per.min}")
+    assert(mean >= Approx.IvfBatchMeanFloor,
+      f"IVF batch mean overlap degraded: $mean%.3f")
+    assert(per.min >= Approx.IvfBatchPerQueryFloor,
+      f"a query fell through the probed cells: ${per.min}")
   }
 
   test("similarity_pq_batch_topk per-query overlap vs the exact batch twin") {
     val exact = batchTop(Catalog.queriesMap("similarity_batch_topk")(spark, dir))
-    val pq = batchTop(
-      graft.ops.SimilarityOps.pqBatchTopK(embDf, 0L to 7L, k = 10, rerank = 64))
+    val pq = batchTop(Approx.pqBatchTopK(embDf))
     val per = exact.keys.toSeq.sorted
       .map(q => (pq.getOrElse(q, Set.empty) & exact(q)).size / 10.0)
     val mean = per.sum / per.size
     info(f"PQ batch overlap@10: mean=$mean%.3f per-query=${per.mkString(",")}")
-    assert(mean >= 0.7, f"PQ batch mean overlap degraded: $mean%.3f")
-    assert(per.min >= 0.5, f"a query lost its neighborhood to quantization: ${per.min}")
+    assert(mean >= Approx.PqBatchMeanFloor,
+      f"PQ batch mean overlap degraded: $mean%.3f")
+    assert(per.min >= Approx.PqBatchPerQueryFloor,
+      f"a query lost its neighborhood to quantization: ${per.min}")
   }
 
   test("similarity_ivf_topk overlap vs exact top-k") {
     val exact = topIds("similarity_topk")
-    val ivf = rawTopIds(graft.ops.SimilarityOps.ivfTopK(embDf, queryId = 0, k = 10))
+    val ivf = rawTopIds(Approx.ivfTopK(embDf))
     val overlap = (ivf & exact).size.toDouble / exact.size
     info(f"IVF top-k overlap = ${(ivf & exact).size}/${exact.size} = $overlap%.2f")
-    assert(overlap >= 0.85, f"IVF top-k overlap degraded: $overlap%.2f") // measured 0.90
+    assert(overlap >= Approx.IvfTopKFloor,
+      f"IVF top-k overlap degraded: $overlap%.2f") // measured 0.90
   }
 
   test("similarity_pq_topk overlap vs exact top-k") {
     val exact = topIds("similarity_topk")
-    val pq = rawTopIds(graft.ops.SimilarityOps.pqTopK(embDf, queryId = 0, k = 10))
+    val pq = rawTopIds(Approx.pqTopK(embDf))
     val overlap = (pq & exact).size.toDouble / exact.size
     info(f"PQ top-k overlap = ${(pq & exact).size}/${exact.size} = $overlap%.2f")
     // measured overlap at rerank budget 2/4/8/16 = 0.5/0.7/0.8/1.0 —
     // the default budget (8 ⇒ 16% of this corpus scanned exactly) sits at
     // 0.8; the floor leaves one candidate of slack.
-    assert(overlap >= 0.7, f"PQ top-k overlap degraded: $overlap%.2f")
+    assert(overlap >= Approx.PqTopKFloor,
+      f"PQ top-k overlap degraded: $overlap%.2f")
   }
 
   test("agg_hll_merge region estimates stay within HLL error of exact distinct") {
@@ -228,7 +234,7 @@ class RecallSpec extends AnyFunSuite {
       val n = exact(region).toDouble
       // lgK=14 ⇒ relative standard error ≈ 1.04/√2^14 ≈ 0.8%; allow 5σ
       // plus a small-count floor.
-      val tol = math.max(0.04 * n, 3.0)
+      val tol = math.max(Approx.HllMergeRelTol * n, Approx.HllMergeAbsFloor)
       assert(math.abs(est - n) <= tol,
         f"region $region: est $est%.1f vs exact $n%.0f (tol $tol%.1f)")
     }
@@ -272,7 +278,8 @@ class RecallSpec extends AnyFunSuite {
     info(f"HLL rel error: parts=$relP%.4f orders=$relO%.4f")
     // configured rsd = 0.01; 5 sigma headroom keeps this deterministic
     // check meaningful without being fragile to an implementation change
-    assert(relP <= 0.05 && relO <= 0.05, f"HLL error parts=$relP%.4f orders=$relO%.4f")
+    assert(relP <= Approx.ApproxDistinctRelTol && relO <= Approx.ApproxDistinctRelTol,
+      f"HLL error parts=$relP%.4f orders=$relO%.4f")
   }
 
   test("pairRecallVerdict: empty exact set reads vacuously true, never null") {
