@@ -293,6 +293,32 @@ class RecallSpec extends AnyFunSuite {
         "would hash-mismatch the oracle's literal TRUE)")
   }
 
+  test("topKVerdict: partial overlap, missing query, and the mean gate grade correctly") {
+    import spark.implicits._
+    // exact: two queries, 5 hits each, cosines descending; tiebreak check:
+    // q1's top cosine is shared by vec 20 and 21 — top1 must be vec 20.
+    val exact = Seq(
+      (0L, 10L, 0.9), (0L, 11L, 0.8), (0L, 12L, 0.7), (0L, 13L, 0.6), (0L, 14L, 0.5),
+      (1L, 21L, 0.9), (1L, 20L, 0.9), (1L, 22L, 0.7), (1L, 23L, 0.6), (1L, 24L, 0.5)
+    ).toDF("q_id", "vec_id", "cosine")
+    // approx: q0 recovers 4/5 (plus noise ids that must not count);
+    // q1 entirely missing from the approx result.
+    val approx = Seq((0L, 10L), (0L, 11L), (0L, 12L), (0L, 13L), (0L, 99L))
+      .toDF("q_id", "vec_id")
+    val rows = Approx.topKVerdict(exact, approx, floor = 0.7, meanFloor = Some(0.75))
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(rows(0L) == ((10L, true, false)),
+      s"q0: 4/5 = 0.8 >= 0.7 but mean (0.8+0)/2 = 0.4 < 0.75: ${rows(0L)}")
+    assert(rows(1L) == ((20L, false, false)),
+      s"q1: recovered 0, top1 must tiebreak to the LOWER vec_id: ${rows(1L)}")
+    // single-query form: no mean column, floor met exactly at 4/5 = 0.8
+    val single = Approx.topKVerdict(
+      exact.filter($"q_id" === 0L), approx, floor = 0.8).collect()
+    assert(single.length == 1 && single(0).getBoolean(2),
+      "overlap == floor must pass (>= with epsilon)")
+  }
+
   test("every graduated verdict frame reads all-true (the driver's oracle gate)") {
     // The 13 round-13 graduations: each query's boolean columns are the
     // in-engine projection of the floors this spec asserts numerically;
