@@ -23,8 +23,14 @@ object RecallReport {
       metric: String,
       value: Double,
       floor: Double,
-      detail: String) {
+      detail: String,
+      watch: Double = Double.NaN) {
     def pass: Boolean = value >= floor - 1e-12
+    // round 14: the graded frames carry 2/1/0 band columns against a WATCH
+    // threshold above the floor (drift visibility before the floor fails);
+    // watchOk mirrors "band == 2". NaN = degenerate band (watch == floor).
+    def watchVal: Double = if (watch.isNaN) floor else watch
+    def watchOk: Boolean = value >= watchVal - 1e-12
   }
 
   def main(args: Array[String]): Unit = {
@@ -72,7 +78,8 @@ object RecallReport {
     grade("dedup_minhash_lsh") {
       val lsh = rawPairs(graft.queries.Approx.minhashPairs(docsDf))
       val (r, d) = recallOf(lsh, exactJaccard)
-      Score("recall_vs_exact_jaccard_pairs", r, graft.queries.Approx.MinhashRecallFloor, d)
+      Score("recall_vs_exact_jaccard_pairs", r, graft.queries.Approx.MinhashRecallFloor, d,
+        watch = graft.queries.Approx.MinhashRecallWatch)
     }
     grade("dedup_simhash") {
       // 4x16-bit banding pigeonholes hamming<=3: must EQUAL brute force
@@ -95,7 +102,8 @@ object RecallReport {
       val lsh = rawPairs(graft.queries.Approx.embeddingLshPairs(embDf))
         .filter(p => p._1 < w && p._2 < w)
       val (r, d) = recallOf(lsh, exact)
-      Score("recall_vs_exact_cosine_pairs", r, graft.queries.Approx.EmbeddingLshRecallFloor, d)
+      Score("recall_vs_exact_cosine_pairs", r, graft.queries.Approx.EmbeddingLshRecallFloor, d,
+        watch = graft.queries.Approx.EmbeddingLshRecallWatch)
     }
     grade("dedup_substring_hashed") {
       // digest variant must produce IDENTICAL per-doc dup-gram counts
@@ -121,15 +129,18 @@ object RecallReport {
       // measured 0.9 at sf0.001/0.01/0.1 — same floor as the banded
       // production path now that the probe policy is principled
       Score("topk_overlap_vs_exact", v, graft.queries.Approx.LshTopKFloor,
-        d + " (single-table adaptive multi-probe; scale path is _banded)")
+        d + " (single-table adaptive multi-probe; scale path is _banded)",
+        watch = graft.queries.Approx.LshTopKWatch)
     }
     grade("similarity_lsh_topk_banded") {
       val (v, d) = rawOverlap(graft.queries.Approx.lshTopKBanded(embDf), exactTopK)
-      Score("topk_overlap_vs_exact", v, graft.queries.Approx.LshTopKBandedFloor, d)
+      Score("topk_overlap_vs_exact", v, graft.queries.Approx.LshTopKBandedFloor, d,
+        watch = graft.queries.Approx.LshTopKBandedWatch)
     }
     grade("similarity_ivf_topk") {
       val (v, d) = rawOverlap(graft.queries.Approx.ivfTopK(embDf), exactTopK)
-      Score("topk_overlap_vs_exact", v, graft.queries.Approx.IvfTopKFloor, d)
+      Score("topk_overlap_vs_exact", v, graft.queries.Approx.IvfTopKFloor, d,
+        watch = graft.queries.Approx.IvfTopKWatch)
     }
     // Shared collector for the batched-serving grades: per-query id sets
     // keyed by q_id; the exact batch twin runs ONCE for both grades.
@@ -147,16 +158,19 @@ object RecallReport {
     grade("similarity_ivf_batch_topk") {
       val (v, d) = batchOverlap(graft.queries.Approx.ivfBatchTopK(embDf))
       Score("mean_per_query_overlap_vs_exact_batch", v, graft.queries.Approx.IvfBatchMeanFloor,
-        d + s" (min floor ${graft.queries.Approx.IvfBatchPerQueryFloor} in RecallSpec)")
+        d + s" (min floor ${graft.queries.Approx.IvfBatchPerQueryFloor} in RecallSpec)",
+        watch = graft.queries.Approx.IvfBatchMeanWatch)
     }
     grade("similarity_pq_topk") {
       val (v, d) = rawOverlap(graft.queries.Approx.pqTopK(embDf), exactTopK)
-      Score("topk_overlap_vs_exact", v, graft.queries.Approx.PqTopKFloor, d)
+      Score("topk_overlap_vs_exact", v, graft.queries.Approx.PqTopKFloor, d,
+        watch = graft.queries.Approx.PqTopKWatch)
     }
     grade("similarity_pq_batch_topk") {
       val (v, d) = batchOverlap(graft.queries.Approx.pqBatchTopK(embDf))
       Score("mean_per_query_overlap_vs_exact_batch", v, graft.queries.Approx.PqBatchMeanFloor,
-        d + s" (min floor ${graft.queries.Approx.PqBatchPerQueryFloor} in RecallSpec)")
+        d + s" (min floor ${graft.queries.Approx.PqBatchPerQueryFloor} in RecallSpec)",
+        watch = graft.queries.Approx.PqBatchMeanWatch)
     }
 
     // -- sketch-error family (value = 1 - normalized error, floor on that)
@@ -174,7 +188,8 @@ object RecallReport {
       }.max
       // lgK=14 sketch: rse ~0.8%; 4% tolerance (5 sigma)
       Score("one_minus_max_rel_err", 1.0 - maxRel, 0.96,
-        f"max relative error $maxRel%.4f over ${exact.size} regions")
+        f"max relative error $maxRel%.4f over ${exact.size} regions",
+        watch = 1.0 - graft.queries.Approx.HllMergeWatchTol)
     }
     grade("agg_approx_distinct") {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
@@ -184,7 +199,8 @@ object RecallReport {
       val relP = math.abs(approx.getLong(0).toDouble / exact.getLong(0) - 1)
       val relO = math.abs(approx.getLong(1).toDouble / exact.getLong(1) - 1)
       Score("one_minus_max_rel_err", 1.0 - math.max(relP, relO), 0.95,
-        f"rel err parts=$relP%.4f orders=$relO%.4f (rsd=0.01)")
+        f"rel err parts=$relP%.4f orders=$relO%.4f (rsd=0.01)",
+        watch = 1.0 - graft.queries.Approx.ApproxDistinctWatchTol)
     }
     grade("agg_approx_percentile") {
       // fraction of (group, quantile) cells whose approx value lies within
@@ -246,7 +262,9 @@ object RecallReport {
     val rows = scores.map { case (name, s) =>
       s"${jq(name)}: {" +
         s""""metric": ${jq(s.metric)}, "value": ${f"${s.value}%.4f"}, """ +
-        s""""floor": ${s.floor}, "pass": ${s.pass}, "detail": ${jq(s.detail)}}"""
+        s""""floor": ${s.floor}, "watch": ${s.watchVal}, """ +
+        s""""pass": ${s.pass}, "watch_pass": ${s.watchOk}, """ +
+        s""""detail": ${jq(s.detail)}}"""
     }.mkString(",\n  ")
     val allPass = scores.values.forall(_.pass)
     val json =

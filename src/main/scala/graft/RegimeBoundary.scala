@@ -36,6 +36,40 @@ object RegimeBoundary {
     (a, (System.nanoTime() - t0) / 1e9)
   }
 
+  /** Staleness signature of a source parquet dir: its path plus every
+    * member file's (name, size, mtime). A regenerated testdata dir or a
+    * different sfDir changes the signature, so the /tmp 10x caches rebuild
+    * instead of silently mixing corpora — the same freshness contract the
+    * NOFOLLOW symlink guard enforces for the dim-table links beside them.
+    */
+  private def sourceSig(srcParquetDir: String): String = {
+    val p = Paths.get(srcParquetDir)
+    val listing = {
+      val s = Files.list(p)
+      try {
+        val it = s.iterator()
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val f = it.next()
+          b += s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
+        }
+        b.result().sorted.mkString("|")
+      } finally s.close()
+    }
+    s"$srcParquetDir#${java.util.UUID.nameUUIDFromBytes(listing.getBytes("UTF-8"))}"
+  }
+
+  /** True iff cacheParquetDir was written from exactly this source (stamp
+    * files start with '.' so Spark's hidden-file filter never reads them
+    * as data). */
+  private def cacheFresh(cacheParquetDir: String, srcParquetDir: String): Boolean =
+    Files.exists(Paths.get(cacheParquetDir, "_SUCCESS")) &&
+      Files.exists(Paths.get(cacheParquetDir, ".source_stamp")) &&
+      Files.readString(Paths.get(cacheParquetDir, ".source_stamp")) == sourceSig(srcParquetDir)
+
+  private def writeStamp(cacheParquetDir: String, srcParquetDir: String): Unit =
+    Files.writeString(Paths.get(cacheParquetDir, ".source_stamp"), sourceSig(srcParquetDir))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outPath = args.lift(1).getOrElse("regime_boundary.json")
@@ -59,7 +93,7 @@ object RegimeBoundary {
 
     // ---------------------------------------------- 10x document corpus
     val docs10xPath = s"${System.getProperty("java.io.tmpdir")}/graft_regime_docs10x"
-    if (!Files.exists(Paths.get(docs10xPath, "_SUCCESS"))) {
+    if (!cacheFresh(docs10xPath, s"$sfDir/documents.parquet")) {
       val base = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text")
       val replicas = (0 until 10).map { r =>
@@ -71,6 +105,7 @@ object RegimeBoundary {
       }
       replicas.reduce(_ unionByName _)
         .repartition(32).write.mode("overwrite").parquet(docs10xPath)
+      writeStamp(docs10xPath, s"$sfDir/documents.parquet")
     }
     val docs10x = spark.read.parquet(docs10xPath)
     val n10x = docs10x.count()
@@ -136,9 +171,9 @@ object RegimeBoundary {
       // The synthetic corpus has only ~300 token types — far below the
       // 2M-type driver bound this regime exists for. Scale the TYPE count
       // into distributed territory by salting each occurrence with a
-      // 4-digit id suffix (~300 × 10000 types, realistic long-tail
-      // counts), keeping characters in [a-z0-9] so the merge alphabet is
-      // the trainer's own.
+      // numeric suffix in [0, 30000) (~300 × 30000 possible types,
+      // realistic long-tail counts), keeping characters in [a-z0-9] so
+      // the merge alphabet is the trainer's own.
       val vocabDf = docs10x
         .select(col("doc_id"), posexplode(expr(
           "regexp_extract_all(lower(text), '[a-z0-9]+', 0)")))
@@ -456,7 +491,7 @@ object RegimeBoundary {
         if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
           Files.createSymbolicLink(link, target)
       }
-      if (!Files.exists(Paths.get(ev10xDir, "events.parquet", "_SUCCESS"))) {
+      if (!cacheFresh(s"$ev10xDir/events.parquet", s"$sfDir/events.parquet")) {
         val base = spark.read.parquet(s"$sfDir/events.parquet")
         (0 until 10).map { r =>
           base.select(
@@ -467,6 +502,7 @@ object RegimeBoundary {
         }.reduce(_ unionByName _)
           .repartition(32).write.mode("overwrite")
           .parquet(s"$ev10xDir/events.parquet")
+        writeStamp(s"$ev10xDir/events.parquet", s"$sfDir/events.parquet")
       }
       val nEv = spark.read.parquet(s"$ev10xDir/events.parquet").count()
       val (tumbling, tWaveQ) = timed(

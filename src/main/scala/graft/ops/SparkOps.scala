@@ -82,9 +82,28 @@ object SparkOps {
       case Some(dir) =>
         val sc = spark.sparkContext
         val sid = sessionId(spark)
-        if (sc.getCheckpointDir.isEmpty || configuredCkptDir.get(sid) != dir) {
-          sc.setCheckpointDir(dir)
-          configuredCkptDir.put(sid, dir)
+        // setCheckpointDir is CONTEXT-global while graft.checkpoint.dir is
+        // a SESSION conf: the supported deployment shape is one checkpoint
+        // dir per context. Serialize the check-then-set on the context so
+        // concurrent sessions can't interleave it, and warn when a second
+        // session re-points the shared dir — its frames would otherwise be
+        // checkpointed under the other session's directory silently.
+        sc.synchronized {
+          if (sc.getCheckpointDir.isEmpty || configuredCkptDir.get(sid) != dir) {
+            val it = configuredCkptDir.entrySet().iterator()
+            var conflict: String = null
+            while (it.hasNext) {
+              val e = it.next()
+              if (e.getKey != sid && e.getValue != dir) conflict = e.getValue
+            }
+            if (conflict != null)
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"graft.checkpoint.dir='$dir' re-points the CONTEXT-global " +
+                  s"checkpoint dir away from '$conflict' configured by another " +
+                  "session sharing this SparkContext; use one dir per context.")
+            sc.setCheckpointDir(dir)
+            configuredCkptDir.put(sid, dir)
+          }
         }
         val persisted = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try persisted.checkpoint(eager = true)

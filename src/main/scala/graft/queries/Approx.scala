@@ -39,6 +39,37 @@ object Approx {
   // ------------------------------------------------------------------
   import graft.ops.{DedupOps, SimilarityOps}
 
+  // ------------------------------------------------------------------
+  // accuracy BANDS (round 14): each frame carries an integer band column
+  // beside its verdict boolean — 2 = accuracy at or above the WATCH
+  // threshold, 1 = between watch and the grade floor, 0 = below floor.
+  // The oracle replays the literal 2, so accuracy drifting from its
+  // current value toward the floor flips the band 2 → 1 and becomes a
+  // driver-visible hash mismatch BEFORE the grade floor fails. Watch
+  // thresholds are set from measured headroom at ALL THREE grading SFs
+  // (sf0.001 / 0.01 / 0.1, 2026-08-16 probe — values cited per constant)
+  // with at least one quantization step of margin, so box noise can't
+  // flip them; only a real accuracy regression (or a regenerated corpus,
+  // which re-measures everything) can.
+  // ------------------------------------------------------------------
+
+  /** 2 / 1 / 0 accuracy band of `acc` against (watch, floor). */
+  def accuracyBand(acc: org.apache.spark.sql.Column, watch: Double, floor: Double) =
+    when(acc >= watch - 1e-9, lit(2))
+      .when(acc >= floor - 1e-9, lit(1))
+      .otherwise(lit(0))
+
+  /** 2 / 1 / 0 ERROR band: 2 below the watch tolerance, 1 below the grade
+    * tolerance (both column-valued so callers can mix rel/abs slack).
+    */
+  def errorBand(
+      err: org.apache.spark.sql.Column,
+      watchTol: org.apache.spark.sql.Column,
+      tol: org.apache.spark.sql.Column) =
+    when(err <= watchTol + lit(1e-9), lit(2))
+      .when(err <= tol + lit(1e-9), lit(1))
+      .otherwise(lit(0))
+
   /** Exact token-Jaccard τ=0.8 pairs — MinHash's exact twin (the shared
     * mine-once pair cache the graded dedup family derives from).
     */
@@ -47,6 +78,8 @@ object Approx {
   def minhashPairs(docs: DataFrame): DataFrame =
     DedupOps.minhashLshAuto(docs, threshold = 0.8)
   val MinhashRecallFloor = 0.85
+  /** measured recall 0.8916 / 0.8970 / 0.8974 across the three SFs. */
+  val MinhashRecallWatch = 0.87
 
   /** Exact windowed cosine twin (vec_id < 300, cos ≥ 0.4) and the SRP-LSH
     * miner it grades (threshold 0.3 — a margin below the graded 0.4).
@@ -57,6 +90,12 @@ object Approx {
   def embeddingLshPairs(emb: DataFrame): DataFrame =
     DedupOps.cosineLshPairsAuto(emb, threshold = 0.3)
   val EmbeddingLshRecallFloor = 0.85
+  /** measured 0.9167 / 1.0 / 0.9583 (22/24, 19/19, 23/24); the exact twin
+    * is a ~24-pair set, so the watch sits one pair-step below the lowest
+    * measured value: losing ONE MORE pair at the smallest twin flips the
+    * band while the 0.85 grade floor still holds.
+    */
+  val EmbeddingLshRecallWatch = 0.875
 
   /** ANN top-k raw searches, all at k = 10 over query vec_id 0 (single)
     * or the 0..7 batch — parameters identical to the graded queries.
@@ -64,31 +103,70 @@ object Approx {
   def lshTopK(emb: DataFrame): DataFrame =
     SimilarityOps.lshTopK(emb, queryId = 0, k = 10, nBits = 4)
   val LshTopKFloor = 0.8
+  /** measured overlap@10 0.9 at all three SFs; watch 0.85 flips the band
+    * at the first lost neighbor (0.9 → 0.8) while the floor still holds. */
+  val LshTopKWatch = 0.85
   def lshTopKBanded(emb: DataFrame): DataFrame = {
     val (bands, bits) = DedupOps.autoBandConfig(emb, threshold = 0.3, targetRecall = 0.95)
     SimilarityOps.lshTopKBanded(emb, queryId = 0, k = 10, bands, bits)
   }
   val LshTopKBandedFloor = 0.8
+  /** measured 0.9 / 1.0 / 0.9. */
+  val LshTopKBandedWatch = 0.85
   def ivfTopK(emb: DataFrame): DataFrame =
     SimilarityOps.ivfTopK(emb, queryId = 0, k = 10)
   val IvfTopKFloor = 0.85
+  /** measured 0.9 / 0.9 / 1.0 (floor 0.85 is already one step below). */
+  val IvfTopKWatch = 0.87
   def pqTopK(emb: DataFrame): DataFrame =
     SimilarityOps.pqTopK(emb, queryId = 0, k = 10)
   val PqTopKFloor = 0.7
+  /** measured 1.0 / 1.0 / 0.9 — the widest floor gap of the family; the
+    * watch makes a slide to 0.8 visible two steps before the floor. */
+  val PqTopKWatch = 0.85
   def ivfBatchTopK(emb: DataFrame): DataFrame =
     SimilarityOps.ivfBatchTopK(emb, 0L to 7L, k = 10)
   val IvfBatchPerQueryFloor = 0.6
+  /** measured per-query min 0.7 at all three SFs. */
+  val IvfBatchPerQueryWatch = 0.65
   val IvfBatchMeanFloor = 0.85
+  /** measured mean 0.9125 / 0.9375 / 0.9125. */
+  val IvfBatchMeanWatch = 0.89
   def pqBatchTopK(emb: DataFrame): DataFrame =
     SimilarityOps.pqBatchTopK(emb, 0L to 7L, k = 10, rerank = 64)
   val PqBatchPerQueryFloor = 0.5
+  /** measured per-query min 0.7 at all three SFs. */
+  val PqBatchPerQueryWatch = 0.65
   val PqBatchMeanFloor = 0.7
+  /** measured mean 1.0 / 1.0 / 0.925. */
+  val PqBatchMeanWatch = 0.85
 
   /** Sketch error tolerances (verdict booleans AND numeric grades). */
   val ApproxDistinctRelTol = 0.05 // rsd 0.01 with 5σ headroom
+  /** watch at 2σ of the configured rsd; measured max rel err 0.0067. */
+  val ApproxDistinctWatchTol = 0.02
   val HllMergeRelTol = 0.04 // lgK=14 ⇒ rse ≈ 0.8%; 5σ
   val HllMergeAbsFloor = 3.0 // small-count floor
+  /** watch at ~2.5σ of lgK=14's rse; measured max rel err 0.0089. */
+  val HllMergeWatchTol = 0.02
+  val HllMergeWatchAbs = 2.0
   val CmsEps = 0.001 // CMS width parameter ⇒ over-estimate ≤ ⌈ε·N⌉
+  /** CMS watch: over-estimate ≤ 1 count regardless of N. Measured max
+    * over-estimate is 0 at all three SFs — with ≤5 segment keys in 2000
+    * counters, an inflated depth-5 MINIMUM needs a collision in every
+    * row, which is structural, not corpus luck. Grade slack stays the
+    * format's ⌈ε·N⌉ (15 at sf0.1), so the band flips long before it.
+    */
+  val CmsWatchSlack = 1L
+  /** Deflate watch bounds (grade bound = the zlib format worst case):
+    * docs ≥ 256 bytes must compress to ≤ 0.8× (natural text measures
+    * ≤ 0.57 at all three SFs); shorter docs get the true single-block
+    * worst case, 2 (header) + 4 (Adler32) + 5 (stored-block framing)
+    * = 11 bytes of excess (measured max 6).
+    */
+  val DeflateBigDocBytes = 256L
+  val DeflateBigDocRatioWatch = 0.8
+  val DeflateSmallDocExcessWatch = 11L
 
   // ------------------------------------------------------------------
   // raw approximate frames
@@ -184,11 +262,16 @@ object Approx {
 
   /** One-row recall verdict for a pair-mining approximation: the exact
     * twin's pair count (DuckDB-replayable) plus
-    * `recall_ok = |exact ∩ approx| / |exact| >= floor`. One pass over the
-    * exact frame (left join against the deduped approx pairs, then a
-    * single global agg — counters only, no pair rows shuffled twice).
+    * `recall_ok = |exact ∩ approx| / |exact| >= floor` and the 2/1/0
+    * `recall_band` against (watch, floor). One pass over the exact frame
+    * (left join against the deduped approx pairs, then a single global
+    * agg — counters only, no pair rows shuffled twice).
     */
-  def pairRecallVerdict(exact: DataFrame, approx: DataFrame, floor: Double): DataFrame =
+  def pairRecallVerdict(
+      exact: DataFrame,
+      approx: DataFrame,
+      floor: Double,
+      watch: Double): DataFrame =
     exact.select("id_a", "id_b")
       .join(
         approx.select("id_a", "id_b").distinct().withColumn("hit", lit(1)),
@@ -202,22 +285,29 @@ object Approx {
         coalesce(
           col("recovered").cast("double") >=
             col("exact_pairs").cast("double") * floor - 1e-9,
-          lit(true)).as("recall_ok"))
+          lit(true)).as("recall_ok"),
+        when(col("exact_pairs") === 0L, lit(2)).otherwise(
+          accuracyBand(
+            col("recovered").cast("double") / col("exact_pairs"),
+            watch, floor)).as("recall_band"))
 
   /** Per-query overlap@k verdict for an ANN top-k approximation against
     * its exact twin. Both frames carry `(q_id, vec_id)`; the exact frame
     * also carries `cosine` (already limited to its top k rows per query).
     * Emits one row per query: the exact top-1 neighbor (replayable — the
-    * exact twins are themselves oracle-exact queries) and
-    * `overlap_ok = |exact ∩ approx| / k >= floor`; with `meanFloor` set,
-    * also the batch-level `mean_ok` (mean per-query overlap >= meanFloor)
-    * as a constant column, mirroring RecallSpec's batch grade.
+    * exact twins are themselves oracle-exact queries),
+    * `overlap_ok = |exact ∩ approx| / k >= floor`, and the 2/1/0
+    * `overlap_band` against (watch, floor); with `meanFloor` set, also
+    * the batch-level `mean_ok` (mean per-query overlap >= meanFloor) and
+    * `mean_band` as constant columns, mirroring RecallSpec's batch grade.
     */
   def topKVerdict(
       exact: DataFrame,
       approx: DataFrame,
       floor: Double,
-      meanFloor: Option[Double] = None): DataFrame = {
+      watch: Double,
+      meanFloor: Option[Double] = None,
+      meanWatch: Option[Double] = None): DataFrame = {
     val perQ = exact.select("q_id", "vec_id", "cosine")
       .join(
         approx.select("q_id", "vec_id").distinct().withColumn("hit", lit(1)),
@@ -230,19 +320,33 @@ object Approx {
         min(struct((-col("cosine")).as("nc"), col("vec_id").as("v"))).as("b"))
       .select(col("q_id"), col("exact_k"), col("recovered"),
         col("b.v").as("exact_top1"))
-    val withOk = perQ.withColumn("overlap_ok",
-      col("recovered").cast("double") >=
-        col("exact_k").cast("double") * floor - 1e-9)
+    val overlap = col("recovered").cast("double") / col("exact_k")
+    def withOk(df: DataFrame) = df
+      .withColumn("overlap_ok",
+        col("recovered").cast("double") >=
+          col("exact_k").cast("double") * floor - 1e-9)
+      .withColumn("overlap_band", accuracyBand(overlap, watch, floor))
     meanFloor match {
       case None =>
-        withOk.select("q_id", "exact_top1", "overlap_ok").orderBy("q_id")
+        withOk(perQ)
+          .select("q_id", "exact_top1", "overlap_ok", "overlap_band")
+          .orderBy("q_id")
       case Some(mf) =>
-        val mean = withOk.agg(
+        // materialize the bounded per-query frame ONCE: both the mean
+        // aggregate and the final per-row select read it, and without the
+        // lineage cut the exact⋈approx subtree would execute twice per
+        // graded run (it appears under the crossJoin's both sides).
+        import graft.ops.SparkOps.Materialize
+        val perQM = withOk(perQ).materialized
+        val mw = meanWatch.getOrElse(mf)
+        val mean = perQM.agg(
           (sum(col("recovered").cast("double") / col("exact_k")) /
             count(lit(1))).as("mean_overlap"))
-        withOk.crossJoin(broadcast(mean))
+        perQM.crossJoin(broadcast(mean))
           .select(col("q_id"), col("exact_top1"), col("overlap_ok"),
-            (col("mean_overlap") >= mf - 1e-9).as("mean_ok"))
+            col("overlap_band"),
+            (col("mean_overlap") >= mf - 1e-9).as("mean_ok"),
+            accuracyBand(col("mean_overlap"), mw, mf).as("mean_band"))
           .orderBy("q_id")
     }
   }

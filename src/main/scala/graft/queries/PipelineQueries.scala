@@ -52,7 +52,7 @@ object PipelineQueries {
         SELECT CAST(0 AS BIGINT) AS q_id,
                (SELECT vec_id FROM top ORDER BY cosine DESC, vec_id LIMIT 1)
                  AS exact_top1,
-               TRUE AS overlap_ok"""
+               TRUE AS overlap_ok, 2 AS overlap_band"""
 
   /** DuckDB side of the batched ANN verdicts: per-query exact top-1 of
     * the 8-query brute-force batch (same shape as the
@@ -82,7 +82,8 @@ object PipelineQueries {
                  JOIN n nv ON nv.vec_id = d.vec_id),
         r AS (SELECT *, row_number() OVER (PARTITION BY q_id
                 ORDER BY cosine DESC, vec_id) AS rn FROM s)
-        SELECT q_id, vec_id AS exact_top1, TRUE AS overlap_ok, TRUE AS mean_ok
+        SELECT q_id, vec_id AS exact_top1, TRUE AS overlap_ok,
+               2 AS overlap_band, TRUE AS mean_ok, 2 AS mean_band
         FROM r WHERE rn = 1 ORDER BY q_id"""
 
   /** The exact token-Jaccard oracle CTEs, defined ONCE and parameterized
@@ -190,11 +191,13 @@ object PipelineQueries {
         val d = docs(s, dir)
         Approx.pairRecallVerdict(
           Approx.exactJaccardPairs(d), Approx.minhashPairs(d),
-          floor = Approx.MinhashRecallFloor)
+          floor = Approx.MinhashRecallFloor,
+          watch = Approx.MinhashRecallWatch)
       },
       Some(s"""
         WITH ${pairsAt(0.8)}
-        SELECT count(*) AS exact_pairs, TRUE AS recall_ok FROM pairs""")
+        SELECT count(*) AS exact_pairs, TRUE AS recall_ok,
+               2 AS recall_band FROM pairs""")
     ),
     QueryDef(
       "dedup_decontaminate",
@@ -367,7 +370,8 @@ object PipelineQueries {
           Approx.embeddingLshPairs(emb(s, dir))
             .filter(col("id_a") < Approx.EmbeddingExactMaxId &&
               col("id_b") < Approx.EmbeddingExactMaxId),
-          floor = Approx.EmbeddingLshRecallFloor)
+          floor = Approx.EmbeddingLshRecallFloor,
+          watch = Approx.EmbeddingLshRecallWatch)
       },
       Some("""
         WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 300),
@@ -379,7 +383,7 @@ object PipelineQueries {
                      sum(CAST(a.vx AS DOUBLE) * CAST(b.vx AS DOUBLE)) AS dot
               FROM v a JOIN v b USING (i) WHERE a.vec_id < b.vec_id
               GROUP BY 1, 2)
-        SELECT count(*) AS exact_pairs, TRUE AS recall_ok
+        SELECT count(*) AS exact_pairs, TRUE AS recall_ok, 2 AS recall_band
         FROM p JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
         WHERE dot / (sqrt(na.n2) * sqrt(nb.n2)) >= 0.4""")
     ),
@@ -403,7 +407,7 @@ object PipelineQueries {
           exactSingleTopK(s, dir),
           Approx.lshTopK(emb(s, dir))
             .withColumn("q_id", org.apache.spark.sql.functions.lit(0L)),
-          floor = Approx.LshTopKFloor),
+          floor = Approx.LshTopKFloor, watch = Approx.LshTopKWatch),
       Some(singleTopkVerdictOracle)
     ),
     QueryDef(
@@ -418,7 +422,8 @@ object PipelineQueries {
           exactSingleTopK(s, dir),
           Approx.lshTopKBanded(emb(s, dir))
             .withColumn("q_id", org.apache.spark.sql.functions.lit(0L)),
-          floor = Approx.LshTopKBandedFloor),
+          floor = Approx.LshTopKBandedFloor,
+          watch = Approx.LshTopKBandedWatch),
       Some(singleTopkVerdictOracle)
     ),
     QueryDef(
@@ -430,7 +435,7 @@ object PipelineQueries {
           exactSingleTopK(s, dir),
           Approx.ivfTopK(emb(s, dir))
             .withColumn("q_id", org.apache.spark.sql.functions.lit(0L)),
-          floor = Approx.IvfTopKFloor),
+          floor = Approx.IvfTopKFloor, watch = Approx.IvfTopKWatch),
       Some(singleTopkVerdictOracle)
     ),
     QueryDef(
@@ -446,7 +451,9 @@ object PipelineQueries {
           exactBatchTopK(s, dir),
           Approx.ivfBatchTopK(emb(s, dir)),
           floor = Approx.IvfBatchPerQueryFloor,
-          meanFloor = Some(Approx.IvfBatchMeanFloor)),
+          watch = Approx.IvfBatchPerQueryWatch,
+          meanFloor = Some(Approx.IvfBatchMeanFloor),
+          meanWatch = Some(Approx.IvfBatchMeanWatch)),
       Some(batchTopkVerdictOracle)
     ),
     QueryDef(
@@ -460,7 +467,7 @@ object PipelineQueries {
           exactSingleTopK(s, dir),
           Approx.pqTopK(emb(s, dir))
             .withColumn("q_id", org.apache.spark.sql.functions.lit(0L)),
-          floor = Approx.PqTopKFloor),
+          floor = Approx.PqTopKFloor, watch = Approx.PqTopKWatch),
       Some(singleTopkVerdictOracle)
     ),
     QueryDef(
@@ -479,7 +486,9 @@ object PipelineQueries {
           exactBatchTopK(s, dir),
           Approx.pqBatchTopK(emb(s, dir)),
           floor = Approx.PqBatchPerQueryFloor,
-          meanFloor = Some(Approx.PqBatchMeanFloor)),
+          watch = Approx.PqBatchPerQueryWatch,
+          meanFloor = Some(Approx.PqBatchMeanFloor),
+          meanWatch = Some(Approx.PqBatchMeanWatch)),
       Some(batchTopkVerdictOracle)
     ),
     // ------------------------------------------------------ text analysis

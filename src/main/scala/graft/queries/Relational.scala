@@ -387,11 +387,23 @@ object Relational {
               .as("parts_within_5pct"),
             (abs(col("approx_orders").cast("double") /
               col("exact_orders") - 1) <= Approx.ApproxDistinctRelTol)
-              .as("orders_within_5pct")),
+              .as("orders_within_5pct"),
+            // accuracy bands (round 14): 2 = rel err within the 2σ watch
+            // tolerance, 1 = within the graded 5σ tolerance — estimator
+            // drift is driver-visible before the grade boolean flips
+            Approx.errorBand(
+              abs(col("approx_parts").cast("double") / col("exact_parts") - 1),
+              lit(Approx.ApproxDistinctWatchTol),
+              lit(Approx.ApproxDistinctRelTol)).as("parts_band"),
+            Approx.errorBand(
+              abs(col("approx_orders").cast("double") / col("exact_orders") - 1),
+              lit(Approx.ApproxDistinctWatchTol),
+              lit(Approx.ApproxDistinctRelTol)).as("orders_band")),
       Some("""
         SELECT count(DISTINCT l_partkey) AS exact_parts,
                count(DISTINCT l_orderkey) AS exact_orders,
-               TRUE AS parts_within_5pct, TRUE AS orders_within_5pct
+               TRUE AS parts_within_5pct, TRUE AS orders_within_5pct,
+               2 AS parts_band, 2 AS orders_band
         FROM lineitem""")
     ),
     QueryDef(
@@ -416,12 +428,22 @@ object Relational {
               col("exact_customers")) <=
               greatest(lit(Approx.HllMergeAbsFloor),
                 col("exact_customers") * Approx.HllMergeRelTol))
-              .as("within_tol"))
+              .as("within_tol"),
+            // band: 2 = within the ~2.5σ watch tolerance (measured max
+            // rel err 0.0089 at sf0.1), 1 = within the graded 5σ band
+            Approx.errorBand(
+              abs(col("approx_customers").cast("double") -
+                col("exact_customers")),
+              greatest(lit(Approx.HllMergeWatchAbs),
+                col("exact_customers") * Approx.HllMergeWatchTol),
+              greatest(lit(Approx.HllMergeAbsFloor),
+                col("exact_customers") * Approx.HllMergeRelTol))
+              .as("tol_band"))
           .orderBy("n_regionkey")
       },
       Some("""
         SELECT n_regionkey, count(DISTINCT c_custkey) AS exact_customers,
-               TRUE AS within_tol
+               TRUE AS within_tol, 2 AS tol_band
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         GROUP BY n_regionkey ORDER BY n_regionkey""")
     ),
@@ -445,12 +467,22 @@ object Relational {
           .crossJoin(broadcast(slack))
           .select(col("c_nationkey"), col("seg"), col("exact_n"),
             (col("est_n") >= col("exact_n") &&
-              col("est_n") <= col("exact_n") + col("slack")).as("cms_ok"))
+              col("est_n") <= col("exact_n") + col("slack")).as("cms_ok"),
+            // band: 2 = over-estimate ≤ 1 count (measured 0 at all SFs —
+            // an inflated depth-5 minimum needs a 5-row collision),
+            // 1 = within the format's ⌈ε·N⌉ slack. Under-estimation is
+            // impossible for CMS, so a negative excess is band 0 (it
+            // would mean the sketch itself is broken).
+            when(col("est_n") < col("exact_n"), lit(0)).otherwise(
+              Approx.errorBand(
+                (col("est_n") - col("exact_n")).cast("double"),
+                lit(Approx.CmsWatchSlack.toDouble),
+                col("slack").cast("double"))).as("cms_band"))
           .orderBy("c_nationkey", "seg")
       },
       Some("""
         SELECT c_nationkey, c_mktsegment AS seg, count(*) AS exact_n,
-               TRUE AS cms_ok
+               TRUE AS cms_ok, 2 AS cms_band
         FROM customer GROUP BY 1, 2 ORDER BY 1, 2""")
     ),
     QueryDef(

@@ -954,10 +954,25 @@ object TextQueries {
             (col("n_deflate") > 0L &&
               col("n_deflate") <= col("n_bytes") + 12L +
                 ceil(col("n_bytes") / 16383.0).cast("long") * 5L)
-              .as("ratio_ok"))
+              .as("ratio_ok"),
+            // band: docs ≥ 256 bytes must DEFLATE to ≤ 0.8× (natural text
+            // measures ≤ 0.57 at all three SFs — band 1 means the
+            // compressibility signal is degrading); shorter docs get the
+            // true zlib single-block worst case of 11 excess bytes
+            // (2 header + 4 Adler32 + 5 stored-block framing; measured
+            // max excess 6), which is format-guaranteed, not corpus luck
+            when(col("n_deflate") <= 0L, lit(0)).otherwise(
+              Approx.errorBand(
+                (col("n_deflate") - col("n_bytes")).cast("double"),
+                when(col("n_bytes") >= Approx.DeflateBigDocBytes,
+                  col("n_bytes") * (Approx.DeflateBigDocRatioWatch - 1.0))
+                  .otherwise(lit(Approx.DeflateSmallDocExcessWatch.toDouble)),
+                lit(12.0) + ceil(col("n_bytes") / 16383.0) * 5.0))
+              .as("ratio_band"))
           .orderBy("doc_id"),
       Some("""
-        SELECT doc_id, length(text) AS n_chars, TRUE AS ratio_ok
+        SELECT doc_id, length(text) AS n_chars, TRUE AS ratio_ok,
+               2 AS ratio_band
         FROM documents ORDER BY doc_id""")
     ),
     QueryDef(

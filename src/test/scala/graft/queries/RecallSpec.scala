@@ -60,6 +60,9 @@ class RecallSpec extends AnyFunSuite {
     info(f"minhash-LSH recall = ${(lsh & exact).size}/${exact.size} = $recall%.3f")
     assert(recall >= Approx.MinhashRecallFloor,
       f"minhash recall degraded: $recall%.3f")
+    assert(recall >= Approx.MinhashRecallWatch,
+      f"minhash recall $recall%.3f fell below the WATCH threshold " +
+        f"${Approx.MinhashRecallWatch} — the graded recall_band flips 2 -> 1")
   }
 
   test("agg_cms_freq never under-estimates; over-estimate bounded by eps*N") {
@@ -129,6 +132,9 @@ class RecallSpec extends AnyFunSuite {
     info(f"SRP-LSH recall = ${(lsh & exact).size}/${exact.size} = $recall%.3f")
     assert(recall >= Approx.EmbeddingLshRecallFloor,
       f"embedding-LSH recall degraded: $recall%.3f") // measured 0.917
+    assert(recall >= Approx.EmbeddingLshRecallWatch,
+      f"embedding-LSH recall $recall%.3f below WATCH " +
+        f"${Approx.EmbeddingLshRecallWatch} — recall_band flips 2 -> 1")
   }
 
   test("auto band config holds the recall floor at sf0.01 too") {
@@ -156,6 +162,8 @@ class RecallSpec extends AnyFunSuite {
     // table): measured 0.9 at sf0.001/0.01/0.1
     assert(overlap >= Approx.LshTopKFloor,
       f"LSH top-k overlap degraded: $overlap%.2f")
+    assert(overlap >= Approx.LshTopKWatch,
+      f"LSH top-k overlap $overlap%.2f below WATCH ${Approx.LshTopKWatch}")
   }
 
   test("similarity_lsh_topk_banded (auto-fit L tables) overlap vs exact top-k") {
@@ -165,6 +173,8 @@ class RecallSpec extends AnyFunSuite {
     info(f"banded LSH top-k overlap = ${(banded & exact).size}/${exact.size} = $overlap%.2f")
     assert(overlap >= Approx.LshTopKBandedFloor,
       f"banded LSH top-k overlap degraded: $overlap%.2f") // measured 0.90
+    assert(overlap >= Approx.LshTopKBandedWatch,
+      f"banded LSH overlap $overlap%.2f below WATCH ${Approx.LshTopKBandedWatch}")
   }
 
   private def batchTop(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
@@ -184,6 +194,10 @@ class RecallSpec extends AnyFunSuite {
       f"IVF batch mean overlap degraded: $mean%.3f")
     assert(per.min >= Approx.IvfBatchPerQueryFloor,
       f"a query fell through the probed cells: ${per.min}")
+    assert(mean >= Approx.IvfBatchMeanWatch,
+      f"IVF batch mean $mean%.3f below WATCH ${Approx.IvfBatchMeanWatch}")
+    assert(per.min >= Approx.IvfBatchPerQueryWatch,
+      f"IVF per-query min ${per.min} below WATCH ${Approx.IvfBatchPerQueryWatch}")
   }
 
   test("similarity_pq_batch_topk per-query overlap vs the exact batch twin") {
@@ -197,6 +211,10 @@ class RecallSpec extends AnyFunSuite {
       f"PQ batch mean overlap degraded: $mean%.3f")
     assert(per.min >= Approx.PqBatchPerQueryFloor,
       f"a query lost its neighborhood to quantization: ${per.min}")
+    assert(mean >= Approx.PqBatchMeanWatch,
+      f"PQ batch mean $mean%.3f below WATCH ${Approx.PqBatchMeanWatch}")
+    assert(per.min >= Approx.PqBatchPerQueryWatch,
+      f"PQ per-query min ${per.min} below WATCH ${Approx.PqBatchPerQueryWatch}")
   }
 
   test("similarity_ivf_topk overlap vs exact top-k") {
@@ -206,6 +224,8 @@ class RecallSpec extends AnyFunSuite {
     info(f"IVF top-k overlap = ${(ivf & exact).size}/${exact.size} = $overlap%.2f")
     assert(overlap >= Approx.IvfTopKFloor,
       f"IVF top-k overlap degraded: $overlap%.2f") // measured 0.90
+    assert(overlap >= Approx.IvfTopKWatch,
+      f"IVF top-k overlap $overlap%.2f below WATCH ${Approx.IvfTopKWatch}")
   }
 
   test("similarity_pq_topk overlap vs exact top-k") {
@@ -218,6 +238,8 @@ class RecallSpec extends AnyFunSuite {
     // 0.8; the floor leaves one candidate of slack.
     assert(overlap >= Approx.PqTopKFloor,
       f"PQ top-k overlap degraded: $overlap%.2f")
+    assert(overlap >= Approx.PqTopKWatch,
+      f"PQ top-k overlap $overlap%.2f below WATCH ${Approx.PqTopKWatch}")
   }
 
   test("agg_hll_merge region estimates stay within HLL error of exact distinct") {
@@ -286,11 +308,14 @@ class RecallSpec extends AnyFunSuite {
     import spark.implicits._
     val exact = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
     val approx = Seq((1L, 2L)).toDF("id_a", "id_b")
-    val row = Approx.pairRecallVerdict(exact, approx, 0.85).collect()(0)
+    val row = Approx.pairRecallVerdict(exact, approx, 0.85, 0.9).collect()(0)
     assert(row.getLong(0) == 0L)
     assert(!row.isNullAt(1) && row.getBoolean(1),
       "0 exact pairs must grade as vacuous recall = true (a NULL here " +
         "would hash-mismatch the oracle's literal TRUE)")
+    assert(row.getInt(row.fieldIndex("recall_band")) == 2,
+      "0 exact pairs must grade as vacuous band = 2 (a NULL or 0 here " +
+        "would hash-mismatch the oracle's literal 2)")
   }
 
   test("topKVerdict: partial overlap, missing query, and the mean gate grade correctly") {
@@ -305,18 +330,28 @@ class RecallSpec extends AnyFunSuite {
     // q1 entirely missing from the approx result.
     val approx = Seq((0L, 10L), (0L, 11L), (0L, 12L), (0L, 13L), (0L, 99L))
       .toDF("q_id", "vec_id")
-    val rows = Approx.topKVerdict(exact, approx, floor = 0.7, meanFloor = Some(0.75))
-      .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getBoolean(2), r.getBoolean(3))).toMap
-    assert(rows(0L) == ((10L, true, false)),
-      s"q0: 4/5 = 0.8 >= 0.7 but mean (0.8+0)/2 = 0.4 < 0.75: ${rows(0L)}")
-    assert(rows(1L) == ((20L, false, false)),
-      s"q1: recovered 0, top1 must tiebreak to the LOWER vec_id: ${rows(1L)}")
-    // single-query form: no mean column, floor met exactly at 4/5 = 0.8
+    val rows = Approx.topKVerdict(exact, approx,
+        floor = 0.7, watch = 0.9, meanFloor = Some(0.75), meanWatch = Some(0.9))
+      .collect().map { r =>
+        r.getLong(r.fieldIndex("q_id")) -> ((
+          r.getLong(r.fieldIndex("exact_top1")),
+          r.getBoolean(r.fieldIndex("overlap_ok")),
+          r.getInt(r.fieldIndex("overlap_band")),
+          r.getBoolean(r.fieldIndex("mean_ok")),
+          r.getInt(r.fieldIndex("mean_band"))))
+      }.toMap
+    assert(rows(0L) == ((10L, true, 1, false, 0)),
+      s"q0: 4/5 = 0.8 in [floor 0.7, watch 0.9) = band 1; " +
+        s"mean (0.8+0)/2 = 0.4 < 0.75 = mean_ok false, mean_band 0: ${rows(0L)}")
+    assert(rows(1L) == ((20L, false, 0, false, 0)),
+      s"q1: recovered 0 = band 0, top1 must tiebreak to the LOWER vec_id: ${rows(1L)}")
+    // single-query form: no mean columns, floor met exactly at 4/5 = 0.8
     val single = Approx.topKVerdict(
-      exact.filter($"q_id" === 0L), approx, floor = 0.8).collect()
+      exact.filter($"q_id" === 0L), approx, floor = 0.8, watch = 0.8).collect()
     assert(single.length == 1 && single(0).getBoolean(2),
       "overlap == floor must pass (>= with epsilon)")
+    assert(single(0).getInt(single(0).fieldIndex("overlap_band")) == 2,
+      "overlap == watch must band as 2 (>= with epsilon)")
   }
 
   test("every graduated verdict frame reads all-true (the driver's oracle gate)") {
@@ -336,6 +371,12 @@ class RecallSpec extends AnyFunSuite {
       val boolCols = out.schema.fields
         .filter(_.dataType == org.apache.spark.sql.types.BooleanType).map(_.name)
       assert(boolCols.nonEmpty, s"$name verdict frame has no boolean verdict column")
+      // round 14: every frame also carries >= 1 integer accuracy band
+      // column (2 = above watch, 1 = above floor, 0 = below); the oracle
+      // replays literal 2, so anything else is a driver hash mismatch
+      val bandCols = out.schema.fields
+        .filter(f => f.name.endsWith("_band")).map(_.name)
+      assert(bandCols.nonEmpty, s"$name verdict frame has no _band column")
       val rows = out.collect()
       assert(rows.nonEmpty, s"$name verdict frame is empty")
       rows.foreach { r =>
@@ -344,8 +385,15 @@ class RecallSpec extends AnyFunSuite {
           assert(!r.isNullAt(i) && r.getBoolean(i),
             s"$name: verdict column $c is not true on row $r")
         }
+        bandCols.foreach { c =>
+          val i = r.fieldIndex(c)
+          assert(!r.isNullAt(i) && r.getInt(i) == 2,
+            s"$name: band column $c is not 2 on row $r — accuracy drifted " +
+              "below its watch threshold (driver-visible as a hash mismatch)")
+        }
       }
-      info(s"$name: ${rows.length} rows, verdict cols ${boolCols.mkString(",")} all true")
+      info(s"$name: ${rows.length} rows, verdict cols ${boolCols.mkString(",")} " +
+        s"all true, band cols ${bandCols.mkString(",")} all 2")
     }
   }
 }

@@ -35,9 +35,15 @@ for k in keys[:top]:
         print(f"{k:30s} {o:6.2f}s -> {n:6.2f}s  ({n-o:+.2f})")
 
 # Stall-window view: excess-by-catalog-position (NEW's insertion order is
-# the catalog order the bench ran in). Groups consecutive positions whose
-# excess over OLD exceeds 0.9s; a dominant group = a stall window, not a
-# per-query regression.
+# the catalog order the bench ran in). Two flag rules, both grouped by
+# consecutive position:
+#   - ABS:  excess over OLD exceeds 0.9s (the long-stall signature);
+#   - RATIO: NEW >= 2x OLD with at least +0.15s excess (round-14 widening —
+#     short host-deprivation windows inflate a 0.1-0.7s query 2-4x without
+#     ever crossing the 0.9s gate; a run of 2-3 adjacent RATIO flags is the
+#     same storm signature at smaller magnitude).
+# A dominant group = a stall window, not a per-query regression; a genuine
+# regression inflates the SAME queries in every run regardless of position.
 hot = []
 added = [k for k in new["queries"] if k not in old["queries"]]
 if added:
@@ -45,11 +51,14 @@ if added:
 for i, k in enumerate(new["queries"]):
     if k not in old["queries"]:
         continue  # catalog growth, not a stall
-    d = new["queries"][k] - old["queries"][k]
+    o, n = old["queries"][k], new["queries"][k]
+    d = n - o
     if d > 0.9:
-        hot.append((i, k, new["queries"][k], d))
+        hot.append((i, k, n, d, "ABS"))
+    elif o > 0 and n >= 2 * o and d >= 0.15:
+        hot.append((i, k, n, d, "RATIO"))
 if hot:
-    print("\ncatalog-position excess windows (>0.9s over OLD):")
+    print("\ncatalog-position excess windows (>0.9s abs OR >=2x with +0.15s):")
     groups, cur = [], [hot[0]]
     for h in hot[1:]:
         if h[0] - cur[-1][0] <= 2:
@@ -59,9 +68,12 @@ if hot:
     groups.append(cur)
     for g in groups:
         tot = sum(x[3] for x in g)
-        print(f"  positions {g[0][0]}-{g[-1][0]}: +{tot:.1f}s over {len(g)} queries")
-        for i, k, v, d in g:
-            print(f"    {i:3d} {k:30s} {v:7.2f}s ({d:+.2f})")
+        tag = " [short >=2x cluster — storm signature]" \
+            if len(g) >= 2 and all(x[4] == "RATIO" for x in g) else ""
+        print(f"  positions {g[0][0]}-{g[-1][0]}: +{tot:.1f}s over {len(g)} queries{tag}")
+        for i, k, v, d, rule in g:
+            ratio = v / max(1e-9, v - d)
+            print(f"    {i:3d} {k:30s} {v:7.2f}s ({d:+.2f}, {ratio:.1f}x, {rule})")
     spread = sum(x[3] for x in hot)
     print(f"  window excess total: +{spread:.1f}s "
           f"(of {new['value'] - old['value']:+.1f}s total delta)")
