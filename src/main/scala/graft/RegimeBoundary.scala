@@ -522,6 +522,140 @@ object RegimeBoundary {
       println(s"[regime] streaming wave probe failed: $e")
     }
 
+    // --------------------------- streaming wave at 100x (round 14): 10M
+    // events through the full 20-member wave, with state-store sizing
+    // captured from the engines' own progress metrics — the evidence that
+    // the streaming posture survives two orders of magnitude, the same
+    // way mining has mine_ppjoin_10x. RocksDB members report SST bytes
+    // (state on local disk, working set in memory — the 100 TB backend).
+    if (want("wave100")) try {
+      val ev100xDir = s"${System.getProperty("java.io.tmpdir")}/graft_regime_events100x"
+      Files.createDirectories(Paths.get(ev100xDir))
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+        val link = Paths.get(ev100xDir, s"$t.parquet")
+        val target = Paths.get(s"$sfDir/$t.parquet")
+        if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != target)
+          Files.delete(link)
+        if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          Files.createSymbolicLink(link, target)
+      }
+      if (!cacheFresh(s"$ev100xDir/events.parquet", s"$sfDir/events.parquet")) {
+        val base = spark.read.parquet(s"$sfDir/events.parquet")
+        (0 until 100).map { r =>
+          base.select(
+            (col("event_id") + lit(r * 100000000L)).as("event_id"),
+            col("ts"),
+            (col("user_id") + lit(r * 10000000L)).as("user_id"),
+            col("event_type"), col("value"), col("props"))
+        }.reduce(_ unionByName _)
+          .repartition(64).write.mode("overwrite")
+          .parquet(s"$ev100xDir/events.parquet")
+        writeStamp(s"$ev100xDir/events.parquet", s"$sfDir/events.parquet")
+      }
+      val nEv = spark.read.parquet(s"$ev100xDir/events.parquet").count()
+      val (tumbling, tWaveQ) = timed(
+        graft.streaming.StreamingOps
+          .familyResult(spark, ev100xDir, "stream_tumbling_agg").collect())
+      val waveWall = graft.streaming.StreamingOps
+        .familyWaveWall(spark, ev100xDir).getOrElse(tWaveQ)
+      // state sizing from the last progress of every wave member: total
+      // keyed-state rows, peak provider memory, and RocksDB SST bytes
+      var stateRows = 0L; var stateMemMax = 0L; var sstBytes = 0L
+      graft.streaming.StreamingOps.familyMemberNames.foreach { m =>
+        graft.streaming.StreamingOps.progressFor(m).lastOption.foreach { p =>
+          p.stateOperators.foreach { so =>
+            stateRows += so.numRowsTotal
+            stateMemMax = math.max(stateMemMax, so.memoryUsedBytes)
+            val it = so.customMetrics.entrySet().iterator()
+            while (it.hasNext) {
+              val e = it.next()
+              if (e.getKey.toLowerCase.contains("sstfile")) sstBytes += e.getValue
+            }
+          }
+        }
+      }
+      results += "streaming_wave_100x" ->
+        (s"""{"events": $nEv, "wave_wall_s": ${f"$waveWall%.1f"}, """ +
+          s""""members_n": ${graft.streaming.StreamingOps.familyMemberNames.size}, """ +
+          s""""tumbling_rows": ${tumbling.length}, "state_rows_total": $stateRows, """ +
+          s""""state_mem_max_bytes": $stateMemMax, "rocksdb_sst_bytes": $sstBytes}""")
+      println(s"[regime] streaming wave 100x: $nEv events, wave ${f"$waveWall%.1f"}s, " +
+        s"state rows $stateRows, peak state mem $stateMemMax B, SST $sstBytes B")
+    } catch { case e: Throwable =>
+      results += "streaming_wave_100x" -> s"""{"error": "${e.getClass.getName}: ${String.valueOf(e.getMessage).replace('"', ' ').take(160)}"}"""
+      println(s"[regime] streaming wave 100x probe failed: $e")
+    }
+
+    // ------------------------------------ TPC-H at 10x bench scale (sf1)
+    // Round 14: the 22-query warehouse suite gets the same scale evidence
+    // as mining/ANN/streaming. The synthetic sf1 universe is 10 disjoint
+    // replicas of the sf0.1 tables — every scaling key (custkey, suppkey,
+    // partkey, orderkey) is offset per replica so each replica preserves
+    // the original join structure exactly and replicas never join across,
+    // while nation/region stay shared (they are constant in TPC-H).
+    // Result sizes and costs scale ×10 by construction; broadcast-side
+    // choices are re-checked by running PlanShapeSpec against this dir
+    // (GRAFT_PLANSPEC_DIR env override).
+    if (want("tpch")) try {
+      val tpchDir = s"${System.getProperty("java.io.tmpdir")}/graft_regime_tpch10x"
+      Files.createDirectories(Paths.get(tpchDir))
+      Seq("region", "nation", "events", "documents", "embeddings").foreach { t =>
+        val link = Paths.get(tpchDir, s"$t.parquet")
+        val target = Paths.get(s"$sfDir/$t.parquet")
+        if (Files.isSymbolicLink(link) && Files.readSymbolicLink(link) != target)
+          Files.delete(link)
+        if (!Files.exists(link, java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          Files.createSymbolicLink(link, target)
+      }
+      val CK = 10000000L; val SK = 1000000L; val PK = 10000000L; val OK = 1000000000L
+      val scaled: Seq[(String, Map[String, Long])] = Seq(
+        "customer" -> Map("c_custkey" -> CK),
+        "supplier" -> Map("s_suppkey" -> SK),
+        "part" -> Map("p_partkey" -> PK),
+        "orders" -> Map("o_orderkey" -> OK, "o_custkey" -> CK),
+        "lineitem" -> Map("l_orderkey" -> OK, "l_partkey" -> PK,
+          "l_suppkey" -> SK))
+      scaled.foreach { case (t, keyOffsets) =>
+        if (!cacheFresh(s"$tpchDir/$t.parquet", s"$sfDir/$t.parquet")) {
+          val base = spark.read.parquet(s"$sfDir/$t.parquet")
+          (0 until 10).map { r =>
+            keyOffsets.foldLeft(base) { case (d, (c, off)) =>
+              d.withColumn(c, col(c) + lit(r * off))
+            }
+          }.reduce(_ unionByName _)
+            .repartition(32).write.mode("overwrite")
+            .parquet(s"$tpchDir/$t.parquet")
+          writeStamp(s"$tpchDir/$t.parquet", s"$sfDir/$t.parquet")
+        }
+      }
+      val nLi = spark.read.parquet(s"$tpchDir/lineitem.parquet").count()
+      println(s"[regime] tpch 10x universe: $nLi lineitem rows")
+      def med3(xs: Seq[Double]): Double = xs.sorted.apply(1)
+      val tpchQueries = graft.queries.Catalog.all.map(_.name)
+        .filter(_.startsWith("tpch_"))
+      val walls = tpchQueries.map { q =>
+        val ts = (1 to 3).map { _ =>
+          val (_, t) = timed(
+            graft.queries.Catalog.queriesMap(q)(spark, tpchDir).count())
+          t
+        }
+        q -> med3(ts)
+      }
+      val total = walls.map(_._2).sum
+      val wallsJson = walls
+        .map { case (q, t) => s""""$q": ${f"$t%.2f"}""" }.mkString(", ")
+      results += "tpch_10x" ->
+        (s"""{"lineitem_rows": $nLi, "queries_n": ${walls.size}, """ +
+          s""""total_median_s": ${f"$total%.1f"}, "protocol": "median_of_3", """ +
+          s""""walls_s": {$wallsJson}}""")
+      println(s"[regime] tpch 10x: ${walls.size} queries, " +
+        s"median total ${f"$total%.1f"}s")
+    } catch { case e: Throwable =>
+      results += "tpch_10x" -> s"""{"error": "${e.getClass.getName}: ${String.valueOf(e.getMessage).replace('"', ' ').take(160)}"}"""
+      println(s"[regime] tpch 10x probe failed: $e")
+    }
+
     val json = results.map { case (k, v) => s""""$k": $v""" }
       .mkString("{\n  ", ",\n  ", "\n}")
     Files.writeString(Paths.get(outPath), json)

@@ -546,18 +546,39 @@ object TextOps {
     * distributed per-round loop below remains the exact same-sequence
     * fallback — a two-regime switch like fuzzy-match/PageRank, both
     * regimes proven equal to the reference trainer in BpePropertySpec.
+    *
+    * Round 14: the regime decision is BYTE-budgeted, not just row-counted
+    * — 2M distinct words of pathological length (URLs, hash dumps, DNA
+    * strings) could be hundreds of driver-heap MB before JVM overhead, so
+    * the probe-collect only happens after a dictionary-sized aggregate of
+    * (type count, summed word bytes) clears BOTH bounds. The dictionary
+    * is materialized first, which keeps the corpus tokenization
+    * single-pass in every regime (stats + collect, or stats + the
+    * distributed trainer's spaced projection, all read the same leaf).
     */
   private[ops] val DriverVocabWords = 2000000
+  // ~0.6-1 GB on-heap after per-String JVM overhead — safe on a 4 GB
+  // cluster driver, far below this box's 24 GB
+  private[ops] val DriverVocabBytes = 256L << 20
 
-  private def trainMergesUncached(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] = {
+  private def trainMergesUncached(docs: DataFrame, k: Int): Seq[(Int, String, String, Long)] =
+    trainMergesBounded(docs, k, DriverVocabWords, DriverVocabBytes)
+
+  private[ops] def trainMergesBounded(
+      docs: DataFrame,
+      k: Int,
+      maxWords: Long,
+      maxBytes: Long): Seq[(Int, String, String, Long)] = {
     val vocabDf = docs
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
         .as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
-    // one bounded probe-collect: dictionary ≤ bound → train on the driver
-    val probe = vocabDf.limit(DriverVocabWords + 1).collect()
-    if (probe.length <= DriverVocabWords)
-      trainMergesDriver(probe.map(r => (r.getString(0), r.getLong(1))), k)
+      .materialized
+    val st = vocabDf.agg(count(lit(1)),
+      coalesce(sum(octet_length(col("word")).cast("long")), lit(0L))).head
+    if (st.getLong(0) <= maxWords && st.getLong(1) <= maxBytes)
+      trainMergesDriver(
+        vocabDf.collect().map(r => (r.getString(0), r.getLong(1))), k)
     else trainMergesDistributed(vocabDf, k)
   }
 

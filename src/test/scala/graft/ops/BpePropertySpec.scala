@@ -124,6 +124,24 @@ class BpePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("byte-budgeted regime routing: a tiny byte bound forces the distributed path") {
+    import spark.implicits._
+    // ~8 word types, a handful of bytes — word-count bound alone would
+    // choose the driver loop; the byte budget (round 14) must route to
+    // the distributed trainer, and both routes must produce the same
+    // merges. Exercises the (count, sum bytes) aggregate gate.
+    val docs = Seq((1L, "low lower lowest new newer newest wide wider"))
+      .toDF("doc_id", "text")
+    val k = 4
+    val viaDriver = TextOps.trainMergesBounded(docs, k,
+      maxWords = 1000000L, maxBytes = 1L << 30)
+    val viaDistributed = TextOps.trainMergesBounded(docs, k,
+      maxWords = 1000000L, maxBytes = 4L)
+    assert(viaDriver.nonEmpty)
+    assert(viaDistributed === viaDriver,
+      "byte-budget routing changed the merge sequence")
+  }
+
   test("two-pass convention on symbol runs: splits pinned at run 4/5/6") {
     // run of 4: == greedy leftmost
     assert(twoPassMerge(Seq("a", "a", "a", "a"), "a", "a") === Seq("aa", "aa"))

@@ -19,7 +19,14 @@ class PlanShapeSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  private val dir = "/root/testdata/sf0.001"
+  // Default: the smallest SF (plan shapes are size-class properties, not
+  // size properties). Override with GRAFT_PLANSPEC_DIR to re-verify the
+  // same shapes at a larger universe — round 14 runs this spec against
+  // the synthetic sf1 dir RegimeBoundary's tpch probe builds
+  // (/tmp/graft_regime_tpch10x) to confirm broadcast sides stay correct
+  // when the dims grow 10x beyond bench scale.
+  private val dir =
+    sys.env.getOrElse("GRAFT_PLANSPEC_DIR", "/root/testdata/sf0.001")
 
   private def planOf(name: String): String = {
     val df = Catalog.queriesMap(name)(spark, dir)
