@@ -42,21 +42,25 @@ object RegimeBoundary {
     * instead of silently mixing corpora — the same freshness contract the
     * NOFOLLOW symlink guard enforces for the dim-table links beside them.
     */
-  private def sourceSig(srcParquetDir: String): String = {
-    val p = Paths.get(srcParquetDir)
-    val listing = {
-      val s = Files.list(p)
-      try {
-        val it = s.iterator()
-        val b = Seq.newBuilder[String]
-        while (it.hasNext) {
-          val f = it.next()
-          b += s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
-        }
-        b.result().sorted.mkString("|")
-      } finally s.close()
-    }
-    s"$srcParquetDir#${java.util.UUID.nameUUIDFromBytes(listing.getBytes("UTF-8"))}"
+  private def sourceSig(srcParquet: String): String = {
+    val p = Paths.get(srcParquet)
+    // testdata tables are single parquet FILES; Spark-written caches are
+    // directories — sign whichever shape the source has
+    val listing =
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p)
+        try {
+          val it = s.iterator()
+          val b = Seq.newBuilder[String]
+          while (it.hasNext) {
+            val f = it.next()
+            b += s"${f.getFileName}:${Files.size(f)}:${Files.getLastModifiedTime(f).toMillis}"
+          }
+          b.result().sorted.mkString("|")
+        } finally s.close()
+      } else
+        s"${p.getFileName}:${Files.size(p)}:${Files.getLastModifiedTime(p).toMillis}"
+    s"$srcParquet#${java.util.UUID.nameUUIDFromBytes(listing.getBytes("UTF-8"))}"
   }
 
   /** True iff cacheParquetDir was written from exactly this source (stamp
@@ -632,8 +636,9 @@ object RegimeBoundary {
       val nLi = spark.read.parquet(s"$tpchDir/lineitem.parquet").count()
       println(s"[regime] tpch 10x universe: $nLi lineitem rows")
       def med3(xs: Seq[Double]): Double = xs.sorted.apply(1)
-      val tpchQueries = graft.queries.Catalog.all.map(_.name)
-        .filter(_.startsWith("tpch_"))
+      // q1_agg IS TPC-H Q1 (the flagship query keeps its round-1 name)
+      val tpchQueries = ("q1_agg" +: graft.queries.Catalog.all.map(_.name)
+        .filter(_.startsWith("tpch_"))).distinct
       val walls = tpchQueries.map { q =>
         val ts = (1 to 3).map { _ =>
           val (_, t) = timed(

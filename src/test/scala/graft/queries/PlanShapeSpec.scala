@@ -185,12 +185,24 @@ class PlanShapeSpec extends AnyFunSuite {
       "tpch_q8_market_share", "tpch_q18_large_orders",
       "tpch_q10_returned_items", "tpch_q19_disjunctive",
       "tpch_q2_min_cost_supplier", "tpch_q9_product_profit",
-      "tpch_q12_ship_class", "tpch_q20_dominant_suppliers",
+      "tpch_q20_dominant_suppliers",
       "tpch_q21_waiting_suppliers").foreach { q =>
       val p = planOf(q)
       assert(p.contains("BroadcastHashJoin"), s"$q: dimension joins must broadcast")
       assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
         s"$q: no product joins:\n$p")
+    }
+    // Q12's ONLY join is lineitem ⋈ orders — fact ⋈ fact. At tiny SFs the
+    // orders side broadcasts (below the 10 MB threshold); at the sf1-scale
+    // universe (GRAFT_PLANSPEC_DIR) it correctly graduates to a shuffled
+    // equi-join on the order key — broadcasting a fact table at scale
+    // would be the bug. Assert the invariant that holds at EVERY size
+    // class: an equi-join, never a product join.
+    locally {
+      val p = planOf("tpch_q12_ship_class")
+      assert(p.contains("Join") &&
+        !p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"q12: lineitem-orders must stay an equi-join at any scale:\n$p")
     }
     // Q21's top-100 must plan as a bounded TakeOrderedAndProject, and its
     // two correlated quantifiers must have decorrelated to ONE order-grain
