@@ -332,17 +332,20 @@ object Approx {
           .select("q_id", "exact_top1", "overlap_ok", "overlap_band")
           .orderBy("q_id")
       case Some(mf) =>
-        // materialize the bounded per-query frame ONCE: both the mean
-        // aggregate and the final per-row select read it, and without the
-        // lineage cut the exact⋈approx subtree would execute twice per
-        // graded run (it appears under the crossJoin's both sides).
-        import graft.ops.SparkOps.Materialize
-        val perQM = withOk(perQ).materialized
+        // The batch mean reads the SAME bounded per-query frame as the
+        // final select — as a global window, not a crossJoin of a
+        // re-computed aggregate, so the exact⋈approx subtree executes
+        // exactly once per graded run. A single-partition window is the
+        // documented anti-pattern for data-scale frames; here the frame
+        // is one row per BATCH QUERY (≤ 8 by construction), so the
+        // unpartitioned window is a bounded driver-free reduction.
         val mw = meanWatch.getOrElse(mf)
-        val mean = perQM.agg(
-          (sum(col("recovered").cast("double") / col("exact_k")) /
-            count(lit(1))).as("mean_overlap"))
-        perQM.crossJoin(broadcast(mean))
+        val allRows = org.apache.spark.sql.expressions.Window
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.unboundedFollowing)
+        withOk(perQ)
+          .withColumn("mean_overlap",
+            avg(col("recovered").cast("double") / col("exact_k")).over(allRows))
           .select(col("q_id"), col("exact_top1"), col("overlap_ok"),
             col("overlap_band"),
             (col("mean_overlap") >= mf - 1e-9).as("mean_ok"),
