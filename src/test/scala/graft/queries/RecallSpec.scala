@@ -318,6 +318,26 @@ class RecallSpec extends AnyFunSuite {
         "would hash-mismatch the oracle's literal 2)")
   }
 
+  test("band helpers: exact-boundary and epsilon behavior (the oracle hashes these)") {
+    import spark.implicits._
+    val df = Seq(
+      (0.90, 0.0), // == watch            -> acc band 2
+      (0.89999999999, 0.0), // watch - 1e-11 (inside eps) -> still 2
+      (0.85, 0.0), // == floor            -> 1
+      (0.84, 0.0), // below floor         -> 0
+      (0.0, 1.0), // err path: > tol      -> 0
+      (0.0, 0.02), // err == watchTol     -> 2
+      (0.0, 0.05) // err == tol           -> 1
+    ).toDF("acc", "err")
+    val rows = df.select(
+      Approx.accuracyBand(col("acc"), 0.9, 0.85).as("ab"),
+      Approx.errorBand(col("err"), lit(0.02), lit(0.05)).as("eb")).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(2, 2, 1, 0, 0, 0, 0),
+      "accuracyBand boundary grid diverged")
+    assert(rows.map(_.getInt(1)).toSeq == Seq(2, 2, 2, 2, 0, 2, 1),
+      "errorBand boundary grid diverged")
+  }
+
   test("topKVerdict: partial overlap, missing query, and the mean gate grade correctly") {
     import spark.implicits._
     // exact: two queries, 5 hits each, cosines descending; tiebreak check:
