@@ -143,12 +143,20 @@ object Approx {
 
   /** Sketch error tolerances (verdict booleans AND numeric grades). */
   val ApproxDistinctRelTol = 0.05 // rsd 0.01 with 5σ headroom
-  /** watch at 2σ of the configured rsd; measured max rel err 0.0067. */
-  val ApproxDistinctWatchTol = 0.02
+  /** watch at 3σ of the configured rsd (measured max rel err 0.0067).
+    * 3σ, not 2σ: HLL's relative error redraws when the corpus
+    * regenerates, and at 2σ the ~5% per-estimator tail makes a spurious
+    * band flip across the frame's estimators more likely than the drift
+    * it guards against; at 3σ that chance is ~0.3% per estimator while
+    * the 5σ grade floor still sits a full band above.
+    */
+  val ApproxDistinctWatchTol = 0.03
   val HllMergeRelTol = 0.04 // lgK=14 ⇒ rse ≈ 0.8%; 5σ
   val HllMergeAbsFloor = 3.0 // small-count floor
-  /** watch at ~2.5σ of lgK=14's rse; measured max rel err 0.0089. */
-  val HllMergeWatchTol = 0.02
+  /** watch at ~3σ of lgK=14's rse ≈ 0.8% (measured max rel err 0.0089)
+    * — same regen-redraw reasoning as ApproxDistinctWatchTol, times the
+    * five per-region estimators in this frame. */
+  val HllMergeWatchTol = 0.025
   val HllMergeWatchAbs = 2.0
   val CmsEps = 0.001 // CMS width parameter ⇒ over-estimate ≤ ⌈ε·N⌉
   /** CMS watch: over-estimate ≤ 1 count regardless of N. Measured max
