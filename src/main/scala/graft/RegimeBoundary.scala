@@ -159,10 +159,21 @@ object RegimeBoundary {
       results += "simhash_10x" ->
         s"""{"docs": $n10x, "pairs": $nSh, "wall_s": ${f"$tSh%.1f"}, "walls_s": ${arr(tShs)}, "protocol": "median_of_3"}"""
       println(s"[regime] SimHash 10x: $nSh pairs in ${f"$tSh%.1f"}s ${arr(tShs)}")
+      // The first call pays the DERIVE + connected-components over the
+      // primed τ=0.8 mine — exactly what the graded registry pays; later
+      // calls read the session cluster cache. Record both, labeled, so
+      // the artifact separates compute from memo reads (a median over
+      // the three would launder memo reads into the derive cost).
       val (nCl, tCl) = timed(
         graft.ops.GraphOps.dedupClusters(docs10x, threshold = 0.95).count())
-      results += "dedup_clusters_10x" -> s"""{"docs": $n10x, "rows": $nCl, "wall_s": ${f"$tCl%.1f"}}"""
-      println(s"[regime] clusters (tau 0.95, derive+CC) 10x: $nCl rows in ${f"$tCl%.1f"}s")
+      val tClMemos = (1 to 2).map { _ =>
+        timed(graft.ops.GraphOps
+          .dedupClusters(docs10x, threshold = 0.95).count())._2
+      }
+      results += "dedup_clusters_10x" ->
+        s"""{"docs": $n10x, "rows": $nCl, "wall_s": ${f"$tCl%.1f"}, "memo_walls_s": ${arr(tClMemos)}}"""
+      println(s"[regime] clusters (tau 0.95, derive+CC) 10x: $nCl rows in " +
+        s"${f"$tCl%.1f"}s, memo reads ${arr(tClMemos)}")
     }
 
     // ----------------------- BPE distributed regime: incremental vs full
@@ -288,14 +299,31 @@ object RegimeBoundary {
             .as("embedding"))
       }.reduce(_ unionByName _).localCheckpoint(true)
       val nEmb = emb10x.count()
-      val (nSrp, tSrp) = timed(
-        graft.ops.DedupOps.cosineLshPairsAuto(emb10x, threshold = 0.3).count())
-      results += "srp_lsh_10x" -> s"""{"vecs": $nEmb, "pairs": $nSrp, "wall_s": ${f"$tSrp%.1f"}}"""
-      println(s"[regime] SRP-LSH pairs 10x: $nSrp in ${f"$tSrp%.1f"}s ($nEmb vecs)")
-      val (nIvf, tIvf) = timed(
-        graft.ops.SimilarityOps.ivfTopK(emb10x, queryId = 0, k = 10).count())
-      results += "ivf_topk_10x" -> s"""{"vecs": $nEmb, "rows": $nIvf, "wall_s": ${f"$tIvf%.1f"}}"""
-      println(s"[regime] IVF top-k 10x: ${f"$tIvf%.1f"}s")
+      def med3(xs: Seq[Double]): Double = xs.sorted.apply(1)
+      def arr3(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ", ", "]")
+      var nSrp = 0L
+      val tSrps = (1 to 3).map { _ =>
+        graft.ops.DedupOps.clearCaches(spark)
+        val (n, t) = timed(
+          graft.ops.DedupOps.cosineLshPairsAuto(emb10x, threshold = 0.3).count())
+        nSrp = n
+        t
+      }
+      val tSrp = med3(tSrps)
+      results += "srp_lsh_10x" ->
+        s"""{"vecs": $nEmb, "pairs": $nSrp, "wall_s": ${f"$tSrp%.1f"}, "walls_s": ${arr3(tSrps)}, "protocol": "median_of_3"}"""
+      println(s"[regime] SRP-LSH pairs 10x: $nSrp in ${f"$tSrp%.1f"}s ${arr3(tSrps)} ($nEmb vecs)")
+      var nIvf = 0L
+      val tIvfs = (1 to 3).map { _ =>
+        val (n, t) = timed(
+          graft.ops.SimilarityOps.ivfTopK(emb10x, queryId = 0, k = 10).count())
+        nIvf = n
+        t
+      }
+      val tIvf = med3(tIvfs)
+      results += "ivf_topk_10x" ->
+        s"""{"vecs": $nEmb, "rows": $nIvf, "wall_s": ${f"$tIvf%.1f"}, "walls_s": ${arr3(tIvfs)}, "protocol": "median_of_3"}"""
+      println(s"[regime] IVF top-k 10x: ${f"$tIvf%.1f"}s ${arr3(tIvfs)}")
 
       // ANN recall AT the 10x boundary — auto-fit happens where fitting
       // matters, so the graded floors must hold here too, not just at sf
@@ -399,24 +427,44 @@ object RegimeBoundary {
         ((col("id") / 3) % 25).cast("int").as("c_nationkey"),
         concat(lit("SEG"), ((col("id") / 75) % 5).cast("string")).as("c_mktsegment"))
         .localCheckpoint(true)
-      val (quadPairs, tQuad) = timed {
-        graft.queries.StatQueries
-          .fuzzyNameVerifiedPairs(names, pigeonhole = false)
-          .localCheckpoint(true)
+      def med3(xs: Seq[Double]): Double = xs.sorted.apply(1)
+      def arr3(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ", ", "]")
+      // median-of-3 per regime, fuzzy pair cache cleared per iteration so
+      // every run pays the mine, not a memo read
+      var quadPairs: DataFrame = null
+      val tQuads = (1 to 3).map { _ =>
+        graft.ops.DedupOps.clearCaches(spark)
+        val (df, t) = timed {
+          graft.queries.StatQueries
+            .fuzzyNameVerifiedPairs(names, pigeonhole = false)
+            .localCheckpoint(true)
+        }
+        quadPairs = df
+        t
       }
+      val tQuad = med3(tQuads)
       val nQuad = quadPairs.count()
-      val (pigPairs, tPig) = timed {
-        graft.queries.StatQueries
-          .fuzzyNameVerifiedPairs(names, pigeonhole = true)
-          .localCheckpoint(true)
+      var pigPairs: DataFrame = null
+      val tPigs = (1 to 3).map { _ =>
+        graft.ops.DedupOps.clearCaches(spark)
+        val (df, t) = timed {
+          graft.queries.StatQueries
+            .fuzzyNameVerifiedPairs(names, pigeonhole = true)
+            .localCheckpoint(true)
+        }
+        pigPairs = df
+        t
       }
+      val tPig = med3(tPigs)
       val nPig = pigPairs.count()
       val diff = quadPairs.unionByName(pigPairs)
         .groupBy("nk", "key_a", "key_b").agg(count(lit(1)).as("c"))
         .filter(col("c") =!= 2).count()
       results += "fuzzy_250k" ->
         s"""{"rows": $n, "quad_pairs": $nQuad, "quad_wall_s": ${f"$tQuad%.1f"},
+           | "quad_walls_s": ${arr3(tQuads)},
            | "pigeonhole_pairs": $nPig, "pigeonhole_wall_s": ${f"$tPig%.1f"},
+           | "pigeonhole_walls_s": ${arr3(tPigs)}, "protocol": "median_of_3",
            | "pair_set_equal": ${diff == 0 && nQuad == nPig}}""".stripMargin.replace("\n", "")
       println(s"[regime] fuzzy 250k: quad=$nQuad (${f"$tQuad%.1f"}s) " +
         s"pigeonhole=$nPig (${f"$tPig%.1f"}s) equal=${diff == 0 && nQuad == nPig}")
@@ -509,18 +557,31 @@ object RegimeBoundary {
         writeStamp(s"$ev10xDir/events.parquet", s"$sfDir/events.parquet")
       }
       val nEv = spark.read.parquet(s"$ev10xDir/events.parquet").count()
-      val (tumbling, tWaveQ) = timed(
+      // median-of-3 waves, each in a FRESH session — the family memo is
+      // session-keyed, so a new session re-runs the whole wave instead of
+      // reading the memo (the bespoke members stage idempotently)
+      var tumblingRows = 0
+      var lastSess = spark
+      val waveWalls = (1 to 3).map { _ =>
+        val sess = spark.newSession()
+        lastSess = sess
+        val (tumbling, tWaveQ) = timed(
+          graft.streaming.StreamingOps
+            .familyResult(sess, ev10xDir, "stream_tumbling_agg").collect())
+        tumblingRows = tumbling.length
         graft.streaming.StreamingOps
-          .familyResult(spark, ev10xDir, "stream_tumbling_agg").collect())
-      val waveWall = graft.streaming.StreamingOps
-        .familyWaveWall(spark, ev10xDir).getOrElse(tWaveQ)
+          .familyWaveWall(sess, ev10xDir).getOrElse(tWaveQ)
+      }
+      def med3w(xs: Seq[Double]): Double = xs.sorted.apply(1)
+      def arrw(xs: Seq[Double]) = xs.map(x => f"$x%.1f").mkString("[", ", ", "]")
+      val waveWall = med3w(waveWalls)
       val (nTopk, tMemo) = timed(
         graft.streaming.StreamingOps
-          .familyResult(spark, ev10xDir, "stream_topk").count())
+          .familyResult(lastSess, ev10xDir, "stream_topk").count())
       results += "streaming_wave_10x" ->
-        s"""{"events": $nEv, "wave_wall_s": ${f"$waveWall%.1f"}, "members_n": ${graft.streaming.StreamingOps.familyMemberNames.size}, "tumbling_rows": ${tumbling.length}, "memo_read_s": ${f"$tMemo%.2f"}, "memo_rows": $nTopk}"""
-      println(s"[regime] streaming wave 10x: $nEv events, wave ${f"$waveWall%.1f"}s, " +
-        s"memo read ${f"$tMemo%.2f"}s")
+        s"""{"events": $nEv, "wave_wall_s": ${f"$waveWall%.1f"}, "wave_walls_s": ${arrw(waveWalls)}, "protocol": "median_of_3", "members_n": ${graft.streaming.StreamingOps.familyMemberNames.size}, "tumbling_rows": $tumblingRows, "memo_read_s": ${f"$tMemo%.2f"}, "memo_rows": $nTopk}"""
+      println(s"[regime] streaming wave 10x: $nEv events, wave ${f"$waveWall%.1f"}s " +
+        s"${arrw(waveWalls)}, memo read ${f"$tMemo%.2f"}s")
     } catch { case e: Throwable =>
       results += "streaming_wave_10x" -> s"""{"error": "${e.getClass.getName}: ${String.valueOf(e.getMessage).replace('"', ' ').take(160)}"}"""
       println(s"[regime] streaming wave probe failed: $e")
@@ -558,6 +619,13 @@ object RegimeBoundary {
         writeStamp(s"$ev100xDir/events.parquet", s"$sfDir/events.parquet")
       }
       val nEv = spark.read.parquet(s"$ev100xDir/events.parquet").count()
+      // SINGLE wave by necessity, not oversight: the 10x probe medians
+      // over fresh-session re-runs, but at 10M events each wave holds
+      // ~2.9 GB of keyed state plus its memory-sink tables PER SESSION —
+      // a third concurrent-session replay exhausted the 24 GB heap and
+      // shut the context down when this was tried as median-of-3
+      // (2026-08-16). One wall per JVM; cross-run spread is recorded in
+      // PLANS_APPENDIX from the separate artifact runs (153-228 s).
       val (tumbling, tWaveQ) = timed(
         graft.streaming.StreamingOps
           .familyResult(spark, ev100xDir, "stream_tumbling_agg").collect())
@@ -581,6 +649,7 @@ object RegimeBoundary {
       }
       results += "streaming_wave_100x" ->
         (s"""{"events": $nEv, "wave_wall_s": ${f"$waveWall%.1f"}, """ +
+          s""""protocol": "single_wave_per_jvm_memory_bound", """ +
           s""""members_n": ${graft.streaming.StreamingOps.familyMemberNames.size}, """ +
           s""""tumbling_rows": ${tumbling.length}, "state_rows_total": $stateRows, """ +
           s""""state_mem_max_bytes": $stateMemMax, "rocksdb_sst_bytes": $sstBytes}""")
