@@ -4,13 +4,24 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // SPARK_GRAFT_MASTER / executor envs: same multi-JVM hooks as Verify —
+    // the round-15 cluster-mode bench runs the registry under
+    // `local-cluster[2,2,4096]` to measure the cost of real executor
+    // processes (serialization of the custom expressions, broadcast over
+    // an RPC boundary, executor-side state stores), not just correctness.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .master(s"local[$cpus]")
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Seq(
+      "SPARK_GRAFT_EXECUTOR_CLASSPATH" -> "spark.executor.extraClassPath",
+      "SPARK_GRAFT_EXECUTOR_MEM" -> "spark.executor.memory"
+    ).foldLeft(builder0) { case (b, (env, conf)) =>
+      sys.env.get(env).fold(b)(b.config(conf, _))
+    }.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up the JVM before timing: JIT + codegen + parquet footer reads
     // otherwise land entirely on whichever query happens to run first
@@ -76,7 +87,20 @@ object Bench {
     // tools/bench_compare.py) and report when they hold >=3 queries or
     // >=5s of excess. Queries without an anchored median (new this
     // round) are skipped — growth is not a storm.
-    val stormJson = try {
+    //
+    // Round 15: each flagged window is RE-RUN once after the sweep and
+    // both samples recorded (`remeasured_s` per query), so the capture
+    // self-corrects — `value_remeasured` substitutes the second sample
+    // for the flagged queries. A storm is minutes-scale; by the time the
+    // ~3-minute sweep finishes, the remeasure usually samples the quiet
+    // state, and if the storm persists the remeasure is inflated too and
+    // the capture says so (both samples high -> not self-correctable,
+    // adjudicate against anchored medians as before). Caveat recorded in
+    // the JSON: the re-run hits a WARM session (mining/wave memo caches
+    // primed by the sweep), so for cache-building queries the remeasure
+    // is a lower bound on quiet-state cost — still the right evidence for
+    // "was the original sample box-inflated?", which is the question.
+    val stormGroups: List[List[(Int, String, Double)]] = try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val base = mapper.readTree(new java.io.File("BASELINE.json"))
         .path("bench_queries")
@@ -86,19 +110,37 @@ object Bench {
           Some((i, k, v - m.asDouble))
         else None
       }
-      val groups = inflated.foldLeft(List.empty[List[(Int, String, Double)]]) {
+      inflated.foldLeft(List.empty[List[(Int, String, Double)]]) {
         case (acc, h) => acc match {
           case cur :: rest if h._1 - cur.head._1 <= 2 => (h :: cur) :: rest
           case _ => List(h) :: acc
         }
       }.map(_.reverse).reverse
-      groups.filter(g => g.size >= 3 || g.map(_._3).sum >= 5.0)
-        .map { g =>
-          val names = g.map(x => "\"" + x._2 + "\"").mkString("[", ",", "]")
-          f"""{"from_pos":${g.head._1},"to_pos":${g.last._1},"queries":$names,"excess_s":${g.map(_._3).sum}%.1f}"""
-        }
-        .mkString("[", ",", "]")
-    } catch { case _: Throwable => "[]" }
+        .filter(g => g.size >= 3 || g.map(_._3).sum >= 5.0)
+    } catch { case _: Throwable => Nil }
+    val resultMap = results.toMap
+    val remeasured: Map[String, Double] =
+      stormGroups.flatten.map(_._2).distinct.map { name =>
+        val t0 = System.nanoTime()
+        val ok = try { graft.queries.Catalog.queriesMap(name)(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }.toMap
+    val stormJson = stormGroups.map { g =>
+      val names = g.map(x => "\"" + x._2 + "\"").mkString("[", ",", "]")
+      val rem = g.map(x => f""""${x._2}":${remeasured(x._2)}%.3f""")
+        .mkString("{", ",", "}")
+      val remSum = g.map(x => remeasured(x._2)).filter(_ >= 0).sum
+      f"""{"from_pos":${g.head._1},"to_pos":${g.last._1},"queries":$names,"excess_s":${g.map(_._3).sum}%.1f,"remeasured_s":$remSum%.1f,"remeasured_queries":$rem}"""
+    }.mkString("[", ",", "]")
+    // total with each storm-flagged query's duration replaced by its
+    // post-sweep remeasure (warm-session sample; equals `value` when no
+    // window was flagged or a remeasure failed)
+    val valueRemeasured = {
+      val flagged = stormGroups.flatten.map(_._2).distinct
+        .filter(n => remeasured.getOrElse(n, -1.0) >= 0)
+      total - flagged.map(resultMap(_)).sum + flagged.map(remeasured(_)).sum
+    }
     // Streaming-wave accounting: the 20-query replay family runs as ONE
     // memoized wave whose whole wall lands on the first member the bench
     // hits in catalog order; the other members are memo reads. Emit the
@@ -121,7 +163,7 @@ object Bench {
         f"""{"wave_wall_s":$wall%.3f,"charged_to":"$charged","memo_read_sum_s":$memoSum%.3f,"members_n":${members.size}}"""
       }.getOrElse("null")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"storm_windows":$stormJson,"streaming_wave":$waveJson}"""
+      s"""{"metric":"total","value":$total,"value_remeasured":$valueRemeasured,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"storm_windows":$stormJson,"streaming_wave":$waveJson}"""
     println(line)
     Console.out.flush()
     // Belt-and-braces copy for the driver: stdout interleaving with Spark

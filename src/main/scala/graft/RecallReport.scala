@@ -262,7 +262,11 @@ object RecallReport {
     val rows = scores.map { case (name, s) =>
       s"${jq(name)}: {" +
         s""""metric": ${jq(s.metric)}, "value": ${f"${s.value}%.4f"}, """ +
-        s""""floor": ${s.floor}, "watch": ${s.watchVal}, """ +
+        s""""floor": ${s.floor}, """ +
+        // a degenerate band (no watch threshold) emits null, so consumers
+        // can tell it from a real watch that happens to equal the floor
+        (if (s.watch.isNaN) s""""watch": null, "has_watch": false, """
+         else s""""watch": ${s.watch}, "has_watch": true, """) +
         s""""pass": ${s.pass}, "watch_pass": ${s.watchOk}, """ +
         s""""detail": ${jq(s.detail)}}"""
     }.mkString(",\n  ")

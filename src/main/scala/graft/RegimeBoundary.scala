@@ -88,12 +88,34 @@ object RegimeBoundary {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val results = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // MERGE semantics (round 15): preload the existing artifact so a
+    // filtered run (SPARK_GRAFT_REGIME_ONLY=...) overwrites only the
+    // probes it ran — required for the probes that must run in their OWN
+    // JVM (wave100rocks holds a second 10M-event wave; two waves in one
+    // heap is the exhaustion case the wave100 comment documents) and for
+    // graft.FaultProbe, which contributes its key from a separate
+    // local-cluster JVM.
+    if (Files.exists(Paths.get(outPath))) try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val tree = mapper.readTree(Files.readString(Paths.get(outPath)))
+      val it = tree.fields()
+      while (it.hasNext) {
+        val e = it.next()
+        results += e.getKey -> e.getValue.toString
+      }
+      println(s"[regime] merged ${results.size} existing entries from $outPath")
+    } catch { case e: Throwable =>
+      println(s"[regime] existing $outPath unparseable, starting fresh: $e")
+    }
     // Optional comma-separated probe filter for local iteration
     // (mining,bpe,curation,ann,triangles,fuzzy,pagerank,wave); the full
     // artifact run sets no filter.
     val only = sys.env.get("SPARK_GRAFT_REGIME_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     def want(key: String): Boolean = only.forall(_.contains(key))
+    // explicit-only probes: excluded from the unfiltered full run, which
+    // would otherwise co-locate them with a conflicting probe in one JVM
+    def wantExplicit(key: String): Boolean = only.exists(_.contains(key))
 
     // ---------------------------------------------- 10x document corpus
     val docs10xPath = s"${System.getProperty("java.io.tmpdir")}/graft_regime_docs10x"
@@ -358,6 +380,37 @@ object RegimeBoundary {
           .mkString(s"""{"vecs": $nEmb, """, ", ", "}")
       println(s"[regime] ANN recall@10 at 10x: " +
         scores.map { case (n, r) => s"$n=$r" }.mkString(" "))
+
+      // ANN recall AT the 100x grading scale (round 15): the banded and
+      // IVF serving tiers re-fit their geometry on the corpus (band/bit
+      // auto-config, sqrt(n) centroid sizing), so the recall floors are
+      // pinned where the mining families already probe — 200k vectors —
+      // not just at 10x. Same construction, 100 replicas (perturbed
+      // dimension r % 64 keeps the rotation inside the embedding).
+      val emb100x = (0 until 100).map { r =>
+        base.select(
+          (col("vec_id") + lit(r * 10000000L)).as("vec_id"),
+          transform(col("embedding"), (x, i) =>
+            when(i === r % 64, x * lit(0.5f) + lit(0.1f * (r % 64)))
+              .otherwise(x)).as("embedding"))
+      }.reduce(_ unionByName _).localCheckpoint(true)
+      val nEmb100 = emb100x.count()
+      val exactTop100 = ids(
+        graft.ops.SimilarityOps.bruteForceTopK(emb100x, queryId = 0, k = 10))
+      val (bands100, bits100) =
+        graft.ops.DedupOps.autoBandConfig(emb100x, threshold = 0.3, targetRecall = 0.95)
+      val scores100 = Seq(
+        "banded" -> ids(graft.ops.SimilarityOps
+          .lshTopKBanded(emb100x, queryId = 0, k = 10, bands100, bits100)),
+        "ivf" -> ids(graft.ops.SimilarityOps.ivfTopK(emb100x, queryId = 0, k = 10)))
+        .map { case (n, got) => n -> (got & exactTop100).size / 10.0 }
+      results += "ann_recall_100x" ->
+        (scores100.map { case (n, r) => s""""$n": $r""" } ++ Seq(
+          s""""floor_banded": ${graft.queries.Approx.LshTopKBandedFloor}""",
+          s""""floor_ivf": ${graft.queries.Approx.IvfTopKFloor}"""))
+          .mkString(s"""{"vecs": $nEmb100, """, ", ", "}")
+      println(s"[regime] ANN recall@10 at 100x ($nEmb100 vecs): " +
+        scores100.map { case (n, r) => s"$n=$r" }.mkString(" "))
     }
 
     // ---------------- triangle census under degree-ordered orientation
@@ -658,6 +711,61 @@ object RegimeBoundary {
     } catch { case e: Throwable =>
       results += "streaming_wave_100x" -> s"""{"error": "${e.getClass.getName}: ${String.valueOf(e.getMessage).replace('"', ' ').take(160)}"}"""
       println(s"[regime] streaming wave 100x probe failed: $e")
+    }
+
+    // ------------- streaming wave at 100x, WHOLE wave on RocksDB (r15):
+    // the configuration a high-cardinality 100 TB deployment actually
+    // runs — keyed state in RocksDB (local SSD SSTs + block cache), not
+    // on-heap HashMaps. EXPLICIT-ONLY (`SPARK_GRAFT_REGIME_ONLY=
+    // wave100rocks`, own JVM): a second 10M-event wave beside the HDFS
+    // one is the documented heap-exhaustion case. Records provider
+    // memory vs SST bytes next to the HDFS entry's 2.9 GB on-heap peak.
+    if (wantExplicit("wave100rocks")) try {
+      val ev100xDir = s"${System.getProperty("java.io.tmpdir")}/graft_regime_events100x"
+      require(Files.exists(Paths.get(s"$ev100xDir/events.parquet")),
+        "run the wave100 probe first to stage the 100x events dir")
+      val nEv = spark.read.parquet(s"$ev100xDir/events.parquet").count()
+      System.setProperty("graft.stream.stateProvider", "rocksdb")
+      try {
+        val heapBefore = {
+          System.gc()
+          Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+        }
+        val (tumbling, tWaveQ) = timed(
+          graft.streaming.StreamingOps
+            .familyResult(spark, ev100xDir, "stream_tumbling_agg").collect())
+        val waveWall = graft.streaming.StreamingOps
+          .familyWaveWall(spark, ev100xDir).getOrElse(tWaveQ)
+        val heapAfter =
+          Runtime.getRuntime.totalMemory() - Runtime.getRuntime.freeMemory()
+        var stateRows = 0L; var stateMemMax = 0L; var sstBytes = 0L
+        graft.streaming.StreamingOps.familyMemberNames.foreach { m =>
+          graft.streaming.StreamingOps.progressFor(m).lastOption.foreach { p =>
+            p.stateOperators.foreach { so =>
+              stateRows += so.numRowsTotal
+              stateMemMax = math.max(stateMemMax, so.memoryUsedBytes)
+              val it = so.customMetrics.entrySet().iterator()
+              while (it.hasNext) {
+                val e = it.next()
+                if (e.getKey.toLowerCase.contains("sstfile")) sstBytes += e.getValue
+              }
+            }
+          }
+        }
+        results += "streaming_wave_100x_rocksdb" ->
+          (s"""{"events": $nEv, "wave_wall_s": ${f"$waveWall%.1f"}, """ +
+            s""""protocol": "single_wave_per_jvm_memory_bound", """ +
+            s""""members_n": ${graft.streaming.StreamingOps.familyMemberNames.size}, """ +
+            s""""tumbling_rows": ${tumbling.length}, "state_rows_total": $stateRows, """ +
+            s""""state_mem_max_bytes": $stateMemMax, "rocksdb_sst_bytes": $sstBytes, """ +
+            s""""jvm_heap_used_before": $heapBefore, "jvm_heap_used_after": $heapAfter}""")
+        println(s"[regime] streaming wave 100x RocksDB: $nEv events, " +
+          s"wave ${f"$waveWall%.1f"}s, state rows $stateRows, provider mem " +
+          s"$stateMemMax B, SST $sstBytes B, heap $heapBefore -> $heapAfter B")
+      } finally System.clearProperty("graft.stream.stateProvider")
+    } catch { case e: Throwable =>
+      results += "streaming_wave_100x_rocksdb" -> s"""{"error": "${e.getClass.getName}: ${String.valueOf(e.getMessage).replace('"', ' ').take(160)}"}"""
+      println(s"[regime] streaming wave 100x rocksdb probe failed: $e")
     }
 
     // ------------------------------------ TPC-H at 10x bench scale (sf1)

@@ -70,24 +70,6 @@ object DedupOps {
   // Session-scoped mining caches
   // ------------------------------------------------------------------
 
-  /** Compute-outside-the-lock memoization: `build` runs WITHOUT holding the
-    * map bin lock (it launches full Spark jobs — holding a
-    * `computeIfAbsent` lock for a job's duration would block concurrent
-    * builds that hash to the same bin). On a lost race the loser's copy is
-    * discarded (unpersisted) and the winner's returned. `build` must return
-    * already-materialized persisted frames.
-    */
-  private[ops] def memoize[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V], key: K)(
-      build: => V)(discard: V => Unit): V = {
-    val existing = m.get(key)
-    if (existing != null) existing
-    else {
-      val built = build
-      val prev = m.putIfAbsent(key, built)
-      if (prev != null) { discard(built); prev } else built
-    }
-  }
-
   /** Session-scoped cache of the exact-duplicate grouping, keyed by the
     * semantic hash of the corpus plan: `(repIndex, docRep)` where
     * `repIndex = (rep_id, stoks, sz, cnt)` holds one row per DISTINCT token
@@ -100,21 +82,24 @@ object DedupOps {
     * cached artifact assumes its source files are immutable for the life
     * of the session. After overwriting a source path, call
     * [[clearCaches]] to unpersist and drop this session's entries.
+    * All caches are [[BoundedMemo]]s (round 15): LRU-bounded at
+    * `graft.cache.maxEntries` with Tel size gauges, so a weeks-lived
+    * driver churning sessions/corpora can't grow them monotonically.
     */
   private val repCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), (DataFrame, DataFrame)]()
+    new BoundedMemo[(String, Int), (DataFrame, DataFrame)]("dedup.reps")
 
   private val prefixCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), DataFrame]()
+    new BoundedMemo[(String, Int, Double), DataFrame]("dedup.prefix")
 
   private val pairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), DataFrame]()
+    new BoundedMemo[(String, Int, Double), DataFrame]("dedup.pairs")
 
   /** Hot-prefix-token salt widths per (session, build-plan, saltEntries,
     * cap) — a bounded driver map (≤ cap+1 entries); nothing to unpersist.
     */
   private val hotTokCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int), Map[String, Int]]()
+    new BoundedMemo[(String, Int, Int, Int), Map[String, Int]]("dedup.hotToks")
 
   /** Doc ids the pair index can pair at all (their rep has an index row;
     * empty-token docs don't) — per corpus, persisted: the split/A×B
@@ -123,10 +108,10 @@ object DedupOps {
     * the derive path (+1.5 s on the graded A×B derive at sf0.1).
     */
   private val pairableCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), DataFrame]()
+    new BoundedMemo[(String, Int), DataFrame]("dedup.pairable")
 
   private def pairableDocs(docs: DataFrame): DataFrame =
-    memoize(pairableCache, corpusKey(docs))({
+    pairableCache.memoize(corpusKey(docs))({
       val (repIx, docRep) = reps(docs)
       val p = docRep
         .join(repIx.select(col("rep_id")), Seq("rep_id"), "left_semi")
@@ -143,22 +128,16 @@ object DedupOps {
     */
   def clearCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
     val sid = SparkOps.sessionId(spark)
-    def drop[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V])(
-        sessionOf: K => String)(discard: V => Unit): Unit = {
-      val it = m.entrySet().iterator()
-      while (it.hasNext) {
-        val e = it.next()
-        if (sessionOf(e.getKey) == sid) { discard(e.getValue); it.remove() }
-      }
-    }
-    drop(repCache)(_._1) { case (a, b) => a.unpersist(); b.unpersist() }
-    drop(prefixCache)(_._1)(_.unpersist())
-    drop(pairsCache)(_._1)(_.unpersist())
-    drop(hotTokCache)(_._1)(_ => ())
-    drop(pairableCache)(_._1)(_.unpersist())
+    // clearIf runs each entry's memoize-time discard (unpersist) itself
+    repCache.clearIf(_._1 == sid)
+    prefixCache.clearIf(_._1 == sid)
+    pairsCache.clearIf(_._1 == sid)
+    hotTokCache.clearIf(_._1 == sid)
+    pairableCache.clearIf(_._1 == sid)
     GraphOps.clearLabelCache(sid)
     SimilarityOps.clearCentroidCache(sid)
     TextOps.clearMergeCache(sid)
+    SparkOps.clearCkptEntry(sid)
     SparkOps.runCacheClearHooks(sid)
   }
 
@@ -177,7 +156,7 @@ object DedupOps {
     * order, which PPJoin prefix filtering requires.
     */
   def reps(docs: DataFrame): (DataFrame, DataFrame) =
-    memoize(repCache, corpusKey(docs)) {
+    repCache.memoize(corpusKey(docs)) {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       val groups = tokenSets(docs)
         .select(col("doc_id"), array_sort(col("toks")).as("ctoks"))
@@ -265,7 +244,7 @@ object DedupOps {
     val (repIx, _) = reps(docs)
     val key = (SparkOps.sessionId(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), threshold)
-    memoize(prefixCache, key) {
+    prefixCache.memoize(key) {
       val p = repIx.select(
           col("rep_id"), col("sz"),
           posexplode(expr(
@@ -538,7 +517,7 @@ object DedupOps {
       docs: DataFrame, threshold: Double): DataFrame = {
     val key = (SparkOps.sessionId(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), threshold)
-    memoize(pairsCache, key) {
+    pairsCache.memoize(key) {
       val df = (cachedPairsAtOrBelow(docs, threshold) match {
         case Some(loose) => deriveAtThreshold(loose, threshold)
         case None => ngramJaccardUnsorted(docs, threshold)
@@ -666,7 +645,7 @@ object DedupOps {
       .filter(col("n_tok") > saltEntries)
     val hotKey = (SparkOps.sessionId(build.sparkSession),
       build.queryExecution.logical.semanticHash(), saltEntries, maxDriverHotToks)
-    val hotToks: Map[String, Int] = memoize(hotTokCache, hotKey) {
+    val hotToks: Map[String, Int] = hotTokCache.memoize(hotKey) {
       tokCounts
         .limit(maxDriverHotToks + 1)
         .collect()
@@ -839,11 +818,10 @@ object DedupOps {
   private def cachedPairsAtOrBelow(docs: DataFrame, threshold: Double): Option[DataFrame] = {
     val sid = SparkOps.sessionId(docs.sparkSession)
     val h = docs.queryExecution.logical.semanticHash()
-    import scala.jdk.CollectionConverters._
-    pairsCache.entrySet().asScala.toSeq
-      .filter(e => e.getKey._1 == sid && e.getKey._2 == h && e.getKey._3 <= threshold)
-      .sortBy(-_.getKey._3)
-      .headOption.map(_.getValue)
+    pairsCache.snapshot
+      .filter { case (k, _) => k._1 == sid && k._2 == h && k._3 <= threshold }
+      .sortBy { case (k, _) => -k._3 }
+      .headOption.map(_._2)
   }
 
   /** Derive the A×B τ-pairs from an already-mined all-pairs list at a

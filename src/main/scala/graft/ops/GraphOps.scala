@@ -258,7 +258,7 @@ object GraphOps {
     * equivalent (the cached frame is already localCheckpoint-materialized).
     */
   private val labelCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Double), DataFrame]()
+    new BoundedMemo[(String, Int, Double), DataFrame]("graph.labels")
 
   /** Drop this session's cached labelings (local-checkpoint RDD blocks
     * are cleaner-released once unreferenced; durable checkpoint files
@@ -267,12 +267,8 @@ object GraphOps {
     * [[graft.ops.DedupOps.clearCaches]] — same cache contract: keys hash
     * the plan, so entries are valid only while source files are immutable.
     */
-  private[ops] def clearLabelCache(sessionId: String): Unit = {
-    val it = labelCache.entrySet().iterator()
-    while (it.hasNext) {
-      if (it.next().getKey._1 == sessionId) it.remove()
-    }
-  }
+  private[ops] def clearLabelCache(sessionId: String): Unit =
+    labelCache.clearIf(_._1 == sessionId)
 
   /** Cluster documents by near-duplicate similarity (token Jaccard >=
     * threshold via the exact PPJoin miner) and label each doc with its
@@ -285,7 +281,7 @@ object GraphOps {
     // a full mine + CC — minutes of Spark jobs — and holding a
     // computeIfAbsent lock for that long would serialize concurrent
     // builds for unrelated keys that hash to the same bin.
-    val labels = DedupOps.memoize(labelCache, key)({
+    val labels = labelCache.memoize(key)({
       val edges = DedupOps.ngramJaccardCachedUnsorted(docs, threshold)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val verts = docs.select(col("doc_id").as("id"))

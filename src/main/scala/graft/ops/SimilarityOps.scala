@@ -171,18 +171,14 @@ object SimilarityOps {
     * hash the plan, valid while source files are immutable).
     */
   private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int, Int),
-      (Int, Array[Array[Double]])]()
+    new BoundedMemo[(String, Int, Int, Int),
+      (Int, Array[Array[Double]])]("similarity.centroids")
 
   /** Drop this session's trained quantizers (driver-memory arrays only —
     * nothing to unpersist). Invoked by [[DedupOps.clearCaches]].
     */
-  private[ops] def clearCentroidCache(sessionId: String): Unit = {
-    val it = centroidCache.entrySet().iterator()
-    while (it.hasNext) {
-      if (it.next().getKey._1 == sessionId) it.remove()
-    }
-  }
+  private[ops] def clearCentroidCache(sessionId: String): Unit =
+    centroidCache.clearIf(_._1 == sessionId)
 
   /** Fit (session-cached) the IVF coarse quantizer for this corpus and
     * return the cell-routing expression builder plus the resolved probe
@@ -196,7 +192,7 @@ object SimilarityOps {
     // Compute OUTSIDE the map bin lock (DedupOps.memoize): the fit runs
     // count + sample-collect + Lloyd — Spark actions — and a lost race
     // just discards the loser's pure-data codebook.
-    val (nc, trained) = DedupOps.memoize(centroidCache, cacheKey)({
+    val (nc, trained) = centroidCache.memoize(cacheKey)({
       // scale-aware defaults: nc ~ sqrt(n) rounded to a power of two (the
       // classic IVF sizing — cells of ~sqrt(n) vectors); overridable
       val n0 =

@@ -38,6 +38,16 @@ object SparkOps {
   def sessionId(spark: org.apache.spark.sql.SparkSession): String =
     sessionIdMap.computeIfAbsent(spark, _ => java.util.UUID.randomUUID().toString)
 
+  /** Session ids still reachable (the WeakHashMap drops GC'd sessions);
+    * iteration over a synchronizedMap requires holding its own monitor.
+    */
+  private[ops] def liveSessionIds: Set[String] = sessionIdMap.synchronized {
+    val out = Set.newBuilder[String]
+    val it = sessionIdMap.values().iterator()
+    while (it.hasNext) out += it.next()
+    out.result()
+  }
+
   /** Eager lineage-truncating materialization — the single primitive
     * behind every "compute this expensive frame once for its N consumers
     * / per-iteration plan reset" site in the mining, graph, and ANN ops.
@@ -76,6 +86,14 @@ object SparkOps {
   private val configuredCkptDir =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Drop `sid`'s checkpoint-dir bookkeeping (invoked by
+    * [[graft.ops.DedupOps.clearCaches]] alongside the mining caches, and
+    * pruned lazily for GC'd sessions in the conflict scan below).
+    */
+  private[ops] def clearCkptEntry(sid: String): Unit = {
+    configuredCkptDir.remove(sid); ()
+  }
+
   def materialize[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
     val spark = ds.sparkSession
     spark.conf.getOption("graft.checkpoint.dir").filter(_.nonEmpty) match {
@@ -90,11 +108,17 @@ object SparkOps {
         // checkpointed under the other session's directory silently.
         sc.synchronized {
           if (sc.getCheckpointDir.isEmpty || configuredCkptDir.get(sid) != dir) {
+            // Prune entries from GC'd sessions before the conflict scan —
+            // sessionIdMap is weak but this map is not, so without the
+            // prune a long-lived context churning sessions would both warn
+            // against long-dead sessions and grow the map unboundedly.
+            val live = liveSessionIds
             val it = configuredCkptDir.entrySet().iterator()
             var conflict: String = null
             while (it.hasNext) {
               val e = it.next()
-              if (e.getKey != sid && e.getValue != dir) conflict = e.getValue
+              if (!live.contains(e.getKey)) it.remove()
+              else if (e.getKey != sid && e.getValue != dir) conflict = e.getValue
             }
             if (conflict != null)
               org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -479,13 +479,11 @@ object TextOps {
     * duplicate training whose loser is discarded.
     */
   private val mergeCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int, Int), Seq[(Int, String, String, Long)]]
+    new BoundedMemo[(String, Int, Int), Seq[(Int, String, String, Long)]]("text.bpeMerges")
 
   /** Drop this session's cached merge tables (driver-side values only). */
-  private[ops] def clearMergeCache(sessionId: String): Unit = {
-    val it = mergeCache.entrySet().iterator()
-    while (it.hasNext) if (it.next().getKey._1 == sessionId) it.remove()
-  }
+  private[ops] def clearMergeCache(sessionId: String): Unit =
+    mergeCache.clearIf(_._1 == sessionId)
 
   /** The trained merge rules as a driver-side list (cached per corpus;
     * may be SHORTER than `k` if the corpus exhausts — see
@@ -495,13 +493,7 @@ object TextOps {
     if (k <= 0) return Nil // no rules to train — skip the corpus aggregate
     val key = (SparkOps.sessionId(docs.sparkSession),
       docs.queryExecution.logical.semanticHash(), k)
-    val cached = mergeCache.get(key)
-    if (cached != null) cached
-    else {
-      val built = trainMergesUncached(docs, k)
-      val prior = mergeCache.putIfAbsent(key, built)
-      if (prior != null) prior else built
-    }
+    mergeCache.memoize(key)(trainMergesUncached(docs, k))(_ => ())
   }
 
   /** BPE ENCODE: apply the trained merge rules to every word of every

@@ -388,9 +388,10 @@ object Relational {
             (abs(col("approx_orders").cast("double") /
               col("exact_orders") - 1) <= Approx.ApproxDistinctRelTol)
               .as("orders_within_5pct"),
-            // accuracy bands (round 14): 2 = rel err within the 2σ watch
-            // tolerance, 1 = within the graded 5σ tolerance — estimator
-            // drift is driver-visible before the grade boolean flips
+            // accuracy bands (round 14): 2 = rel err within the 3σ watch
+            // tolerance (ApproxDistinctWatchTol = 0.03 = 3σ of rsd 0.01),
+            // 1 = within the graded 5σ tolerance — estimator drift is
+            // driver-visible before the grade boolean flips
             Approx.errorBand(
               abs(col("approx_parts").cast("double") / col("exact_parts") - 1),
               lit(Approx.ApproxDistinctWatchTol),
@@ -429,8 +430,9 @@ object Relational {
               greatest(lit(Approx.HllMergeAbsFloor),
                 col("exact_customers") * Approx.HllMergeRelTol))
               .as("within_tol"),
-            // band: 2 = within the ~2.5σ watch tolerance (measured max
-            // rel err 0.0089 at sf0.1), 1 = within the graded 5σ band
+            // band: 2 = within the ~3σ watch tolerance (HllMergeWatchTol
+            // = 0.025 ≈ 3σ of the 0.8% estimator σ; measured max rel err
+            // 0.0089 at sf0.1), 1 = within the graded 5σ band
             Approx.errorBand(
               abs(col("approx_customers").cast("double") -
                 col("exact_customers")),

@@ -85,22 +85,23 @@ object StatQueries {
     * contract as the text near-dup family.
     */
   private val fuzzyPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), (DataFrame, Boolean, Long)]()
+    new graft.ops.BoundedMemo[(String, Int), (DataFrame, Boolean, Long)]("er.fuzzyPairs")
 
   // honor the clearMiningCaches contract (stale-read fence on overwrite)
   graft.ops.SparkOps.registerCacheClearHook { sid =>
-    val it = fuzzyPairsCache.entrySet().iterator()
-    while (it.hasNext) if (it.next().getKey._1 == sid) it.remove()
+    fuzzyPairsCache.clearIf(_._1 == sid)
   }
 
   private[queries] def fuzzyPairsCached(c: DataFrame): (DataFrame, Boolean, Long) = {
     val key = (graft.ops.SparkOps.sessionId(c.sparkSession),
       c.queryExecution.logical.semanticHash())
-    fuzzyPairsCache.computeIfAbsent(key, _ => {
+    // compute-outside-the-lock (BoundedMemo contract): the mine runs
+    // full Spark jobs; a lost race just drops the loser's frame reference
+    fuzzyPairsCache.memoize(key)({
       val (pigeonhole, n) = fuzzyRegime(c)
       val pairs = fuzzyNameVerifiedPairs(c, pigeonhole).materialized
       (pairs, pigeonhole, n)
-    })
+    })(_ => ())
   }
 
   /** The verified pair list behind [[fuzzyNamePairs]] — the edge set an

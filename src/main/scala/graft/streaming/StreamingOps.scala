@@ -181,6 +181,15 @@ object StreamingOps {
       jobs: Seq[StreamJob],
       afterStart: () => Unit = () => ()): Map[String, DataFrame] = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    // Global provider override (`graft.stream.stateProvider=rocksdb` sysprop
+    // or GRAFT_STATE_PROVIDER env): flips EVERY wave member to the RocksDB
+    // provider — the configuration a high-cardinality 100 TB deployment
+    // runs (state on local SSD, working set in block cache) and what the
+    // round-15 `streaming_wave_100x_rocksdb` regime probe measures.
+    // Per-job `rocksDb = true` members are unaffected (already RocksDB).
+    val forceRocks = "rocksdb".equalsIgnoreCase(
+      System.getProperty("graft.stream.stateProvider",
+        sys.env.getOrElse("GRAFT_STATE_PROVIDER", "")))
     val prevNd = spark.conf.get("spark.sql.streaming.noDataMicroBatches.enabled")
     val prevProvider = spark.conf.getOption(providerKey)
     def restoreProvider(): Unit = prevProvider match {
@@ -201,7 +210,7 @@ object StreamingOps {
         val table = s"graft_stream_${runId.incrementAndGet()}"
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
           job.needsNoDataBatches.toString)
-        if (job.rocksDb) {
+        if (job.rocksDb || forceRocks) {
           spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
             "streaming.state.RocksDBStateStoreProvider")
         } else restoreProvider()

@@ -77,3 +77,24 @@ if hot:
     spread = sum(x[3] for x in hot)
     print(f"  window excess total: +{spread:.1f}s "
           f"(of {new['value'] - old['value']:+.1f}s total delta)")
+
+# Self-corrected capture (round 15): Bench re-runs each storm-flagged
+# window once after the sweep and emits value_remeasured (flagged queries'
+# durations replaced by the post-sweep sample). Surface it so a reader of
+# the diff sees the corrected total next to the raw one.
+if "value_remeasured" in new and new.get("storm_windows"):
+    vr = new["value_remeasured"]
+    if abs(vr - new["value"]) > 0.05:
+        print(f"\nNEW self-corrected total (storm windows remeasured "
+              f"post-sweep): {vr:.1f}s (raw {new['value']:.1f}s, "
+              f"{new['value'] - vr:+.1f}s storm excess confirmed by remeasure)")
+        for w in new["storm_windows"]:
+            rq = w.get("remeasured_queries", {})
+            both = ", ".join(
+                f"{q}: {new['queries'][q]:.2f}s->{rq[q]:.2f}s"
+                for q in w.get("queries", []) if q in rq and rq[q] >= 0)
+            print(f"  window pos {w['from_pos']}-{w['to_pos']}: {both}")
+    else:
+        print(f"\nNEW storm windows remeasured within 0.05s of raw total "
+              f"— remeasure also sampled the storm or excess was real; "
+              f"adjudicate against anchored medians")

@@ -1,9 +1,13 @@
-import duckdb, json, sys, glob
+import duckdb, json, sys, glob, os
 sfdir, outdir = sys.argv[1], sys.argv[2]
 sql = json.load(open(f'{outdir}/oracle_sql.json'))
 con = duckdb.connect()
 for t in ['region','nation','customer','supplier','part','orders','lineitem','events','documents','embeddings']:
-    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    p = f'{sfdir}/{t}.parquet'
+    # driver testdata tables are single files; synthetic universes
+    # (BuildSf1) are Spark-written directories — glob the parts
+    src = f"'{p}/*.parquet'" if os.path.isdir(p) else f"'{p}'"
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
 fails = []
 for name, q in sorted(sql.items()):
     try:
