@@ -1034,7 +1034,19 @@ object AnalyticsQueries {
         // regardless of SF; each iteration is a map-side projection of the
         // previous level (no join in the recursive step), so at 100 TB the
         // working set never exceeds one level of the frontier.
-        t(s, dir, "part").createOrReplaceTempView("part_v")
+        //
+        // Spark's infinite-recursion guard (spark.sql.cteRecursionRowLimit,
+        // default 1M) counts every row the loop ACCUMULATES — parts × depth
+        // — which crosses 1M at sf1 (200k parts × ~27 levels) even though
+        // the recursion is structurally bounded at ≤64 levels for any
+        // int64 key. Found by the round-15 sf1 oracle gate. Size the guard
+        // from that structural bound instead of letting it cap scale; the
+        // level guard (cteRecursionLevelLimit=100) still backstops runaway
+        // recursion.
+        val partsV = t(s, dir, "part")
+        partsV.createOrReplaceTempView("part_v")
+        s.conf.set("spark.sql.cteRecursionRowLimit",
+          math.max(1000000L, partsV.count() * 64).toString)
         s.sql("""
           WITH RECURSIVE walk(k, d) AS (
             SELECT p_partkey, 0 FROM part_v

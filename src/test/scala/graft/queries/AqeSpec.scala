@@ -94,4 +94,83 @@ class AqeSpec extends AnyFunSuite {
         s"AQE skew-join split did not fire:\n$after")
     }
   }
+
+  test("AQE skew interplay with the salted operators: join yes (free-standing), aggregation no") {
+    // The round-15 adjudication of WHY the engine ships explicit salting
+    // (agg_skew_salted, join_skew_salted / SparkOps.saltedEquiJoin) when
+    // Spark 4 AQE has automatic skew-join splitting. Measured here, at the
+    // graded shapes with the thresholds scaled to test size (the mechanism
+    // is size-independent — the same rules fire at 10x/100x with the
+    // default 256 MB thresholds):
+    //
+    //  1. A free-standing skewed equi-join (join_skew_salted's lineitem ⋈
+    //     orders shape, hot orderkey, aggregate on a NON-join column
+    //     afterwards → exchange after the join anyway): AQE splits it
+    //     (skew=true) — automatic handling IS the first line here, and the
+    //     plain join would be fine at 10x. saltedEquiJoin remains for the
+    //     shapes below and for sinks that must bound per-task output size
+    //     deterministically (a split decision made at runtime from size
+    //     stats is not a guarantee; the salt is).
+    //  2. The SAME join feeding a groupBy on the JOIN KEY (the join's hash
+    //     partitioning would be reused by the aggregate): AQE declines the
+    //     split — splitting a skewed partition duplicates the hot key
+    //     across tasks, which would break the downstream requirement
+    //     unless an EXTRA shuffle is inserted, and by default
+    //     spark.sql.adaptive.forceOptimizeSkewedJoin=false says never add
+    //     one. No skew=true in the final plan; the hot key still lands on
+    //     one reducer. This join→agg-on-key pipeline is exactly where the
+    //     explicit salt still earns its place at 100 TB.
+    //  3. Aggregation skew (agg_skew_salted's shape): AQE has NO skewed-
+    //     aggregate splitter at all (OptimizeSkewedJoin matches joins;
+    //     OptimizeSkewInRebalancePartitions matches only REBALANCE hints).
+    //     Partial (map-side) aggregation absorbs skew for collapsible
+    //     aggregates like sum/count, but any per-key expansion that
+    //     partial agg can't collapse (collect_list, exact distinct) keeps
+    //     the hot key whole on one task — the salt is the only spread.
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false") {
+      val s = spark
+      // ~half the fact rows share orderkey 0 (the hot order); payload wide
+      // enough that the hot partition crosses the scaled-down threshold.
+      val fact = s.range(0, 200000)
+        .select(when(col("id") % 2 === 0, lit(0L)).otherwise(col("id")).as("l_orderkey"),
+          (col("id") % 5).as("prio_k"),
+          concat(lit("payload_payload_payload_"), col("id")).as("pay"))
+      val dim = s.range(0, 200000)
+        .select(col("id").as("o_orderkey"), (col("id") % 5).as("o_prio"))
+
+      // shape 1: join then aggregate on a non-join column (exchange after
+      // the join regardless) — AQE splits the skewed join partition
+      val free = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_prio")).agg(sum(length(col("pay"))).as("b"))
+      free.collect()
+      val freePlan = free.queryExecution.executedPlan.toString
+      assert(freePlan.contains("skew=true"),
+        s"free-standing skewed join should be AQE-split:\n$freePlan")
+
+      // shape 2: join then aggregate ON the join key — the split would
+      // break the reused partitioning, so AQE declines it by default
+      val keyed = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey")).agg(sum(length(col("pay"))).as("b"))
+      keyed.collect()
+      val keyedPlan = keyed.queryExecution.executedPlan.toString
+      assert(!keyedPlan.contains("skew=true"),
+        s"join feeding agg-on-join-key was expected to DEFEAT the AQE skew split " +
+          s"(forceOptimizeSkewedJoin=false):\n$keyedPlan")
+
+      // shape 3: skewed aggregation — no AQE rewrite exists for it
+      val agg = fact.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"), sum(length(col("pay"))).as("b"))
+      agg.collect()
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(!aggPlan.contains("skew=true"),
+        s"no skewed-aggregate splitter should exist:\n$aggPlan")
+    }
+  }
 }

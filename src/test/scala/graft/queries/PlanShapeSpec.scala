@@ -10,14 +10,22 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class PlanShapeSpec extends AnyFunSuite {
 
-  lazy val spark: SparkSession = SparkSession.builder()
+  // GRAFT_PLANSPEC_MASTER (round 15): run the same plan fences under a
+  // multi-JVM master (`local-cluster[2,2,4096]`, with the compiled classes
+  // shipped via GRAFT_PLANSPEC_EXEC_CP) — plan SHAPE must not change when
+  // executors become real processes, and this is the measured check.
+  lazy val spark: SparkSession = {
+    val b = SparkSession.builder()
       .config("spark.sql.extensions", "graft.GraftExtensions")
-    .master("local[4]")
-    .appName("graft-planshape-test")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+      .master(sys.env.getOrElse("GRAFT_PLANSPEC_MASTER", "local[4]"))
+      .appName("graft-planshape-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    sys.env.get("GRAFT_PLANSPEC_EXEC_CP")
+      .fold(b)(b.config("spark.executor.extraClassPath", _))
+      .getOrCreate()
+  }
 
   // Default: the smallest SF (plan shapes are size-class properties, not
   // size properties). Override with GRAFT_PLANSPEC_DIR to re-verify the
