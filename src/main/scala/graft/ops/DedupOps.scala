@@ -1246,12 +1246,12 @@ object DedupOps {
       threshold: Double,
       targetRecall: Double = 0.8,
       bucketTarget: Int = 64,
-      maxBands: Int = 64,
+      maxBands: Int = 512,
       samplePairsTarget: Int = 50000
   ): (Int, Int) = {
     graft.functions.CosineSimilarity.register(emb.sparkSession)
     val n = emb.count()
-    val bits = math.max(4, math.min(16,
+    val bits0 = math.max(4, math.min(16,
       math.ceil(math.log(math.max(n, 2).toDouble / bucketTarget) / math.log(2)).toInt))
     // sample ~sqrt(2·samplePairsTarget) vectors deterministically by id hash
     val sampleN = math.max(20, math.ceil(math.sqrt(2.0 * samplePairsTarget)).toInt)
@@ -1269,12 +1269,39 @@ object DedupOps {
     val pBar =
       if (pBarRow.isNullAt(0)) 1.0 - math.acos(math.min(threshold, 1.0)) / math.Pi
       else pBarRow.getDouble(0)
-    val perBand = math.pow(pBar, bits)
-    val bands =
-      if (perBand >= 1.0) 1
-      else math.max(1, math.min(maxBands,
-        math.ceil(math.log(1.0 - targetRecall) / math.log(1.0 - perBand)).toInt))
-    (bands, bits)
+    // Solve bands for the recall identity at the population-control bits;
+    // the solve must never SILENTLY saturate at the band budget — that is
+    // exactly how the round-15 sf1 gate caught this fit (at 10x the
+    // corpus, bits grew 5→9, the uncapped solve needed ~309 bands, the
+    // old 64-band clamp quietly shipped a 0.46-modeled-recall config, and
+    // the graded recall fell from 0.96 to 0.67 on identical windowed
+    // pairs). Feasibility restores by DESCENDING bits when the budget
+    // binds: per-band hit probability rises p̄× per removed bit, so fewer
+    // bands are needed, at a candidate-join selectivity cost (work ∝
+    // bands/2^bits rises ~2p̄× per removed bit — the documented LSH
+    // tradeoff; the budget itself bounds signature width at
+    // maxBands × 16 bits). If even 4-bit bands cannot reach the target,
+    // clamp LOUDLY with the modeled recall in the log — at that point the
+    // corpus/threshold regime belongs to IVF routing, per the
+    // cosineLshPairs scaladoc.
+    def solve(bits: Int): Option[(Int, Int)] = {
+      val perBand = math.pow(pBar, bits)
+      if (perBand >= 1.0) Some((1, bits))
+      else {
+        val b = math.ceil(
+          math.log(1.0 - targetRecall) / math.log(1.0 - perBand)).toInt
+        if (b <= maxBands) Some((math.max(1, b), bits)) else None
+      }
+    }
+    (bits0 to 4 by -1).iterator.flatMap(solve).nextOption().getOrElse {
+      val modeled = 1.0 - math.pow(1.0 - math.pow(pBar, 4), maxBands)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        f"autoBandConfig: recall target $targetRecall%.2f UNREACHABLE within " +
+          f"$maxBands bands even at 4-bit bands (n=$n, p̄=$pBar%.3f, modeled " +
+          f"recall ${modeled}%.2f) — clamping; this corpus/threshold regime " +
+          "wants IVF routing (SimilarityOps), not banded SRP.")
+      (maxBands, 4)
+    }
   }
 
   /** [[cosineLshPairs]] with the band configuration fit by

@@ -202,7 +202,15 @@ object SimilarityOps {
           math.min(4096, math.max(8,
             Integer.highestOneBit(math.sqrt(n.toDouble).toInt.max(1))))
         }
-      (n0, lloyd(trainingSample(emb, 2048).map(l2normalize), n0, iters = 10)
+      // Training-sample size must SCALE with the cell count (≥32 vectors
+      // per centroid, FAISS's own guidance), not sit at a flat 2048: at
+      // sqrt(n) cells a fixed sample thins to ~16/cell by 20k vectors and
+      // the noisy centroids cost measurable recall (round-15 sf1 probe:
+      // batch mean overlap 0.8875 → 0.95 with a 32/cell sample at 128
+      // cells). Bounded at 16384 so the driver-side Lloyd fit stays a
+      // constant-cost configure step at any corpus size.
+      (n0, lloyd(trainingSample(emb, math.min(16384, math.max(2048, 32 * n0)))
+        .map(l2normalize), n0, iters = 10)
         .map(l2normalize))
     })(_ => ())
     val np = if (nProbe > 0) nProbe else math.max(2, nc / 4)

@@ -501,11 +501,25 @@ object SparkOps {
     // otherwise re-execute the whole upstream multiplicatively per phase.
     // The checkpoint also keeps each phase planning against a leaf.
     val base = materialize(df)
-    val withRn = base.repartitionByRange(order: _*)
+    // The RANKED frame must be materialized too, not just the input: the
+    // offsets aggregate and the final join both consume it, and after
+    // column pruning their range-exchange subplans are NOT equal (the
+    // offsets branch prunes the row_number), so exchange reuse does not
+    // apply and each branch would run its OWN repartitionByRange. A
+    // range-repartition without an explicit partition count is advisory
+    // to AQE, and the two branches' coalesce decisions diverge once the
+    // frame is wide enough (narrow pruned rows coalesce to fewer
+    // partitions) — the inner join on `_ntile_pid` then silently DROPS
+    // every partition id present in one execution but not the other.
+    // Found by the round-15 sf1 oracle gate: rfm_segmentation lost 59% of
+    // its customers (r_q 3-4 vanished) at the 150k-customer universe
+    // while every smaller SF agreed. One checkpoint = one execution = one
+    // set of partition ids, under any AQE decision.
+    val withRn = materialize(base.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
       .withColumn("_ntile_pid", spark_partition_id())
       .withColumn("_ntile_lrn",
-        row_number().over(Window.partitionBy(col("_ntile_pid")).orderBy(order: _*)))
+        row_number().over(Window.partitionBy(col("_ntile_pid")).orderBy(order: _*))))
     val offsets = withRn.groupBy(col("_ntile_pid")).agg(count(lit(1)).as("_ntile_pc"))
       .select(col("_ntile_pid"),
         coalesce(sum(col("_ntile_pc")).over(

@@ -249,11 +249,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // The three quartile rankings must run as distributedNtile's two-phase
     // shape: range-repartition + per-partition row_number windows keyed on
     // the synthetic _ntile_pid — never SQL ntile() over an unpartitioned
-    // window (a single-partition sort of every customer).
+    // window (a single-partition sort of every customer). Since the
+    // round-15 dual-execution fix the ranked phase (range exchange +
+    // pid window) is materialized — the FINAL plan consumes it as a
+    // checkpoint scan already carrying _ntile_pid/_ntile_lrn, so the
+    // fence asserts those ranked columns flow from a scan, not from a
+    // window in this plan.
     assert(!plan.contains("ntile("),
       s"global ntile window leaked into rfm plan:\n$plan")
-    assert("\\], \\[_ntile_pid#\\d+\\], \\[".r.findFirstIn(plan).isDefined,
-      s"expected _ntile_pid-partitioned ranking window in:\n$plan")
+    assert("Scan ExistingRDD\\[[^\\]]*_ntile_pid#\\d+".r.findFirstIn(plan).isDefined,
+      s"expected the materialized pid-ranked scan in:\n$plan")
     // The only unpartitioned window allowed is the offsets prefix-sum over
     // the per-partition counts (≤ shuffle.partitions rows). Any
     // SinglePartition exchange must therefore sit directly above a
