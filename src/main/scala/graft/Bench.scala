@@ -100,7 +100,15 @@ object Bench {
     // primed by the sweep), so for cache-building queries the remeasure
     // is a lower bound on quiet-state cost — still the right evidence for
     // "was the original sample box-inflated?", which is the question.
-    val stormGroups: List[List[(Int, String, Double)]] = try {
+    // The anchored medians are local[N] numbers: under a different master
+    // (the round-15 local-cluster capture) EVERY query sits above them for
+    // structural reasons — executor RPC, 4 real cores instead of 32
+    // threads — and "storm" adjudication against them is meaningless (it
+    // would flag the whole catalog and re-run the entire sweep). Cluster
+    // captures are compared per-query against the local medians in
+    // BASELINE.md instead.
+    val anchorsComparable = master.startsWith("local[")
+    val stormGroups: List[List[(Int, String, Double)]] = if (!anchorsComparable) Nil else try {
       val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
       val base = mapper.readTree(new java.io.File("BASELINE.json"))
         .path("bench_queries")
@@ -163,7 +171,7 @@ object Bench {
         f"""{"wave_wall_s":$wall%.3f,"charged_to":"$charged","memo_read_sum_s":$memoSum%.3f,"members_n":${members.size}}"""
       }.getOrElse("null")
     val line =
-      s"""{"metric":"total","value":$total,"value_remeasured":$valueRemeasured,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"storm_windows":$stormJson,"streaming_wave":$waveJson}"""
+      s"""{"metric":"total","value":$total,"value_remeasured":$valueRemeasured,"unit":"sec","master":"$master","queries":$qs,"sf":"$sfDir","errors":$errJson,"storm_windows":$stormJson,"streaming_wave":$waveJson}"""
     println(line)
     Console.out.flush()
     // Belt-and-braces copy for the driver: stdout interleaving with Spark

@@ -646,7 +646,11 @@ object RegimeBoundary {
     // the streaming posture survives two orders of magnitude, the same
     // way mining has mine_ppjoin_10x. RocksDB members report SST bytes
     // (state on local disk, working set in memory — the 100 TB backend).
-    if (want("wave100")) try {
+    // Stage the 100x events dir (symlinked dims + 100-replica events
+    // parquet); shared by the HDFS-provider and RocksDB-provider waves,
+    // each of which runs in its OWN JVM — the stamp-checked cache is the
+    // cross-JVM handoff, so either probe can run first.
+    def stage100xEvents(): String = {
       val ev100xDir = s"${System.getProperty("java.io.tmpdir")}/graft_regime_events100x"
       Files.createDirectories(Paths.get(ev100xDir))
       Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -671,6 +675,11 @@ object RegimeBoundary {
           .parquet(s"$ev100xDir/events.parquet")
         writeStamp(s"$ev100xDir/events.parquet", s"$sfDir/events.parquet")
       }
+      ev100xDir
+    }
+
+    if (want("wave100")) try {
+      val ev100xDir = stage100xEvents()
       val nEv = spark.read.parquet(s"$ev100xDir/events.parquet").count()
       // SINGLE wave by necessity, not oversight: the 10x probe medians
       // over fresh-session re-runs, but at 10M events each wave holds
@@ -721,9 +730,7 @@ object RegimeBoundary {
     // one is the documented heap-exhaustion case. Records provider
     // memory vs SST bytes next to the HDFS entry's 2.9 GB on-heap peak.
     if (wantExplicit("wave100rocks")) try {
-      val ev100xDir = s"${System.getProperty("java.io.tmpdir")}/graft_regime_events100x"
-      require(Files.exists(Paths.get(s"$ev100xDir/events.parquet")),
-        "run the wave100 probe first to stage the 100x events dir")
+      val ev100xDir = stage100xEvents()
       val nEv = spark.read.parquet(s"$ev100xDir/events.parquet").count()
       System.setProperty("graft.stream.stateProvider", "rocksdb")
       try {
