@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
 object AnalyticsQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   /** floor-trick rounding — bit-identical in Spark and DuckDB (see
     * Tables.moneySum).

@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object Approx {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   // ------------------------------------------------------------------
   // single source of truth: approximate builders + accuracy floors

@@ -13,7 +13,7 @@ object EventQueries {
     QueryDef(
       "date_funcs",
       (s, dir) =>
-        s.read.parquet(s"$dir/orders.parquet")
+        Tables.read(s, dir, "orders")
           .select(
             col("o_orderkey"),
             year(col("o_orderdate")).as("o_year"),
@@ -195,7 +195,7 @@ object EventQueries {
       // partition-pruned min/max statistics, the spine is tiny, the join
       // broadcasts the spine against the aggregated (already small) side.
       (s, dir) => {
-        val orders = s.read.parquet(s"$dir/orders.parquet")
+        val orders = Tables.read(s, dir, "orders")
         val daily = orders
           .groupBy(to_date(col("o_orderdate")).as("d"))
           .agg(count(lit(1)).as("n"),
@@ -232,7 +232,7 @@ object EventQueries {
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_orderdate"), col("o_orderkey"))
-        s.read.parquet(s"$dir/orders.parquet")
+        Tables.read(s, dir, "orders")
           .select(col("o_custkey"),
             row_number().over(w).as("version"),
             col("o_orderkey"), col("o_orderpriority"),
@@ -318,13 +318,13 @@ object EventQueries {
       (s, dir) => {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_orderdate"), col("o_orderkey"))
-        val dim = s.read.parquet(s"$dir/orders.parquet")
+        val dim = Tables.read(s, dir, "orders")
           .select(col("o_custkey").as("d_custkey"),
             row_number().over(w).as("version"),
             col("o_orderdate").as("valid_from"),
             col("o_orderpriority").as("eff_priority"))
-        val fact = s.read.parquet(s"$dir/lineitem.parquet")
-          .join(s.read.parquet(s"$dir/orders.parquet")
+        val fact = Tables.read(s, dir, "lineitem")
+          .join(Tables.read(s, dir, "orders")
             .select(col("o_orderkey"), col("o_custkey")),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("l_orderkey"), col("o_custkey"), col("l_shipdate"),
@@ -432,7 +432,7 @@ object EventQueries {
         val w = Window.partitionBy(col("o_custkey"))
           .orderBy(col("o_orderdate"), col("o_orderkey"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        s.read.parquet(s"$dir/orders.parquet")
+        Tables.read(s, dir, "orders")
           .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
             nullif(col("o_orderpriority"), lit("5-LOW")).as("v"))
           .withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))

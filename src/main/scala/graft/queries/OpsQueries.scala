@@ -110,7 +110,7 @@ object OpsQueries {
       // lets two independent predicate families skip most of the table.
       (s, dir) => {
         val laid = SparkOps.zorderWrite(
-          s.read.parquet(s"$dir/orders.parquet"),
+          Tables.read(s, dir, "orders"),
           "o_custkey", "o_totalprice", tmp("graft_zorder_orders"), nFiles = 16)
         laid.filter(col("o_custkey").between(100, 300) &&
             col("o_totalprice").between(20000, 60000))
@@ -178,7 +178,7 @@ object OpsQueries {
         val out = tmp("graft_observed_write")
         val pipeline =
           Node[Unit, org.apache.spark.sql.DataFrame] { _ =>
-            s.read.parquet(s"$dir/lineitem.parquet")
+            Tables.read(s, dir, "lineitem")
               .filter(col("l_quantity") >= 25)
           } ~> SparkOps.writeParquetObserved(out, "sink_dq",
             "n_rows" -> count(lit(1)),

@@ -13,9 +13,9 @@ import graft.ops.{DedupOps, GraphOps, MultimodalOps, SimilarityOps, TextOps}
 object PipelineQueries {
 
   private val docs = (s: org.apache.spark.sql.SparkSession, dir: String) =>
-    s.read.parquet(s"$dir/documents.parquet")
+    Tables.read(s, dir, "documents")
   private val emb = (s: org.apache.spark.sql.SparkSession, dir: String) =>
-    s.read.parquet(s"$dir/embeddings.parquet")
+    Tables.read(s, dir, "embeddings")
 
   /** Exact bounded-heap top-10 twins for the ANN verdict frames — the
     * same computation the oracle-exact similarity_topk /
@@ -1136,7 +1136,7 @@ object PipelineQueries {
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_frames"),
             sum(octet_length(col("frame"))).as("frame_bytes"))
-        s.read.parquet(s"$dir/documents.parquet").select("doc_id")
+        Tables.read(s, dir, "documents").select("doc_id")
           .join(frames, Seq("doc_id"), "left")
           .select(col("doc_id"),
             coalesce(col("n_frames"), lit(0L)).as("n_frames"),

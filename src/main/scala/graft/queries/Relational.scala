@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   def queries: Seq[QueryDef] = Seq(
     // ----------------------------------------------------------- flagship

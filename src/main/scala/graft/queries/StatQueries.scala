@@ -22,7 +22,7 @@ import graft.ops.SparkOps
 object StatQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   private def cents(c: org.apache.spark.sql.Column) =
     floor(c * 100 + 0.5).cast("long")

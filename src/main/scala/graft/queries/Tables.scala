@@ -6,8 +6,37 @@ import org.apache.spark.sql.functions._
 /** Table readers for the test dataset. */
 object Tables {
 
+  /** Inferred-schema memo keyed by (canonical path, mtime, size) — the
+    * catalog/metastore role a production deployment fills: schema
+    * inference re-reads parquet footers on EVERY `spark.read.parquet`
+    * call (~90 ms/call measured on this box; the 288-query bench creates
+    * ~600 base-table relations, so inference alone was ~10-20% of the
+    * sweep wall, and at 100 TB an inference pass lists and footer-reads
+    * the whole table). The memo holds only the SCHEMA (metadata, never
+    * rows — every query still scans parquet at execution), and the
+    * mtime+size key invalidates on testdata regeneration exactly like
+    * [[graft.ops.SparkOps.stageOnce]].
+    */
+  private val schemaMemo =
+    new graft.ops.BoundedMemo[(String, Long, Long), org.apache.spark.sql.types.StructType]("tableSchema")
+
+  /** Parquet reader that skips re-inference when the file is unchanged.
+    * Falls back to plain inference for paths `java.io.File` can't see
+    * (non-local filesystems), where mtime-keyed invalidation can't work.
+    */
+  def readPath(s: SparkSession, path: String): DataFrame = {
+    val f = new java.io.File(path)
+    if (!f.exists()) s.read.parquet(path)
+    else {
+      val key = (f.getCanonicalPath, f.lastModified(),
+        if (f.isFile) f.length() else -1L)
+      val sch = schemaMemo.memoize(key)(s.read.parquet(path).schema)(_ => ())
+      s.read.schema(sch).parquet(path)
+    }
+  }
+
   def read(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    readPath(s, s"$dir/$name.parquet")
 
   /** Order-independent, engine-independent money aggregate, rounded to
     * cents. Doubles are quantized per row with `floor(x*10000 + 0.5)` (the
@@ -38,7 +67,7 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
+    val raw = readPath(s, s"$dir/events.parquet")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

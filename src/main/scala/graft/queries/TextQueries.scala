@@ -20,7 +20,7 @@ object TextQueries {
       // 32 bytes per row instead of whole documents (at 100 TB that is the
       // difference between shuffling digests and shuffling the corpus).
       (s, dir) =>
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .groupBy(sha2(col("text"), 256))
           .agg(min(col("doc_id")).as("doc_id"))
           .select("doc_id")
@@ -32,7 +32,7 @@ object TextQueries {
     QueryDef(
       "text_stats",
       (s, dir) =>
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .groupBy(col("lang"))
           .agg(
             count(lit(1)).as("n_docs"),
@@ -49,7 +49,7 @@ object TextQueries {
       "text_tokens",
       // Whitespace tokenization + per-document token stats.
       (s, dir) =>
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .select(
             col("doc_id"),
             size(split(col("text"), " ")).as("n_tokens"),
@@ -70,7 +70,7 @@ object TextQueries {
       // Output is the per-lang kept/total accounting a mixing config
       // audits. doc_id*2654435761 < 2^63 at any realistic id, no overflow.
       (s, dir) =>
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .withColumn("bucket",
             (col("doc_id") * 2654435761L) % 4294967296L % 100)
           .withColumn("keep",
@@ -100,7 +100,7 @@ object TextQueries {
       // as the per-shard accounting a shuffle audit checks.
       (s, dir) => {
         val key = md5(concat(col("doc_id").cast("string"), lit(":s7")))
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .select(col("doc_id"),
             conv(substring(key, 1, 8), 16, 10).cast("long").as("sh"),
             conv(substring(key, 9, 8), 16, 10).cast("long").as("ord"))
@@ -129,7 +129,7 @@ object TextQueries {
     ),
     QueryDef(
       "text_clean",
-      (s, dir) => TextOps.cleanText(s.read.parquet(s"$dir/documents.parquet")),
+      (s, dir) => TextOps.cleanText(Tables.read(s, dir, "documents")),
       Some("""
         SELECT doc_id, length(text) AS raw_chars,
                trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')) AS clean_text,
@@ -139,7 +139,7 @@ object TextQueries {
     QueryDef(
       "quality_repetition",
       (s, dir) =>
-        TextOps.repetitionSignals(s.read.parquet(s"$dir/documents.parquet")),
+        TextOps.repetitionSignals(Tables.read(s, dir, "documents")),
       Some("""
         WITH toks AS (
           SELECT doc_id,
@@ -180,7 +180,7 @@ object TextQueries {
         val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
         val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
         val phonePat = "\\b555-\\d{4}\\b"
-        s.read.parquet(s"$dir/customer.parquet")
+        Tables.read(s, dir, "customer")
           .withColumn("contact", concat(
             lower(regexp_replace(col("c_name"), "#", ".")),
             lit("@corp.example ip=10."),
@@ -222,7 +222,7 @@ object TextQueries {
       // distinct bigram per task, not one per occurrence; the top-20 is a
       // TakeOrderedAndProject (per-partition heaps, no global sort).
       (s, dir) =>
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .select(split(col("text"), " ").as("ts"))
           .where(size(col("ts")) >= 2)
           .select(explode(expr(
@@ -251,7 +251,7 @@ object TextQueries {
       // long/long→double division at the projection. Top-20 under the
       // total order (n12 DESC, w1, w2) → TakeOrderedAndProject.
       (s, dir) => {
-        val bi = s.read.parquet(s"$dir/documents.parquet")
+        val bi = Tables.read(s, dir, "documents")
           .select(split(col("text"), " ").as("ts"))
           .where(size(col("ts")) >= 2)
           .select(explode(expr(
@@ -289,7 +289,7 @@ object TextQueries {
       // (one value per distinct bigram — order-independent sums per doc);
       // the LM is vocab²-bounded and broadcasts. Scores for doc_id < 50.
       (s, dir) => {
-        val bi = s.read.parquet(s"$dir/documents.parquet")
+        val bi = Tables.read(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
           .where(size(col("ts")) >= 2)
           .select(col("doc_id"), explode(expr(
@@ -345,7 +345,7 @@ object TextQueries {
       // per-lang rollup (materialized once); the 16-row vocab broadcasts;
       // rate is the single final division.
       (s, dir) => {
-        val tc = s.read.parquet(s"$dir/documents.parquet")
+        val tc = Tables.read(s, dir, "documents")
           .select(col("lang"), explode(expr(
             "filter(split(lower(text), '\\\\s+'), t -> t <> '')")).as("tok"))
           .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
@@ -391,7 +391,7 @@ object TextQueries {
       // keeps the same downstream plan, exactly as dedup_exact hashes
       // bodies before its shuffle.
       (s, dir) => {
-        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val docs = Tables.read(s, dir, "documents")
         val grams = docs
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
           .where(size(col("ts")) >= 13)
@@ -432,7 +432,7 @@ object TextQueries {
       // RecallReport's set-equality grade vs the string twin), so the
       // string twin's oracle IS this query's exact oracle.
       (s, dir) => graft.ops.TextOps.duplicatedSubstringsHashed(
-        s.read.parquet(s"$dir/documents.parquet")),
+        Tables.read(s, dir, "documents")),
       Some("""
         WITH toks AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
         g AS (
@@ -457,7 +457,7 @@ object TextQueries {
       // kept-token accounting is exact. All equi-joins (gram keys, then
       // the narrow position explode); per-doc output stays one row.
       (s, dir) => {
-        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val docs = Tables.read(s, dir, "documents")
         val toks = docs
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
         val grams = toks
@@ -506,7 +506,7 @@ object TextQueries {
       // 100 TB that is the difference between shuffling every distinct
       // token and broadcasting a few hundred candidates.
       (s, dir) => TextOps.heavyHitters(
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("tok")),
         "tok", denom = 50),
       Some("""
@@ -524,7 +524,7 @@ object TextQueries {
       // matches" is itself information. DuckDB lacks an outer unnest, so
       // the oracle pads empty lists with [NULL] first — same contract.
       (s, dir) =>
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .select(col("doc_id"),
             explode_outer(expr(
               "filter(split(text, ' '), t -> t like 'q%')")).as("q_token"))
@@ -552,11 +552,11 @@ object TextQueries {
       // the final pair aggregation, which is map-side combinable. Top-20
       // pairs by document frequency.
       (s, dir) => {
-        val tokens = s.read.parquet(s"$dir/documents.parquet")
+        val tokens = Tables.read(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("tok"))
         val heavyArr = TextOps.heavyHitters(tokens, "tok", denom = 50)
           .agg(sort_array(collect_list(col("tok"))).as("hv"))
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .crossJoin(broadcast(heavyArr))
           .select(array_sort(array_intersect(
             array_distinct(split(col("text"), " ")), col("hv"))).as("h"))
@@ -605,7 +605,7 @@ object TextQueries {
       // vocabulary-sized (sublinear in corpus), broadcast here, shuffle
       // (with AQE skew split on stopword-hot tokens) at 100 TB.
       (s, dir) => {
-        val toksDf = s.read.parquet(s"$dir/documents.parquet")
+        val toksDf = Tables.read(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
         val uni = toksDf.select(explode(col("ts")).as("w1"))
           .groupBy("w1").agg(count(lit(1)).as("c1"))
@@ -654,7 +654,7 @@ object TextQueries {
       (s, dir) => {
         val C = 2048
         val bucketSz = 500L
-        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val docs = Tables.read(s, dir, "documents")
           .select(col("doc_id"),
             size(split(col("text"), " ")).cast("long").as("n_tokens"))
           .withColumn("part", expr(s"doc_id div $bucketSz"))
@@ -692,7 +692,7 @@ object TextQueries {
       "text_tfidf_search",
       (s, dir) =>
         TextOps.tfidfSearch(
-          s.read.parquet(s"$dir/documents.parquet"),
+          Tables.read(s, dir, "documents"),
           Seq("data", "spark", "dup"), 20),
       Some("""
         WITH tok AS (
@@ -720,7 +720,7 @@ object TextQueries {
       // float-op order on both sides; score floor-quantized to 1e-4.
       (s, dir) =>
         TextOps.bm25Search(
-          s.read.parquet(s"$dir/documents.parquet"),
+          Tables.read(s, dir, "documents"),
           Seq("data", "spark", "dup"), 20),
       Some("""
         WITH wl AS (
@@ -759,7 +759,7 @@ object TextQueries {
       // merge rule crosses the driver per iteration. The oracle replays
       // the identical greedy algorithm as 6 chained materialized CTEs.
       (s, dir) => TextOps.bpeTrainMerges(
-        s.read.parquet(s"$dir/documents.parquet"), k = 6),
+        Tables.read(s, dir, "documents"), k = 6),
       Some(bpeTrainOracle(6))
     ),
     QueryDef(
@@ -777,7 +777,7 @@ object TextQueries {
       // engine-equal there) and replays the same two-pass replace per
       // word.
       (s, dir) => TextOps.bpeEncodeCounts(
-        s.read.parquet(s"$dir/documents.parquet"), k = 6),
+        Tables.read(s, dir, "documents"), k = 6),
       Some(bpeEncodeOracle(6))
     ),
     QueryDef(
@@ -790,7 +790,7 @@ object TextQueries {
       // per-gram min → join back); every join is an equi-join on the
       // gram, and the 100 TB path ships gram digests instead of strings.
       (s, dir) => {
-        val docsDf = s.read.parquet(s"$dir/documents.parquet")
+        val docsDf = Tables.read(s, dir, "documents")
         val grams = docsDf
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
           .where(size(col("ts")) >= 13)
@@ -848,7 +848,7 @@ object TextQueries {
         val M = 4294967296L // 2^32
         val u = ((col("doc_id") * lit(2654435761L)) % M + 1L).cast("double") /
           lit((M + 1L).toDouble)
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .filter(col("n_chars") > 0)
           .select(col("doc_id"), col("n_chars"),
             floor(log(u) / col("n_chars").cast("double") * 1e9 + 0.5)
@@ -876,7 +876,7 @@ object TextQueries {
         val ranked = Window.partitionBy(col("lang"))
           .orderBy(col("n_chars"), col("doc_id"))
         val whole = Window.partitionBy(col("lang"))
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .select(col("lang"), col("n_chars"), col("doc_id"))
           .withColumn("rn", row_number().over(ranked))
           .withColumn("n", count(lit(1)).over(whole))
@@ -916,7 +916,7 @@ object TextQueries {
       (s, dir) => {
         val norm = trim(regexp_replace(
           regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .groupBy(sha2(norm, 256))
           .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_collapsed"))
           .select("doc_id", "n_collapsed")
@@ -949,7 +949,7 @@ object TextQueries {
       // corpus fences (determinism across reruns, repetition separating
       // far below natural text, ratios in (0, 1.2) on THIS corpus).
       (s, dir) =>
-        Approx.deflateRatio(s.read.parquet(s"$dir/documents.parquet"))
+        Approx.deflateRatio(Tables.read(s, dir, "documents"))
           .select(col("doc_id"), col("n_chars"),
             (col("n_deflate") > 0L &&
               col("n_deflate") <= col("n_bytes") + 12L +
@@ -987,7 +987,7 @@ object TextQueries {
       // data-sized work is the token count; ranking is a top-100
       // TakeOrdered, never a global sort.
       (s, dir) => {
-        val freq = s.read.parquet(s"$dir/documents.parquet")
+        val freq = Tables.read(s, dir, "documents")
           .select(explode(
             expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')")).as("tok"))
           .groupBy("tok").agg(count(lit(1)).as("f"))
@@ -1038,7 +1038,7 @@ object TextQueries {
       // text; the dup ratio is integer flooring (e4).
       (s, dir) => {
         val chunks = TextOps
-          .chunkDocuments(s.read.parquet(s"$dir/documents.parquet"), 30, 20)
+          .chunkDocuments(Tables.read(s, dir, "documents"), 30, 20)
           .select(col("doc_id"), unhex(md5(col("chunk"))).as("dig"))
         val freq = chunks.groupBy("dig").agg(count(lit(1)).as("f"))
         chunks.join(freq, Seq("dig"))
@@ -1078,7 +1078,7 @@ object TextQueries {
       // text, so the shape is flat in corpus size. Bucket ids come from
       // the same md5-prefix integer both engines compute bit-identically.
       (s, dir) => {
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .select(col("doc_id"),
             expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"))
           // sequence(a, b) DESCENDS when a > b — the size >= 2 guard keeps
@@ -1119,7 +1119,7 @@ object TextQueries {
       // contribution sum keeps one fixed order (tfidf first) so the
       // double math is bit-identical across engines, then quantizes e6.
       (s, dir) => {
-        val docs = s.read.parquet(s"$dir/documents.parquet")
+        val docs = Tables.read(s, dir, "documents")
         val terms = Seq("data", "spark", "dup")
         val t = TextOps.tfidfSearch(docs, terms, 20)
           .select(col("doc_id"), col("rank").as("t_rank"))

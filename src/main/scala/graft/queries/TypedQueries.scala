@@ -58,7 +58,7 @@ object TypedQueries {
         // filter costs deserialization (documented tradeoff of the typed
         // surface); the aggregation itself partial-aggregates exactly like
         // the untyped plan.
-        val ds = s.read.parquet(s"$dir/lineitem.parquet")
+        val ds = Tables.read(s, dir, "lineitem")
           .select(col("l_suppkey"), col("l_returnflag"),
             col("l_quantity"), col("l_extendedprice"))
           .as[LineItemLite]
@@ -86,10 +86,10 @@ object TypedQueries {
       // typed lambda before the (untyped, partial-aggregating) rollup.
       (s, dir) => {
         import s.implicits._
-        val o = s.read.parquet(s"$dir/orders.parquet")
+        val o = Tables.read(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .as[OrderLite]
-        val c = s.read.parquet(s"$dir/customer.parquet")
+        val c = Tables.read(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
           .as[CustomerLite]
         o.joinWith(broadcast(c), col("o_custkey") === col("c_custkey"))
@@ -119,7 +119,7 @@ object TypedQueries {
       // change the result.
       (s, dir) => {
         import s.implicits._
-        val ds = s.read.parquet(s"$dir/lineitem.parquet")
+        val ds = Tables.read(s, dir, "lineitem")
           .select(col("l_suppkey"), col("l_returnflag"),
             col("l_quantity"), col("l_extendedprice"))
           .as[LineItemLite]
@@ -172,11 +172,11 @@ object TypedQueries {
       // the lambda; the rollup after is plain partial-aggregating SQL.
       (s, dir) => {
         import s.implicits._
-        val c = s.read.parquet(s"$dir/customer.parquet")
+        val c = Tables.read(s, dir, "customer")
           .select(col("c_custkey"), col("c_mktsegment"))
           .as[CustomerLite]
           .groupByKey(_.c_custkey)
-        val o = s.read.parquet(s"$dir/orders.parquet")
+        val o = Tables.read(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .as[OrderLite]
           .groupByKey(_.o_custkey)

@@ -12,7 +12,7 @@ object UdfQueries {
     QueryDef(
       "udf_scalar",
       (s, dir) =>
-        s.read.parquet(s"$dir/part.parquet")
+        Tables.read(s, dir, "part")
           .select(col("p_partkey"), Udfs.slugify(col("p_name")).as("slug"))
           .orderBy("p_partkey"),
       Some("""
@@ -24,7 +24,7 @@ object UdfQueries {
     QueryDef(
       "udaf_geomean",
       (s, dir) =>
-        s.read.parquet(s"$dir/lineitem.parquet")
+        Tables.read(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg((floor(Udfs.geometricMean(col("l_quantity")) * 10000 + 0.5) / 10000)
             .as("geo_mean_qty"))
@@ -38,7 +38,7 @@ object UdfQueries {
     QueryDef(
       "udtf_explode",
       (s, dir) =>
-        s.read.parquet(s"$dir/documents.parquet")
+        Tables.read(s, dir, "documents")
           .filter(col("doc_id") < 50)
           .select(col("doc_id"), Udfs.explodeTokens(col("text")))
           .toDF("doc_id", "pos", "tok")
@@ -56,7 +56,7 @@ object UdfQueries {
       // Sink round-trip: filter -> write (overwrite) -> re-read -> aggregate.
       (s, dir) => {
         val tmp = s"${System.getProperty("java.io.tmpdir")}/graft_sink_lineitem"
-        s.read.parquet(s"$dir/lineitem.parquet")
+        Tables.read(s, dir, "lineitem")
           .filter(col("l_quantity") > 40)
           .write.mode("overwrite").parquet(tmp)
         s.read.parquet(tmp)

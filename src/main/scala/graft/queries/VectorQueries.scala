@@ -37,7 +37,7 @@ object VectorQueries {
     QueryDef(
       "array_funcs",
       (s, dir) =>
-        s.read.parquet(s"$dir/embeddings.parquet")
+        Tables.read(s, dir, "embeddings")
           .select(
             col("vec_id"),
             size(col("embedding")).as("dim"),
@@ -65,7 +65,7 @@ object VectorQueries {
       // aggregate (codegen'd, no UDF). The query vector rides along as a
       // broadcast-joined 1-row plan, NOT a driver collect.
       (s, dir) => {
-        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val e = Tables.read(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_embedding"))
         val dot = aggregate(
@@ -96,7 +96,7 @@ object VectorQueries {
       // argmin is the associative min(struct) — a full k-means loop
       // re-averages assignments and repeats, exactly like the CC loop.
       (s, dir) => {
-        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val e = Tables.read(s, dir, "embeddings")
         val cents = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
         val d2 = aggregate(
@@ -142,7 +142,7 @@ object VectorQueries {
       // floor division. One shuffle on (label, dim); map-side partial
       // aggregation means the wire carries n_labels × dim rows per task.
       (s, dir) =>
-        s.read.parquet(s"$dir/embeddings.parquet")
+        Tables.read(s, dir, "embeddings")
           .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .select(col("label"), (col("pos") + 1).as("i"),
             floor(col("x").cast("double") * 1000000 + 0.5).cast("long").as("x_e6"))
@@ -170,7 +170,7 @@ object VectorQueries {
       // corpus explode). All arithmetic on exact 1e-6 quanta until the
       // final sqrt of an exact long.
       (s, dir) => {
-        val cent = s.read.parquet(s"$dir/embeddings.parquet")
+        val cent = Tables.read(s, dir, "embeddings")
           .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
           .select(col("label"), (col("pos") + 1).as("i"),
             floor(col("x").cast("double") * 1000000 + 0.5).cast("long").as("x_e6"))
@@ -210,7 +210,7 @@ object VectorQueries {
       // so it shares the oracle with the zip_with form.
       (s, dir) => {
         CosineSimilarity.register(s)
-        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val e = Tables.read(s, dir, "embeddings")
         val q = e.filter(col("vec_id") === 0)
           .select(col("embedding").as("q_embedding"))
         e.filter(col("vec_id") =!= 0)
@@ -232,7 +232,7 @@ object VectorQueries {
       // single-query brute force |Q| times re-reads the corpus |Q| times.
       (s, dir) =>
         graft.ops.SimilarityOps
-          .batchTopK(s.read.parquet(s"$dir/embeddings.parquet"), 0L to 7L, k = 10)
+          .batchTopK(Tables.read(s, dir, "embeddings"), 0L to 7L, k = 10)
           .orderBy(col("q_id"), col("cosine").desc, col("vec_id")),
       Some("""
         WITH qv AS (
@@ -274,7 +274,7 @@ object VectorQueries {
       // (order-independent), floats round()ed only at the projection;
       // all-zero vectors short-circuit to code 0 (no 0/0 NaN).
       (s, dir) => {
-        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val e = Tables.read(s, dir, "embeddings")
           .withColumn("scale",
             array_max(transform(col("embedding"), v => abs(v.cast("double"))))
               / lit(127.0))
@@ -331,7 +331,7 @@ object VectorQueries {
       // artifact, like the k-means training sample) with the identical
       // quantized arithmetic the oracle replays.
       (s, dir) => {
-        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val emb = Tables.read(s, dir, "embeddings")
           .select(col("vec_id"), col("embedding"))
         def round2(vq: Array[Long]): org.apache.spark.sql.DataFrame = {
           val vLit = array(vq.map(q => lit(q.toDouble / 1e6)): _*)
@@ -415,7 +415,7 @@ object VectorQueries {
       // near-ties.
       (s, dir) => {
         CosineSimilarity.register(s)
-        val e = s.read.parquet(s"$dir/embeddings.parquet")
+        val e = Tables.read(s, dir, "embeddings")
         val nbr = e.select(col("label"), col("vec_id").as("nbr_id"),
           col("embedding").as("nbr_embedding"))
         val w = org.apache.spark.sql.expressions.Window

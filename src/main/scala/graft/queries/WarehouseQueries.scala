@@ -29,7 +29,7 @@ import org.apache.spark.sql.functions._
 object WarehouseQueries {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    Tables.read(s, dir, name)
 
   def queries: Seq[QueryDef] = Seq(
     // ------------------------------------------------- Q3 shipping priority
@@ -1197,11 +1197,11 @@ object WarehouseQueries {
       // on o_orderkey (both sides' key), the relationship grain shuffles
       // once on (custkey, partkey); the part-type dim is broadcast.
       (s, dir) => {
-        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        val li = Tables.read(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_partkey"))
-        val o = s.read.parquet(s"$dir/orders.parquet")
+        val o = Tables.read(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"))
-        val p = s.read.parquet(s"$dir/part.parquet")
+        val p = Tables.read(s, dir, "part")
           .select(col("p_partkey"), col("p_type"))
         val rel = li.join(o, col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_custkey"), col("l_partkey"))
@@ -1237,9 +1237,9 @@ object WarehouseQueries {
       // join on the shared o_orderkey, then one s_suppkey shuffle; the
       // supplier dim stays out entirely — the key is the report grain.
       (s, dir) => {
-        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        val li = Tables.read(s, dir, "lineitem")
           .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-        val o = s.read.parquet(s"$dir/orders.parquet")
+        val o = Tables.read(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderdate"))
         li.join(o, col("l_orderkey") === col("o_orderkey"))
           .select(col("l_suppkey"),
@@ -1277,7 +1277,7 @@ object WarehouseQueries {
       // oracle computes the naive single-window cumsum — equality IS the
       // two-phase exactness proof.
       (s, dir) => {
-        val rev = s.read.parquet(s"$dir/orders.parquet")
+        val rev = Tables.read(s, dir, "orders")
           .groupBy(col("o_custkey"))
           .agg(sum(floor(col("o_totalprice") * 100 + 0.5).cast("long")).as("rev_c"))
         val tot = rev.agg(sum(col("rev_c")).as("total"))
@@ -1333,9 +1333,9 @@ object WarehouseQueries {
       // only on o_orderkey (the close lookup) and day; the global window
       // runs over |days| rows, never over orders.
       (s, dir) => {
-        val close = s.read.parquet(s"$dir/lineitem.parquet")
+        val close = Tables.read(s, dir, "lineitem")
           .groupBy(col("l_orderkey")).agg(max(col("l_shipdate")).as("close_ts"))
-        val o = s.read.parquet(s"$dir/orders.parquet")
+        val o = Tables.read(s, dir, "orders")
           .join(close, col("o_orderkey") === col("l_orderkey"))
           .select(to_date(col("o_orderdate")).as("od"),
             to_date(col("close_ts")).as("cd"))
