@@ -737,13 +737,32 @@ object AnalyticsQueries {
           .select(col("o_custkey"),
             datediff(col("anchor"), col("last_d")).as("r"),
             col("f"), col("m_cents"))
-        val coded = Seq[(String, Seq[org.apache.spark.sql.Column])](
-          ("r_q", Seq(col("r"), col("o_custkey"))),
-          ("f_q", Seq(col("f").desc, col("o_custkey"))),
-          ("m_q", Seq(col("m_cents").desc, col("o_custkey")))
-        ).foldLeft(rfm) { case (df, (name, ord)) =>
-          graft.ops.SparkOps.distributedNtile(df, 4, name, ord: _*)
+        // The three quartile codings are INDEPENDENT rankings of the same
+        // per-customer frame — run them on three driver threads over
+        // NARROW (custkey, metric) projections instead of folding them
+        // sequentially over the full frame (guide §2.6: each phase's
+        // range-sample/offsets/join actions overlap the others'; §2.3:
+        // each range exchange now carries one metric, not all three), and
+        // join the three code columns back on the customer key. Same
+        // distributedNtile per phase, so codes are unchanged.
+        val rfmM = {
+          import graft.ops.SparkOps.Materialize
+          rfm.materialized
         }
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val phases = Seq[(String, String, Seq[org.apache.spark.sql.Column])](
+          ("r_q", "r", Seq(col("r"), col("o_custkey"))),
+          ("f_q", "f", Seq(col("f").desc, col("o_custkey"))),
+          ("m_q", "m_cents", Seq(col("m_cents").desc, col("o_custkey"))))
+        val coded = Await.result(Future.sequence(phases.map {
+          case (name, metric, ord) => Future {
+            graft.ops.SparkOps.distributedNtile(
+              rfmM.select(col("o_custkey"), col(metric)), 4, name, ord: _*)
+              .select(col("o_custkey"), col(name))
+          }
+        }), Duration.Inf).reduce(_.join(_, "o_custkey"))
         coded
           .groupBy("r_q", "f_q", "m_q")
           .agg(count(lit(1)).as("n_customers"))
@@ -1172,14 +1191,28 @@ object AnalyticsQueries {
               .foreach(java.nio.file.Files.deleteIfExists(_))
           }
         }
-        reset("graft_orders_bucketed")
-        reset("graft_customer_bucketed")
-        t(s, dir, "orders").write.mode("overwrite")
-          .bucketBy(8, "o_custkey").sortBy("o_custkey")
-          .saveAsTable("graft_orders_bucketed")
-        t(s, dir, "customer").write.mode("overwrite")
-          .bucketBy(8, "c_custkey").sortBy("c_custkey")
-          .saveAsTable("graft_customer_bucketed")
+        // The two bucketed writes are independent jobs over different
+        // tables — overlap them on two driver threads so the second
+        // write's tasks back-fill the first's commit/tail idle (guide
+        // §2.6); each thread does its own reset first. Both complete
+        // before the join below reads the tables.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.duration.Duration
+        import scala.concurrent.ExecutionContext.Implicits.global
+        val writes = Seq(
+          Future {
+            reset("graft_orders_bucketed")
+            t(s, dir, "orders").write.mode("overwrite")
+              .bucketBy(8, "o_custkey").sortBy("o_custkey")
+              .saveAsTable("graft_orders_bucketed")
+          },
+          Future {
+            reset("graft_customer_bucketed")
+            t(s, dir, "customer").write.mode("overwrite")
+              .bucketBy(8, "c_custkey").sortBy("c_custkey")
+              .saveAsTable("graft_customer_bucketed")
+          })
+        Await.result(Future.sequence(writes), Duration.Inf)
         s.table("graft_customer_bucketed")
           .join(s.table("graft_orders_bucketed"),
             col("c_custkey") === col("o_custkey"))
