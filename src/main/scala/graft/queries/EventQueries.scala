@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ops.SparkOps.Materialize
+
 /** Date/time and JSON operators over `orders` / `events`, plus the
   * time-series shapes built on them: calendar gap filling, SCD-2 interval
   * histories, and exact-arithmetic outlier detection.
@@ -316,13 +318,29 @@ object EventQueries {
       // weights by multiplicity — line identity never depends on a
       // nondeterministic row id.
       (s, dir) => {
-        val w = Window.partitionBy(col("o_custkey"))
-          .orderBy(col("o_orderdate"), col("o_orderkey"))
-        val dim = Tables.read(s, dir, "orders")
-          .select(col("o_custkey").as("d_custkey"),
-            row_number().over(w).as("version"),
-            col("o_orderdate").as("valid_from"),
-            col("o_orderpriority").as("eff_priority"))
+        // Round-15 shape change (same result, oracle unchanged): the
+        // fact ⋈ dim-versions inequality join expanded every fact grain
+        // row by its customer's FULL eligible version history (~9M rows
+        // at sf0.1) and resolved the argmax with a non-hashable
+        // SortAggregate pair. The as-of join is instead ONE running
+        // last(ignoreNulls) window over the UNIONED (dim ∪ fact) stream
+        // per customer — the join_asof_nearest / events_attribution
+        // shape: rows sort by (date, dim-before-fact, orderkey), so at a
+        // fact row the last dim value seen IS the max-(valid_from,
+        // version) version with valid_from ≤ shipdate (version was
+        // row_number over (o_orderdate, o_orderkey), so (valid_from,
+        // version) order ≡ (o_orderdate, o_orderkey) order). No
+        // expansion at any skew: a whale customer costs one linear sort
+        // partition, never lines × versions rows. Inner-join semantics
+        // kept by dropping fact rows with no preceding version.
+        val dimRows = Tables.read(s, dir, "orders")
+          .select(col("o_custkey").as("ck"),
+            col("o_orderdate").as("d"),
+            lit(0).as("is_fact"),
+            col("o_orderkey").cast("long").as("tie"),
+            col("o_orderpriority").as("eff"),
+            lit(null).cast("long").as("rev_q"),
+            lit(null).cast("long").as("mult"))
         val fact = Tables.read(s, dir, "lineitem")
           .join(Tables.read(s, dir, "orders")
             .select(col("o_orderkey"), col("o_custkey")),
@@ -331,21 +349,21 @@ object EventQueries {
             floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000 + 0.5)
               .cast("long").as("rev_q"))
           .agg(count(lit(1)).as("mult"))
-        fact.join(dim, col("o_custkey") === col("d_custkey") &&
-            col("valid_from") <= col("l_shipdate"))
-          .groupBy(col("l_orderkey"), col("o_custkey"), col("l_shipdate"),
+        val factRows = fact
+          .select(col("o_custkey").as("ck"),
+            col("l_shipdate").as("d"),
+            lit(1).as("is_fact"),
+            lit(0L).as("tie"),
+            lit(null).cast("string").as("eff"),
             col("rev_q"), col("mult"))
-          // max_by rather than max(struct).getField: both plan a partial
-          // SortAggregate (struct-typed aggregate buffers are not
-          // hash-aggregable in this Spark version), but max_by carries
-          // only the scalar eff_priority in its value buffer instead of
-          // the whole (valid_from, version, eff_priority) struct, and its
-          // update compares just the (valid_from, version) ordering pair
-          // — which is unique per customer, so the picked eff_priority is
-          // identical and total. Timing at sf0.1 is join-dominated either
-          // way; this is the cheaper and more direct formulation.
-          .agg(max_by(col("eff_priority"),
-            struct(col("valid_from"), col("version"))).as("effective_priority"))
+        val w = Window.partitionBy(col("ck"))
+          .orderBy(col("d"), col("is_fact"), col("tie"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        dimRows.unionByName(factRows)
+          .withColumn("effective_priority",
+            last(when(col("is_fact") === 0, col("eff")), ignoreNulls = true)
+              .over(w))
+          .filter(col("is_fact") === 1 && col("effective_priority").isNotNull)
           .groupBy(col("effective_priority"))
           .agg(sum(col("mult")).as("n_lines"),
             (floor((sum(col("rev_q") * col("mult")) + 50) / 100) / 100.0).as("revenue"))
@@ -636,6 +654,13 @@ object EventQueries {
             .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
           .groupBy(col("user_id"), col("sid"))
           .agg(min(col("ts")).as("lo"), max(col("ts")).as("hi"))
+          // Both join sides read the interval table; materialize it once
+          // or the whole sessionize pipeline (events scan + user_id
+          // window + per-session aggregate) executes twice — the aliased
+          // sides diverge before any exchange, so exchange reuse never
+          // applies (round-15: measured ~2x the interval-derivation cost
+          // in the before plan's duplicated subtree).
+          .materialized
         def bucketed(side: String) = iv.select(
           col("user_id").as(s"u_$side"),
           col("lo").as(s"lo_$side"), col("hi").as(s"hi_$side"),
@@ -1155,8 +1180,14 @@ object EventQueries {
       // seconds; counts ride a one-row broadcast.
       (s, dir) => {
         val e = Tables.events(s, dir)
+        // s1 has THREE consumers (p1's join, the lag join, the signup
+        // count) and lags has two (the ranked selection and the one-row
+        // count) — materialize both per-user frames once, or each
+        // consumer re-scans and re-filters the events table (round 15:
+        // five events passes collapse to two).
         val s1 = e.filter(col("event_type") === "signup")
           .groupBy("user_id").agg(min(col("ts")).as("s_ts"))
+          .materialized
         // No broadcast hint on s1: the signup table is per-user (unbounded
         // at scale) — the equi-join shuffles on user_id, and AQE still
         // broadcasts it when it measures small.
@@ -1168,6 +1199,7 @@ object EventQueries {
           .select(col("user_id"),
             expr("(unix_micros(p_ts) - unix_micros(s_ts)) div 1000000")
               .as("lag_s"))
+          .materialized
         val parts = lags.repartitionByRange(8, col("lag_s"), col("user_id"))
           .withColumn("pid", spark_partition_id())
         val offsets = parts.groupBy("pid").agg(count(lit(1)).as("pn"))

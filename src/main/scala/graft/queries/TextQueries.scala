@@ -610,6 +610,11 @@ object TextQueries {
         val uni = toksDf.select(explode(col("ts")).as("w1"))
           .groupBy("w1").agg(count(lit(1)).as("c1"))
         val vDf = uni.agg(count(lit(1)).as("v"))
+        // Round-15 probe, deliberately NOT kept: re-graining to
+        // (doc, bigram, k) before the model joins A/B-measured SLOWER at
+        // sf0.1 (1.57 vs 1.48 median-of-5) — this corpus repeats almost
+        // no bigram within a document (k≈1), so the extra grain exchange
+        // + checkpoint buys nothing. The per-occurrence shape stays.
         val bg = toksDf.where(size(col("ts")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, concat_ws(' ', ts[i-1], ts[i]) AS b))"))
