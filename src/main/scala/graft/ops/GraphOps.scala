@@ -515,17 +515,29 @@ object GraphOps {
       when(aFirst, col("b")).otherwise(col("a")).as("dst"),
       when(aFirst, col("db")).otherwise(col("da")).as("ddeg"))
       .materialized
-    val o1 = oriented.select(col("src"), col("dst").as("v"), col("ddeg").as("dv"))
-    val o2 = oriented.select(col("src"), col("dst").as("w"), col("ddeg").as("dw"))
-    val wedges = o1.join(o2, Seq("src"))
-      .filter(col("dv") < col("dw") ||
-        (col("dv") === col("dw") && col("v") < col("w")))
-      .select(col("v"), col("w"))
-    // v ≺ w, so the closing edge — if present — is oriented exactly v→w
-    wedges
-      .join(oriented.select(col("src").as("v"), col("dst").as("w")),
-        Seq("v", "w"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    // Round-15: close wedges by PER-EDGE SORTED-LIST INTERSECTION instead
+    // of materializing every wedge as a row and semi-joining it back
+    // (compact-forward / edge-iterator folklore): build each vertex's
+    // sorted out-neighbor list once, then for every oriented edge (v, w)
+    // count |N⁺(v) ∩ N⁺(w)| with the codegen'd sorted-merge counter the
+    // PPJoin verifier already uses. Each triangle {x ≺ y ≺ z} is counted
+    // exactly once, at its (x → y) edge (z sits in both out-lists) — the
+    // same census as the wedge semi-join, so counts are bit-identical
+    // (GraphTextOpsSpec pins it). Cost: the |wedges|-sized exchange +
+    // 20M-row semi-join probe at sf0.1 become |E| merge scans whose total
+    // work is Σ(|N⁺(v)|+|N⁺(w)|) per edge; list lengths stay ≤ O(√m)
+    // under the degree orientation, so the adjacency join shuffles O(m)
+    // list entries at any skew (the wedge count is O(Σ outdeg²)).
+    graft.functions.SortedIntersectCount.register(edges.sparkSession)
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_list(col("dst"))).as("nb"))
+    oriented.select(col("src"), col("dst"))
+      .join(adj.select(col("src"), col("nb").as("nv")), Seq("src"))
+      .join(adj.select(col("src").as("w2"), col("nb").as("nw")),
+        col("dst") === col("w2"), "left")
+      .select(when(col("nw").isNull, lit(0))
+        .otherwise(expr("sorted_intersect_count(nv, nw)")).as("t"))
+      .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
   }
 
   /** Keep-best representative per near-dup cluster: longest text wins,

@@ -233,6 +233,12 @@ object AnalyticsQueries {
       // both engines agree bit-for-bit. One l_returnflag shuffle serves
       // the count window and the ranked window.
       (s, dir) => {
+        // Round-15 probe, deliberately NOT kept: collapsing to
+        // per-(group, value) counts before the selection window
+        // A/B-measured SLOWER at sf0.1 (1.34 vs 0.97 median-of-7) —
+        // l_extendedprice is continuous, so nearly every value is
+        // distinct and the "collapse" only added a 600k-key exchange.
+        // The raw-row selection shape stays.
         val li = t(s, dir, "lineitem")
           .select(col("l_returnflag"), col("l_extendedprice"),
             col("l_orderkey"), col("l_linenumber"))

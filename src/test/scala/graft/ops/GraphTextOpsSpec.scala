@@ -224,14 +224,15 @@ class GraphTextOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("triangle census closing semi-join stays broadcast when the edge list fits") {
+  test("triangle census closes wedges by sorted intersection, broadcast when the lists fit") {
     val s = spark
     import s.implicits._
-    // moderate random graph: edges are KB-sized, so AQE must pick a
-    // BroadcastHashJoin LeftSemi for the closing edge lookup — the
-    // checkpointed oriented list is what gives it the stats (without it
-    // the join-derived side had none, fell to sort-merge, and shuffled
-    // the wedge side: measured 2.2x slower at sf0.1's 20M wedges)
+    // moderate random graph: the round-15 census counts each oriented
+    // edge's |N⁺(v) ∩ N⁺(w)| with the codegen'd sorted-merge counter
+    // instead of materializing wedges and semi-joining them back — the
+    // plan must carry sorted_intersect_count and (the lists being
+    // KB-sized here, stats known from the checkpointed oriented list)
+    // broadcast the adjacency sides rather than sort-merging.
     val rnd = new scala.util.Random(3)
     val edges = (1 to 3000).map { _ =>
       val a = 1L + rnd.nextInt(300); val b = 1L + rnd.nextInt(300)
@@ -240,8 +241,12 @@ class GraphTextOpsSpec extends AnyFunSuite {
     val census = GraphOps.triangleCountOriented(edges)
     census.head // drive AQE to its final plan
     val plan = census.queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin .*LeftSemi".r.findFirstIn(plan).isDefined,
-      s"closing semi-join lost the broadcast:\n$plan")
+    assert(plan.contains("sorted_intersect_count"),
+      s"wedge closing lost the native intersection counter:\n$plan")
+    assert("BroadcastHashJoin".r.findFirstIn(plan).isDefined,
+      s"adjacency attach lost the broadcast:\n$plan")
+    assert(!plan.contains("LeftSemi"),
+      s"wedge-materializing semi-join reappeared:\n$plan")
   }
 
   test("skewGuardedCandidateJoin is multiset-identical to the plain join in all regimes") {
