@@ -405,10 +405,22 @@ object TextOps {
     // partition: any k >= denom works; headroom costs only candidate rows.
     val cands = ds.mapPartitions(it => misraGries(it, denom * 4))
       .distinct().toDF(itemCol)
-    val total = items.agg(count(lit(1)).as("total"))
-    items.join(broadcast(cands), itemCol)
-      .groupBy(col0)
+    // ONE exact pass instead of two (round 15): the corpus total and the
+    // per-candidate counts come out of the same aggregate — a LEFT join
+    // against the broadcast candidate set buckets every non-candidate row
+    // into the null group, so `total` is the sum over the (|cands|+1)-row
+    // counts frame rather than a second full scan of the token stream
+    // (items is usually an explode over the corpus; each pass re-pays the
+    // tokenize).
+    val counts = items
+      .join(broadcast(cands.withColumn("_hh_hit", lit(1))), Seq(itemCol), "left")
+      .groupBy(when(col("_hh_hit").isNotNull, col0).as(itemCol))
       .agg(count(lit(1)).as("n"))
+      // two consumers (the total and the filtered report) over a
+      // ≤(|cands|+1)-row frame: materialize so the corpus pass runs once
+      .materialized
+    val total = counts.agg(sum(col("n")).as("total"))
+    counts.filter(col(itemCol).isNotNull)
       .crossJoin(broadcast(total))
       .filter(col("n") * denom > col("total"))
       .select(col0, col("n"))
