@@ -137,8 +137,11 @@ final class Node[A, B](
   ): Node[A, ta.Out] =
     new Node[A, ta.Out](
       { a =>
-        val fb = Future(f(a))
-        val fc = Future(that.f(a))
+        // blocking{}: node bodies are typically blocking Spark actions —
+        // mark them so a bounded shared pool (the usual global EC) grows
+        // instead of deadlocking/serializing nested fan-outs (ADVICE r15).
+        val fb = Future(scala.concurrent.blocking(f(a)))
+        val fc = Future(scala.concurrent.blocking(that.f(a)))
         val (b, c) = Await.result(fb.zip(fc), Duration.Inf)
         ta.append(b, c)
       },

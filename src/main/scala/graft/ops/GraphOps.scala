@@ -529,14 +529,32 @@ object GraphOps {
     // under the degree orientation, so the adjacency join shuffles O(m)
     // list entries at any skew (the wedge count is O(Σ outdeg²)).
     graft.functions.SortedIntersectCount.register(edges.sparkSession)
+    // sorted_intersect_count is array<bigint>-only. Integral vertex ids
+    // cast losslessly to long (no-op for the long ids every in-repo
+    // caller uses — SimplifyCasts removes it); any other orderable id
+    // type (e.g. string) takes the generic size(array_intersect) census
+    // instead — out-lists are DISTINCT by construction (edges are
+    // canonicalized), so the two counts are identical (ADVICE r15: the
+    // r15 rewrite had silently dropped non-long-id support).
+    val integralIds = raw.schema("a").dataType match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.ByteType => true
+      case _ => false
+    }
+    val dst = if (integralIds) col("dst").cast("long") else col("dst")
     val adj = oriented.groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nb"))
+      .agg(sort_array(collect_list(dst)).as("nb"))
+    val interCount =
+      if (integralIds) expr("sorted_intersect_count(nv, nw)")
+      else size(array_intersect(col("nv"), col("nw"))).cast("long")
     oriented.select(col("src"), col("dst"))
       .join(adj.select(col("src"), col("nb").as("nv")), Seq("src"))
       .join(adj.select(col("src").as("w2"), col("nb").as("nw")),
         col("dst") === col("w2"), "left")
       .select(when(col("nw").isNull, lit(0))
-        .otherwise(expr("sorted_intersect_count(nv, nw)")).as("t"))
+        .otherwise(interCount).as("t"))
       .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
   }
 

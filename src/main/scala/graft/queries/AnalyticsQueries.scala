@@ -755,19 +755,24 @@ object AnalyticsQueries {
           import graft.ops.SparkOps.Materialize
           rfm.materialized
         }
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.{Await, Future, blocking}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
         val phases = Seq[(String, String, Seq[org.apache.spark.sql.Column])](
           ("r_q", "r", Seq(col("r"), col("o_custkey"))),
           ("f_q", "f", Seq(col("f").desc, col("o_custkey"))),
           ("m_q", "m_cents", Seq(col("m_cents").desc, col("o_custkey"))))
+        // blocking{}: each phase runs Spark ACTIONS (range-sample +
+        // offsets collect) on the shared global pool — mark them blocking
+        // so the pool grows past its core-count cap instead of
+        // serializing phases behind each other's parked threads when many
+        // queries share the pool (ADVICE r15).
         val coded = Await.result(Future.sequence(phases.map {
-          case (name, metric, ord) => Future {
+          case (name, metric, ord) => Future { blocking {
             graft.ops.SparkOps.distributedNtile(
               rfmM.select(col("o_custkey"), col(metric)), 4, name, ord: _*)
               .select(col("o_custkey"), col(name))
-          }
+          } }
         }), Duration.Inf).reduce(_.join(_, "o_custkey"))
         coded
           .groupBy("r_q", "f_q", "m_q")
@@ -1202,22 +1207,25 @@ object AnalyticsQueries {
         // write's tasks back-fill the first's commit/tail idle (guide
         // §2.6); each thread does its own reset first. Both complete
         // before the join below reads the tables.
-        import scala.concurrent.{Await, Future}
+        import scala.concurrent.{Await, Future, blocking}
         import scala.concurrent.duration.Duration
         import scala.concurrent.ExecutionContext.Implicits.global
+        // blocking{}: the writes are blocking Spark actions on the shared
+        // global pool (ADVICE r15) — let the pool grow instead of
+        // starving other queries' futures under the concurrent bench.
         val writes = Seq(
-          Future {
+          Future { blocking {
             reset("graft_orders_bucketed")
             t(s, dir, "orders").write.mode("overwrite")
               .bucketBy(8, "o_custkey").sortBy("o_custkey")
               .saveAsTable("graft_orders_bucketed")
-          },
-          Future {
+          } },
+          Future { blocking {
             reset("graft_customer_bucketed")
             t(s, dir, "customer").write.mode("overwrite")
               .bucketBy(8, "c_custkey").sortBy("c_custkey")
               .saveAsTable("graft_customer_bucketed")
-          })
+          } })
         Await.result(Future.sequence(writes), Duration.Inf)
         s.table("graft_customer_bucketed")
           .join(s.table("graft_orders_bucketed"),

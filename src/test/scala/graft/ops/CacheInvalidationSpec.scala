@@ -71,4 +71,47 @@ class CacheInvalidationSpec extends AnyFunSuite {
     val fresh = pipeline.unsafeRun(())
     assert(fresh.count() == 3, "after clearMiningCaches the new snapshot is mined")
   }
+
+  test("schema memo invalidates on in-place part-file rewrite (dir mtime unchanged)") {
+    // Round-16 fence for the VERDICT r15 #3 gap: a parquet DIRECTORY whose
+    // part file is rewritten IN PLACE (same file name, directory mtime
+    // pinned back) must still serve the NEW schema — the memo keys on the
+    // max part-file mtime + summed length, not the directory entry.
+    val s = spark
+    import s.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import java.nio.file.attribute.FileTime
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_schema_memo_dir")
+    if (Files.exists(dir))
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    Files.createDirectories(dir)
+    val partName = "part-00000.parquet"
+    def stagePart(df: DataFrame): java.nio.file.Path = {
+      val staging = dir.toString + "_staging"
+      df.coalesce(1).write.mode("overwrite").parquet(staging)
+      Files.list(Paths.get(staging)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.head
+    }
+    Files.move(stagePart(Seq((1L, 2L)).toDF("a", "b")), dir.resolve(partName),
+      StandardCopyOption.REPLACE_EXISTING)
+    val dirMtime = Files.getLastModifiedTime(dir)
+    val sch1 = graft.queries.Tables.readPath(spark, dir.toString).schema
+    assert(sch1.fieldNames.toSet == Set("a", "b"))
+
+    // In-place rewrite: SAME part name, WIDER schema, directory mtime
+    // pinned back to its pre-rewrite value (the case a (-1)-length
+    // dir-mtime key could not see). Ensure the part mtime moves even on
+    // coarse filesystem timestamps.
+    Thread.sleep(1100)
+    val newPart = stagePart(Seq((1L, 2L, "x")).toDF("a", "b", "c"))
+    Files.move(newPart, dir.resolve(partName),
+      StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(dir, dirMtime)
+    assert(Files.getLastModifiedTime(dir) == dirMtime)
+    val sch2 = graft.queries.Tables.readPath(spark, dir.toString).schema
+    assert(sch2.fieldNames.toSet == Set("a", "b", "c"),
+      "in-place part rewrite must invalidate the schema memo")
+  }
 }
