@@ -152,8 +152,11 @@ object MultimodalOps {
     */
   def pngTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    // widen (round 16): a sub-4MB snapshot scans as ONE split, which would
+    // serialize ALL the codec work below on a single task; at scale the
+    // scan is already wide and this is the identity (SparkOps.widen doc).
+    SparkOps.widen(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long])
       .mapPartitions { ids =>
         javax.imageio.ImageIO.setUseCache(false) // once per partition: no tmp-file cache
         ids.map { d =>
@@ -299,6 +302,14 @@ object MultimodalOps {
     */
   def wavTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
+    // Round-16 probe, deliberately NOT widened (unlike pngTable/gifTable):
+    // A/B-measured SLOWER widened — 0.93 s plain vs 1.72 s widened
+    // (medians of 5, one warm session). The javax.sound path resolves its
+    // file reader/writer through the STATIC AudioSystem SPI registry on
+    // EVERY call, and 32 concurrent tasks serialize on that lookup —
+    // lock contention eats more than the parallelism returns. ImageIO
+    // readers/writers are per-partition instances, which is why the
+    // image/GIF paths widen profitably.
     spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id")).as[Long]
       .mapPartitions { ids =>
@@ -400,8 +411,10 @@ object MultimodalOps {
     */
   def gifTable(spark: SparkSession, dir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    spark.read.parquet(s"$dir/documents.parquet")
-      .select(col("doc_id")).as[Long]
+    // widen: see pngTable — parallelize the per-row codec work when the
+    // scan itself is under-split; identity at scale.
+    SparkOps.widen(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long])
       .mapPartitions { ids =>
         javax.imageio.ImageIO.setUseCache(false)
         val writer =

@@ -145,6 +145,47 @@ object SparkOps {
     def materialized: org.apache.spark.sql.Dataset[T] = SparkOps.materialize(ds)
   }
 
+  /** Widen an under-parallel stage before expensive per-row work (round
+    * 16; guide §2.5 input skew / §6 split sizing): when the frame's
+    * physical parallelism is below half the session width, round-robin
+    * repartition to the width; otherwise return it UNCHANGED.
+    *
+    * Why it exists: file-split packing floors each split at
+    * `spark.sql.files.openCostInBytes` (4 MB), so any input under ~4 MB —
+    * a small corpus snapshot, one gzip file, a dimension feeding an
+    * expensive codec/explode — scans as ONE task and serializes every
+    * map-side operator above it no matter how many cores the cluster
+    * has (measured here: the 13-gram explode over the one-split sf0.1
+    * corpus runs 1.9-3.2 s single-task vs 0.3-0.6 s widened on 32
+    * cores). At warehouse scale the same scan has thousands of splits,
+    * the guard fails, and this is the identity — the repartition can
+    * never become a fixed cost of the scaled-up plan. Apply it ONLY
+    * above heavy per-row stage-1 work (codec encode/decode, n-gram
+    * explode, tokenize): for cheap scans feeding a shuffle the exchange
+    * already spreads the work and an extra repartition is pure cost.
+    *
+    * Results are partitioning-independent at every call site (aggregates
+    * / joins / per-row maps with a final orderBy), and round-robin
+    * repartition keeps its retry-determinism local sort
+    * (`spark.sql.execution.sortBeforeRepartition`, on by default).
+    */
+  def widen[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
+    // -Dgraft.widen.off: measurement/operational escape hatch — restores
+    // the raw scan parallelism (used by the round-16 A/B drivers).
+    if (System.getProperty("graft.widen.off") != null) ds
+    else {
+      val width =
+        ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      if (ds.rdd.getNumPartitions * 2 <= width) ds.repartition(width) else ds
+    }
+  }
+
+  /** Syntax for [[widen]], mirroring [[Materialize]]. */
+  implicit class Widen[T](private val ds: org.apache.spark.sql.Dataset[T])
+      extends AnyVal {
+    def widened: org.apache.spark.sql.Dataset[T] = SparkOps.widen(ds)
+  }
+
   /** Mining caches outside [[graft.ops]] (e.g. the ER fuzzy pair cache in
     * `graft.queries`) register a per-session clear hook here so
     * [[clearMiningCaches]] / [[DedupOps.clearCaches]] reach them without a

@@ -770,8 +770,12 @@ object StatQueries {
       // REPORT-grain buckets (fixed count, not data-sized), so the window
       // is bounded at any corpus size.
       (s, dir) => {
-        val first = t(s, dir, "documents")
-          .filter(length(col("text")) >= 13)
+        // widen (round 16): the corpus snapshot scans as ONE sub-4MB split,
+        // which serialized the whole 13-gram explode + partial-min on a
+        // single task (A/B: 1.9-3.2 s single-task vs 0.3-0.6 s widened at
+        // 32 cores); identity when the scan is already wide (SparkOps.widen).
+        val first = graft.ops.SparkOps.widen(t(s, dir, "documents")
+            .filter(length(col("text")) >= 13))
           .select(col("doc_id"),
             explode(expr(
               "transform(sequence(1, length(text) - 12), i -> substr(text, i, 13))"))

@@ -505,6 +505,13 @@ object TextQueries {
       // candidate sketch pass replaces the full-vocabulary groupBy — at
       // 100 TB that is the difference between shuffling every distinct
       // token and broadcasting a few hundred candidates.
+      // Round-16 probe, deliberately NOT kept: staging the tokenize into a
+      // widened checkpoint (the token_cooccurrence round-16 shape) was
+      // A/B-measured SLOWER here — plain 0.80 s vs widen-only 1.21 vs
+      // staged+widened 1.16 (medians of 5, one warm session): with only
+      // TWO consumers and no pair expansion, the extra exchange /
+      // checkpoint costs more than the saved scan+split at this scale.
+      // The two-pass shape over the raw scan stays.
       (s, dir) => TextOps.heavyHitters(
         Tables.read(s, dir, "documents")
           .select(explode(split(col("text"), " ")).as("tok")),
@@ -552,14 +559,20 @@ object TextQueries {
       // the final pair aggregation, which is map-side combinable. Top-20
       // pairs by document frequency.
       (s, dir) => {
-        val tokens = Tables.read(s, dir, "documents")
-          .select(explode(split(col("text"), " ")).as("tok"))
+        // Round-16 single-pass token staging (VERDICT r15 #1): ONE widened
+        // tokenize, checkpoint-materialized; the MG candidate pass, the
+        // exact-count pass AND the pair pass below all read the staged
+        // arrays — before this the corpus was scanned + split three times.
+        val ts = graft.ops.SparkOps.widen(
+            Tables.read(s, dir, "documents").select(col("text")))
+          .select(split(col("text"), " ").as("ts"))
+          .materialized
+        val tokens = ts.select(explode(col("ts")).as("tok"))
         val heavyArr = TextOps.heavyHitters(tokens, "tok", denom = 50)
           .agg(sort_array(collect_list(col("tok"))).as("hv"))
-        Tables.read(s, dir, "documents")
-          .crossJoin(broadcast(heavyArr))
+        ts.crossJoin(broadcast(heavyArr))
           .select(array_sort(array_intersect(
-            array_distinct(split(col("text"), " ")), col("hv"))).as("h"))
+            array_distinct(col("ts")), col("hv"))).as("h"))
           .select(explode(expr(
             """CASE WHEN size(h) < 2
                  THEN cast(array() as array<struct<tok_a: string, tok_b: string>>)
