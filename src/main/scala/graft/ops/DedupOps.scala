@@ -158,7 +158,12 @@ object DedupOps {
   def reps(docs: DataFrame): (DataFrame, DataFrame) =
     repCache.memoize(corpusKey(docs)) {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      val groups = tokenSets(docs)
+      // widen (round 16): a small corpus snapshot scans as ONE split, which
+      // serializes the tokenize + per-doc sort feeding the grouping
+      // exchange (guide §2.5 input under-parallelism; identity when the
+      // scan is already wide). Applied INSIDE the memoized build, so the
+      // cache key — the caller's docs plan — is unchanged.
+      val groups = tokenSets(SparkOps.widen(docs))
         .select(col("doc_id"), array_sort(col("toks")).as("ctoks"))
         .groupBy("ctoks")
         .agg(min("doc_id").as("rep_id"), count(lit(1)).as("cnt"),
@@ -200,8 +205,15 @@ object DedupOps {
           .sortWithinPartitions(col("df"), col("tok"))
           .select(col("tok"), col("df"), monotonically_increasing_id().as("rk"))
           .materialized
+        // Round 16 (VERDICT r15 #3): establish the session-width rep_id
+        // partitioning BEFORE the aggregate instead of re-exchanging the
+        // finished index after it — the explicit repartition satisfies the
+        // aggregate's distribution (no second exchange; AQE-exempt, same
+        // cached layout), so the index-sized shuffle that used to follow
+        // the agg is gone (plan: 2 Exchange → 1 on the index tail).
         val repIx = rtoks
           .join(dict, "tok")
+          .repartition(width, col("rep_id"))
           .groupBy("rep_id")
           .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
             .as("stoks"),
@@ -209,7 +221,6 @@ object DedupOps {
             max("cnt").as("cnt"))
           .select(col("rep_id"), col("stoks"), col("rks"),
             size(col("stoks")).as("sz"), col("cnt"))
-          .repartition(width, col("rep_id"))
           .persist(lvl)
         try { docRep.count(); repIx.count(); (repIx, docRep) }
         catch { case t: Throwable => docRep.unpersist(); repIx.unpersist(); throw t }
