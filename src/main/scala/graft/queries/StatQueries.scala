@@ -107,7 +107,13 @@ object StatQueries {
   /** The verified pair list behind [[fuzzyNamePairs]] — the edge set an
     * entity-resolution clustering consumes.
     */
-  def fuzzyNameVerifiedPairs(c: DataFrame, pigeonhole: Boolean): DataFrame = {
+  def fuzzyNameVerifiedPairs(c0: DataFrame, pigeonhole: Boolean): DataFrame = {
+    // widen (round 16): with the dim-sized input scanning as ONE split and
+    // the block self-join broadcasting one side, candidate generation AND
+    // the banded-lev verify all ran on a single task — A/B 3.51 -> 1.84 s
+    // (median of 5). Applied inside the build (fuzzyPairsCached keys on
+    // the caller's plan), identity when the scan is already wide.
+    val c = graft.ops.SparkOps.widen(c0)
     def quadratic(in: DataFrame) = {
       val a = in.toDF("key_a", "name_a", "nk", "seg")
       val b = in.toDF("key_b", "name_b", "nk", "seg")
@@ -537,7 +543,10 @@ object StatQueries {
       // sized result broadcasts); the per-doc top-3 window partitions by
       // doc_id, so no global sort. Output limited to doc_id < 50.
       (s, dir) => {
-        val toks = t(s, dir, "documents").select(
+        // widen (round 16): the regex tokenize is the per-row-heavy stage
+        // and the corpus scans as one split — A/B 1.89 -> 1.18 s (median
+        // of 5, one warm session); identity when the scan is wide.
+        val toks = graft.ops.SparkOps.widen(t(s, dir, "documents")).select(
           col("doc_id"),
           explode(expr(
             "filter(split(lower(text), '\\\\s+'), t -> t rlike '^[a-z]{3,}$')"))

@@ -628,6 +628,10 @@ object TextQueries {
         // sf0.1 (1.57 vs 1.48 median-of-5) — this corpus repeats almost
         // no bigram within a document (k≈1), so the extra grain exchange
         // + checkpoint buys nothing. The per-occurrence shape stays.
+        // Round-16 probe, also NOT kept: widening toksDf (2.58 -> 3.11)
+        // and widen+checkpoint staging (2.82) both measured slower — the
+        // plain space-split is cheap per row, the cost lives in the
+        // bigram/unigram model joins, so extra exchanges don't pay here.
         val bg = toksDf.where(size(col("ts")) >= 2)
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(ts) - 1), i -> struct(ts[i-1] AS w1, concat_ws(' ', ts[i-1], ts[i]) AS b))"))
