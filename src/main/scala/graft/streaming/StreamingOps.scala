@@ -224,23 +224,56 @@ object StreamingOps {
       if (debug) System.err.println(
         f"[wave +${(System.nanoTime() - t0) / 1e9}%6.2fs] $msg")
     try {
-      jobs.foreach { job =>
-        val table = s"graft_stream_${runId.incrementAndGet()}"
+      // Round-16: start jobs in CONF GROUPS, concurrently within a group.
+      // `start()` clones the session (capturing the conf in force at ITS
+      // start), and the only per-job flips are (noDataMicroBatches,
+      // provider) — so jobs sharing the same flip tuple can start in
+      // parallel without racing the shared conf. The sequential loop paid
+      // ~0.13-0.45 s of driver-side planning PER start (16 members ≈ 4 s
+      // of the wave wall, traced under GRAFT_STREAM_DEBUG); grouped
+      // concurrent starts overlap that planning. groupBy preserves member
+      // order within a group; `started` is re-assembled in `jobs` order so
+      // downstream accounting (first-member wave attribution) is unchanged.
+      val byConf = jobs.zipWithIndex
+        .groupBy { case (j, _) => (j.needsNoDataBatches, j.rocksDb || forceRocks) }
+      val startFailure =
+        new java.util.concurrent.atomic.AtomicReference[Throwable]()
+      val startedByIdx = new java.util.concurrent.ConcurrentHashMap[
+        Int, (StreamJob, String, org.apache.spark.sql.streaming.StreamingQuery)]()
+      byConf.foreach { case ((noData, rocks), members) =>
         spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled",
-          job.needsNoDataBatches.toString)
-        if (job.rocksDb || forceRocks) {
+          noData.toString)
+        if (rocks) {
           spark.conf.set(providerKey, "org.apache.spark.sql.execution." +
             "streaming.state.RocksDBStateStoreProvider")
           spark.conf.set(changelogKey, "true")
         } else restoreProvider()
-        val q = job.build(spark, dir).writeStream
-          .format("memory")
-          .queryName(table)
-          .outputMode(job.mode)
-          .start()
-        dbg(s"started ${job.name}")
-        started += ((job, table, q))
+        val starters = members.map { case (job, idx) =>
+          val t = new Thread(() => {
+            try {
+              val table = s"graft_stream_${runId.incrementAndGet()}"
+              val q = job.build(spark, dir).writeStream
+                .format("memory")
+                .queryName(table)
+                .outputMode(job.mode)
+                .start()
+              dbg(s"started ${job.name}")
+              startedByIdx.put(idx, (job, table, q))
+            } catch {
+              case t: Throwable => startFailure.compareAndSet(null,
+                new RuntimeException(s"streaming job ${job.name} failed to start", t))
+            }
+          }, s"graft-start-${job.name}")
+          t.setDaemon(true)
+          t.start()
+          t
+        }
+        starters.foreach(_.join())
       }
+      jobs.indices.foreach { idx =>
+        Option(startedByIdx.get(idx)).foreach(started += _)
+      }
+      if (startFailure.get() != null) throw startFailure.get()
       // Per-start conf flips are done (each query captured its own values
       // at start); restore the shared session conf BEFORE the drain so
       // work overlapped via `afterStart` never observes a mid-flip value.
