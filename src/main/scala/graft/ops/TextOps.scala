@@ -268,6 +268,11 @@ object TextOps {
     * regardless of corpus size; N arrives via a broadcast single-row
     * aggregate (no driver-side count action).
     */
+  // Round-16 probe, deliberately NOT kept: widening the scan here (and in
+  // bm25Search) A/B-measured SLOWER — tfidf 0.64 -> 1.00, bm25 0.59 -> 0.84,
+  // rrf (both) 0.76 -> 1.42 (medians of 5, one warm session): the term
+  // filter prunes inside the scan, so stage-1 is cheap and the extra
+  // exchange is pure cost.
   def tfidfSearch(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val termList = inList(terms)
@@ -573,6 +578,9 @@ object TextOps {
       k: Int,
       maxWords: Long,
       maxBytes: Long): Seq[(Int, String, String, Long)] = {
+    // Round-16 probe, NOT kept: widening this scan measured 0.52 -> 0.59
+    // (median of 5) — the word-vocab aggregate collapses map-side and the
+    // extra exchange does not pay.
     val vocabDf = docs
       .select(explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
         .as("word"))

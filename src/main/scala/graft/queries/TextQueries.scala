@@ -221,6 +221,9 @@ object TextQueries {
       // aggregate before the shuffle, so the wire carries one row per
       // distinct bigram per task, not one per occurrence; the top-20 is a
       // TakeOrderedAndProject (per-partition heaps, no global sort).
+      // Round-16 probe, NOT kept: widening the scan measured 0.52 -> 0.63
+      // (median of 5) — the space-split is cheap and the bigram aggregate
+      // partial-aggregates map-side, so the extra exchange does not pay.
       (s, dir) =>
         Tables.read(s, dir, "documents")
           .select(split(col("text"), " ").as("ts"))
@@ -250,6 +253,8 @@ object TextQueries {
       // pass); the vocab-sized n1 table broadcasts; ratio is one
       // long/long→double division at the projection. Top-20 under the
       // total order (n12 DESC, w1, w2) → TakeOrderedAndProject.
+      // Round-16 probe, NOT kept: widen measured 0.70 -> 0.82 (median of 5)
+      // — same reason as ngram_counts.
       (s, dir) => {
         val bi = Tables.read(s, dir, "documents")
           .select(split(col("text"), " ").as("ts"))
@@ -288,6 +293,8 @@ object TextQueries {
       // Each bigram's ln term quantizes to a 1e-6 long IN THE LM TABLE
       // (one value per distinct bigram — order-independent sums per doc);
       // the LM is vocab²-bounded and broadcasts. Scores for doc_id < 50.
+      // Round-16 probe, NOT kept: widen measured 0.85 -> 1.27 (median of 5)
+      // — both bi consumers re-pay the exchange; the split itself is cheap.
       (s, dir) => {
         val bi = Tables.read(s, dir, "documents")
           .select(col("doc_id"), split(col("text"), " ").as("ts"))
@@ -344,6 +351,8 @@ object TextQueries {
       // token-keyed count table feeds BOTH the vocab top-k and the
       // per-lang rollup (materialized once); the 16-row vocab broadcasts;
       // rate is the single final division.
+      // Round-16 probe, NOT kept: widen measured 0.55 -> 0.52 — inside
+      // run-to-run noise; not worth the added exchange.
       (s, dir) => {
         val tc = Tables.read(s, dir, "documents")
           .select(col("lang"), explode(expr(
@@ -1060,7 +1069,8 @@ object TextQueries {
       // text; the dup ratio is integer flooring (e4).
       (s, dir) => {
         val chunks = TextOps
-          .chunkDocuments(Tables.read(s, dir, "documents"), 30, 20)
+          .chunkDocuments(
+            graft.ops.SparkOps.widen(Tables.read(s, dir, "documents")), 30, 20)
           .select(col("doc_id"), unhex(md5(col("chunk"))).as("dig"))
         val freq = chunks.groupBy("dig").agg(count(lit(1)).as("f"))
         chunks.join(freq, Seq("dig"))
@@ -1100,7 +1110,7 @@ object TextQueries {
       // text, so the shape is flat in corpus size. Bucket ids come from
       // the same md5-prefix integer both engines compute bit-identically.
       (s, dir) => {
-        Tables.read(s, dir, "documents")
+        graft.ops.SparkOps.widen(Tables.read(s, dir, "documents"))
           .select(col("doc_id"),
             expr("filter(split(lower(text), '\\\\s+'), t -> t <> '')").as("toks"))
           // sequence(a, b) DESCENDS when a > b — the size >= 2 guard keeps
