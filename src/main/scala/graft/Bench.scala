@@ -172,18 +172,29 @@ object Bench {
       }.getOrElse("null")
     val line =
       s"""{"metric":"total","value":$total,"value_remeasured":$valueRemeasured,"unit":"sec","master":"$master","queries":$qs,"sf":"$sfDir","errors":$errJson,"storm_windows":$stormJson,"streaming_wave":$waveJson}"""
-    println(line)
-    Console.out.flush()
     // Belt-and-braces copy for the driver: stdout interleaving with Spark
-    // logs has produced truncated/unparseable captures before.
+    // logs has produced truncated/unparseable captures before (BENCH_r14's
+    // JSON line was lost entirely, breaking round-over-round comparison).
+    // Write the file FIRST, then quiesce Spark's logger and stop the
+    // session BEFORE printing the contract line, so no executor/streaming
+    // shutdown log can interleave with (or truncate) the one line the
+    // driver parses. All timing is already done at this point — the
+    // measurement methodology is unchanged.
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_last.json"),
         line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
+    try {
+      spark.sparkContext.setLogLevel("OFF")
+      spark.stop()
+    } catch { case _: Throwable => () }
+    finally {
+      println(line)
+      Console.out.flush()
+    }
     if (errors.nonEmpty) {
       System.err.println(s"[bench] ${errors.size} quer${if (errors.size == 1) "y" else "ies"} FAILED: ${errors.mkString(", ")}")
     }
-    spark.stop()
   }
 }
