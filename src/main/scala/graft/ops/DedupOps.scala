@@ -205,15 +205,17 @@ object DedupOps {
           .sortWithinPartitions(col("df"), col("tok"))
           .select(col("tok"), col("df"), monotonically_increasing_id().as("rk"))
           .materialized
-        // Round 16 (VERDICT r15 #3): establish the session-width rep_id
-        // partitioning BEFORE the aggregate instead of re-exchanging the
-        // finished index after it — the explicit repartition satisfies the
-        // aggregate's distribution (no second exchange; AQE-exempt, same
-        // cached layout), so the index-sized shuffle that used to follow
-        // the agg is gone (plan: 2 Exchange → 1 on the index tail).
+        // Round-16 probe, deliberately NOT kept: repartitioning by rep_id
+        // BEFORE the aggregate (to "save" the explicit post-agg exchange)
+        // turned out to change nothing the planner hadn't already done —
+        // the committed plans show the post-agg repartition is ELIDED as
+        // redundant when the agg exchange lands at the same (rep_id,
+        // width) partitioning — while the pre-agg exchange forfeits
+        // map-side partial aggregation (it ships raw join rows). Warm A/B
+        // favored this original shape (0.46 vs 0.51 s); the original tail
+        // stays.
         val repIx = rtoks
           .join(dict, "tok")
-          .repartition(width, col("rep_id"))
           .groupBy("rep_id")
           .agg(expr("transform(array_sort(collect_list(struct(df, tok))), s -> s.tok)")
             .as("stoks"),
@@ -221,6 +223,7 @@ object DedupOps {
             max("cnt").as("cnt"))
           .select(col("rep_id"), col("stoks"), col("rks"),
             size(col("stoks")).as("sz"), col("cnt"))
+          .repartition(width, col("rep_id"))
           .persist(lvl)
         try { docRep.count(); repIx.count(); (repIx, docRep) }
         catch { case t: Throwable => docRep.unpersist(); repIx.unpersist(); throw t }

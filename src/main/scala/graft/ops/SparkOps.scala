@@ -170,9 +170,11 @@ object SparkOps {
     * (`spark.sql.execution.sortBeforeRepartition`, on by default).
     */
   def widen[T](ds: org.apache.spark.sql.Dataset[T]): org.apache.spark.sql.Dataset[T] = {
-    // -Dgraft.widen.off: measurement/operational escape hatch — restores
-    // the raw scan parallelism (used by the round-16 A/B drivers).
-    if (System.getProperty("graft.widen.off") != null) ds
+    // -Dgraft.widen.off / GRAFT_WIDEN_OFF: measurement/operational escape
+    // hatch — restores the raw scan parallelism (used by the round-16 A/B
+    // drivers and the before-plan captures).
+    if (System.getProperty("graft.widen.off") != null ||
+        sys.env.contains("GRAFT_WIDEN_OFF")) ds
     else {
       val width =
         ds.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
