@@ -57,20 +57,20 @@ object ExplainAll {
     "events_anomaly_mad" -> "Median/MAD robust gate: both per-type median tables broadcast back onto events; the outlier flag is a pure integer comparison inside codegen.",
     "join_fuzzy_blocked" -> "Two-regime record linkage over the session-cached pair mine: the regime is priced by the BLOCKED PAIR BUDGET sum n(n-1)/2 (not row count — see PLANS appendix, regime boundary): under 2e9 budgeted pairs candidates come from the (nation, segment) equi-join; above, the PartEnum pigeonhole piece-join bounds blocks. Levenshtein (threshold overload, banded DP) evaluates post-join as a filter — no cartesian, no nested loop (fence now in PlanShapeSpec over BOTH regimes' mining plans; the graded plan below is the cached derive).",
     "dedup_minhash_lsh" -> "MinHash-LSH at the auto-fit (bands, rows) split: ids-only band equi-join for candidates; the signature frame materializes once for its three consumers; the estimate filter is the native sig_agree_count lane counter (the interpreted zip_with chain dominated the pipeline at k=176). Since r13 the graded frame left-joins the LSH pairs onto the cached exact twin and aggregates to the one-row recall verdict.",
-    "multimodal_image_pipeline" -> "Real codec chain: PNG encode -> decode -> NN-resize -> re-encode -> decode, every stage mapPartitions with per-partition ImageReader init; the only exchange is the final range sort.",
+    "multimodal_image_pipeline" -> "Real codec chain: PNG encode -> decode -> NN-resize -> re-encode -> decode, every stage mapPartitions with per-partition ImageReader init over a WIDENED (round 16) scan; the remaining exchanges are the widen round-robin and the final range sort.",
     "ext_sql_topk" -> "Deployment packaging: pure SQL text on the extensions-conf session — injected native ws_distinct_tokens in the scan projection, injected TopKRewrite planning PartialTopK/FinalTopK per-group heaps instead of a full window sort.",
-    "text_keyword_rank" -> "Keyword ranking: one tokenize/explode pass materialized; corpus df derives from the tf table and broadcasts; the top-3 window partitions by doc_id.",
+    "text_keyword_rank" -> "Keyword ranking: one WIDENED (round 16) tokenize/explode pass materialized; corpus df derives from the tf table and broadcasts; the top-3 window partitions by doc_id.",
     "typed_reducegroups" -> "Typed reduceGroups: ReduceAggregator plans a partial+final aggregate pair — map-side combine like the untyped rollup, unlike mapGroups which ships every row.",
     "basket_association_rules" -> "Association rules: distinct (order, type) materialized once; directed pairs from its self-join on the order key; per-type counts and the one-row total broadcast into the metric projection.",
     "stream_stream_left_join" -> "Left-outer stream-stream join: both sides watermarked, time-bound condition bounds click state; outer rows emit on watermark passage (flush-wave staged replay proves full emission).",
-    "text_vocab_growth" -> "Vocab growth: gram-keyed min (map-side partial) is the only data-sized shuffle; the cumulative window runs over report-grain buckets.",
+    "text_vocab_growth" -> "Vocab growth: widened (round 16) so the 13-gram explode parallelizes past a one-split scan; gram-keyed min (map-side partial) is the only data-sized shuffle; the cumulative window runs over report-grain buckets.",
     "typed_cogroup" -> "Typed groupwise merge: CoGroup exec over both sides' key exchanges — one co-partitioning shuffle each, per-key iterator logic, no row-multiplying join node.",
     "text_feature_hashing" -> "Hashing-trick featurization: join-free — bigram explode feeds a partial+final (doc, bucket) aggregate pair; the shuffle carries (id, bucket, count), never text.",
     "quality_gopher_rules" -> "Gopher hard gates: pure map-side integer projections over the scan; the only exchange is the output range sort.",
     "corpus_token_mixture" -> "Mixture planning: one data-sized per-source token aggregate; the totals are a 1-row broadcast onto the bounded #sources frame, so plan arithmetic never shuffles the corpus.",
     "text_rrf_fusion" -> "Reciprocal-rank fusion: both rankers plan TakeOrderedAndProject top-20s; the fusion join runs over two bounded lists, never corpus-sized sides.",
     "multimodal_audio_stats" -> "Real audio codec: WAV write + decode as back-to-back mapPartitions (provider lookup JVM-cached); the only exchange is the output sort.",
-    "multimodal_video_frames" -> "Real multi-frame codec: animated-GIF sequence write then frame-directory decode, both mapPartitions with per-partition writer/reader init; one row fans out to N frame rows, the only exchange is the output sort.",
+    "multimodal_video_frames" -> "Real multi-frame codec: animated-GIF sequence write then frame-directory decode, both mapPartitions with per-partition writer/reader init over a WIDENED (round 16) scan; one row fans out to N frame rows.",
     "text_zipf_alpha" -> "Zipf regression: token-count aggregate is the only data-sized work; top-100 ranking via TakeOrderedAndProject; the normal-equation fold runs on a 100-row frame.",
     "dedup_passage" -> "Passage dedup: one chunking pass, then digest-keyed frequency groupBy and digest equi-join back — 16-byte binary (unhex'd md5) shuffle keys, passage text never crosses an exchange.",
     "transpose_funcs" -> "Spark-4 TRANSPOSE: the flip runs on the bounded 5-row post-aggregate frame; the only data-sized work is the nation aggregate feeding it."
